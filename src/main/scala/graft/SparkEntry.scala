@@ -1,13 +1,29 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.PromptMode
+import graft.gen.InputTable
+import graft.pipeline.ExtractPipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` entries are (SparkSession, sfDir) → DataFrame. Extraction
+  * queries synthesize the north-rule input table deterministically at a
+  * size derived from the sf tier (no external data); relational queries
+  * read the driver's parquet tables so DuckDB can replay `oracleSql` on
+  * identical inputs.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: full extraction pipeline (HTML+PDF branches, repair, ordered
+    * assembly) on a small synthetic table. Driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val input = InputTable.generate(spark, nDocs = 200L, seed = 42L)
+    ExtractPipeline.run(input)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+
+  def oracleSql: Map[String, String] = Queries.oracles
 }

@@ -1,0 +1,232 @@
+package graft.gen
+
+import graft.core.Categories
+import graft.kernel.PdfLite
+import java.nio.charset.StandardCharsets
+
+/** Deterministic synthetic Common-Crawl-style input table
+  * (`input_hint` schema: url, warc_ts, html:binary, text, lang).
+  *
+  * Seeded, splittable (pure function of (seed, docId) — no mutable RNG
+  * stream), so generation distributes embarrassingly across executors via
+  * `spark.range(n).map(genRow)`. Payload mix (FIXTURES.md §1):
+  *   60% HTML pages, 25% PDF-lite docs, 10% garbled model-output-style
+  *   text (repair path), 5% truncated PDF-lite (error path).
+  * Host distribution is skewed: one hot host holds ~30% of urls
+  * (FIXTURES.md §4 — exercises skew salting).
+  */
+object InputGen {
+
+  /** splitmix64 — stateless, avalanche-complete. */
+  def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  final class Rng(seed: Long, docId: Long, stream: Long) {
+    private var counter: Long = mix(seed) ^ mix(docId * 0x632be59bd9b4e019L) ^ mix(stream * 0x2545f4914f6cdd1dL)
+    def nextLong(): Long = { counter = mix(counter); counter }
+    def nextInt(bound: Int): Int = (math.floorMod(nextLong(), bound.toLong)).toInt
+    def nextDouble(): Double = (nextLong() >>> 11) * 1.1102230246251565e-16
+    def pick[T](xs: IndexedSeq[T]): T = xs(nextInt(xs.length))
+  }
+
+  val Langs: Vector[String] = Vector("en", "zh", "ru", "bo", "kn", "nl", "zh-Hant")
+
+  val WordBank: Map[String, Vector[String]] = Map(
+    "en" -> Vector("data", "pipeline", "layout", "document", "table", "value",
+      "page", "scan", "batch", "query", "merge", "column", "order", "shuffle",
+      "partition", "throughput", "extraction", "content", "heading", "footer"),
+    "zh" -> Vector("数据", "管道", "布局", "文档", "表格", "数值", "页面", "扫描",
+      "批量", "查询", "合并", "分区", "吞吐量", "抽取", "内容", "标题"),
+    "ru" -> Vector("данные", "конвейер", "макет", "документ", "таблица",
+      "значение", "страница", "партия", "запрос", "слияние", "колонка",
+      "порядок", "раздел", "контент"),
+    "bo" -> Vector("གཞི་གྲངས", "ཡིག་ཆ", "རེའུ་མིག", "ཤོག་ངོས", "བཙལ་འདྲི",
+      "ནང་དོན", "ཁ་བྱང", "སྒྲིག་བཀོད"),
+    "kn" -> Vector("ದತ್ತಾಂಶ", "ದಾಖಲೆ", "ಕೋಷ್ಟಕ", "ಪುಟ", "ಪ್ರಶ್ನೆ", "ವಿಷಯ",
+      "ಶೀರ್ಷಿಕೆ", "ವಿನ್ಯಾಸ", "ಅಂಕಣ"),
+    "nl" -> Vector("gegevens", "pijplijn", "indeling", "document", "tabel",
+      "waarde", "pagina", "batch", "zoekopdracht", "samenvoegen", "kolom",
+      "volgorde", "inhoud", "koptekst"),
+    "zh-Hant" -> Vector("數據", "管道", "佈局", "文檔", "表格", "數值", "頁面",
+      "掃描", "批量", "查詢", "合併", "分區", "吞吐量", "抽取", "內容", "標題"))
+
+  val Formulas: Vector[String] = Vector(
+    "E = mc^2", "\\sum_{i=0}^{n} i^2 = \\frac{n(n+1)(2n+1)}{6}",
+    "\\alpha + \\beta = \\gamma", "$$\\int_0^1 x\\,dx = \\tfrac12$$",
+    "\\frac{\\partial f}{\\partial x}", "e^{i\\pi} + 1 = 0")
+
+  val HotHost = "host0"
+  val NumHosts = 50
+
+  final case class Row(url: String, warc_ts: java.sql.Timestamp, html: Array[Byte],
+      text: String, lang: String)
+
+  def hostOf(seed: Long, docId: Long): String = {
+    val h = mix(seed ^ mix(docId * 31L))
+    if (math.floorMod(h, 100L) < 30) HotHost
+    else s"host${1 + math.floorMod(h >>> 8, (NumHosts - 1).toLong)}"
+  }
+
+  def langOf(seed: Long, docId: Long): String =
+    Langs((math.floorMod(mix(seed ^ docId), Langs.length.toLong)).toInt)
+
+  def kindOf(seed: Long, docId: Long): String = {
+    val k = math.floorMod(mix(seed * 7L ^ docId), 20L)
+    if (k < 12) "html" else if (k < 17) "pdf" else if (k < 19) "garbled" else "truncated"
+  }
+
+  def sentence(rng: Rng, lang: String, words: Int): String = {
+    val bank = WordBank(lang)
+    val sep = if (lang.startsWith("zh") || lang == "bo") "" else " "
+    (0 until words).map(_ => rng.pick(bank)).mkString(sep) +
+      (if (lang.startsWith("zh")) "。" else ".")
+  }
+
+  def paragraph(rng: Rng, lang: String): String =
+    (0 until (2 + rng.nextInt(4))).map(_ => sentence(rng, lang, 5 + rng.nextInt(12))).mkString(" ")
+
+  def generate(seed: Long, docId: Long): Row = {
+    val host = hostOf(seed, docId)
+    val lang = langOf(seed, docId)
+    val kind = kindOf(seed, docId)
+    val url = s"https://$host.example/$kind/doc$docId"
+    val ts = new java.sql.Timestamp(1704067200000L + docId * 137000L) // 2024-01-01 + stride
+    val rng = new Rng(seed, docId, 1L)
+    val (payload, sidecar) = kind match {
+      case "html" =>
+        val (bytes, text) = htmlPayload(rng, lang, docId)
+        (bytes, text)
+      case "pdf" =>
+        val doc = pdfPayload(rng, lang, docId)
+        (PdfLite.serialize(doc), doc.pages.flatMap(_.blocks.map(_.text)).mkString(" "))
+      case "garbled" =>
+        val s = garbledPayload(rng, lang)
+        (s.getBytes(StandardCharsets.UTF_8), "")
+      case "truncated" =>
+        val doc = pdfPayload(rng, lang, docId)
+        val full = PdfLite.serialize(doc)
+        (full.take(math.max(8, full.length / 3)), "")
+    }
+    Row(url, ts, payload, sidecar, lang)
+  }
+
+  def htmlPayload(rng: Rng, lang: String, docId: Long): (Array[Byte], String) = {
+    val sb = new StringBuilder
+    val title = sentence(rng, lang, 4).dropRight(1)
+    val paras = Vector.newBuilder[String]
+    sb ++= s"<!DOCTYPE html>\n<html>\n<head><meta charset=\"utf-8\"><title>$title</title>"
+    sb ++= "<style>body { margin: 0 }</style><script>var x = '<p>not content</p>';</script></head>\n<body>\n"
+    sb ++= "<header><a href=\"/\">Home</a> <a href=\"/about\">About</a> <a href=\"/news\">News</a></header>\n"
+    sb ++= s"<nav><ul><li><a href=\"/a\">${sentence(rng, lang, 1)}</a></li><li><a href=\"/b\">${sentence(rng, lang, 1)}</a></li></ul></nav>\n"
+    sb ++= s"<main>\n<h1>$title</h1>\n"
+    val nSections = 1 + rng.nextInt(3)
+    for (s <- 0 until nSections) {
+      val heading = sentence(rng, lang, 3).dropRight(1)
+      sb ++= s"<h2>$heading</h2>\n"
+      val nParas = 1 + rng.nextInt(3)
+      for (_ <- 0 until nParas) {
+        val p = paragraph(rng, lang)
+        paras += p
+        sb ++= s"<p>$p</p>\n"
+      }
+      if (s == 0) {
+        sb ++= "<ul>\n"
+        for (_ <- 0 until (2 + rng.nextInt(3))) sb ++= s"<li>${sentence(rng, lang, 4)}</li>\n"
+        sb ++= "</ul>\n"
+      }
+      if (s == 1 || nSections == 1) {
+        sb ++= "<table><thead><tr><th>k</th><th>v</th></tr></thead><tbody>"
+        for (r <- 0 until (2 + rng.nextInt(3)))
+          sb ++= s"<tr><td>${rng.pick(WordBank(lang))}</td><td>${rng.nextInt(1000)}</td></tr>"
+        sb ++= "</tbody></table>\n"
+      }
+    }
+    if (rng.nextInt(2) == 0) sb ++= s"<p class=\"math\">${rng.pick(Formulas)}</p>\n".replace("class=\"math\"", "class=\"math display\"")
+    if (rng.nextInt(2) == 0) {
+      sb ++= s"<figure><img src=\"/img/$docId.png\" alt=\"fig\"><figcaption>${sentence(rng, lang, 4)}</figcaption></figure>\n"
+    }
+    sb ++= s"<p class=\"footnote\">[1] ${sentence(rng, lang, 5)}</p>\n"
+    sb ++= "<aside><a href=\"/x\">more</a> <a href=\"/y\">links</a> <a href=\"/z\">here</a></aside>\n"
+    sb ++= s"</main>\n<footer>© 2024 $HotHost — <a href=\"/legal\">legal</a></footer>\n</body>\n</html>\n"
+    (sb.toString.getBytes(StandardCharsets.UTF_8), paras.result().mkString("\n\n"))
+  }
+
+  def pdfPayload(rng: Rng, lang: String, docId: Long): PdfLite.PdfDoc = {
+    val nPages = 1 + rng.nextInt(5)
+    val pages = (0 until nPages).map { p =>
+      // occasionally oversized page → exercises the 4500-px render clamp
+      val oversized = rng.nextInt(10) == 0
+      val (w, h) = if (oversized) (1700f, 2200f) else (612f, 792f)
+      val blocks = Vector.newBuilder[PdfLite.PdfBlock]
+      var y = 72f
+      blocks += PdfLite.PdfBlock(54f, 36f, w - 54f, 54f, Categories.PageHeader,
+        s"doc$docId · p${p + 1}")
+      blocks += PdfLite.PdfBlock(54f, y, w - 54f, y + 28f, Categories.Title,
+        "# " + sentence(rng, lang, 4).dropRight(1))
+      y += 44f
+      val twoCol = rng.nextInt(3) == 0
+      if (twoCol) {
+        val colW = (w - 3 * 54f) / 2
+        var yL = y; var yR = y
+        for (_ <- 0 until (2 + rng.nextInt(3))) {
+          val hL = 40f + rng.nextInt(60)
+          blocks += PdfLite.PdfBlock(54f, yL, 54f + colW, yL + hL, Categories.Text,
+            paragraph(rng, lang))
+          yL += hL + 12f
+          val hR = 40f + rng.nextInt(60)
+          blocks += PdfLite.PdfBlock(54f * 2 + colW, yR, w - 54f, yR + hR, Categories.Text,
+            paragraph(rng, lang))
+          yR += hR + 12f
+        }
+        y = math.max(yL, yR)
+      } else {
+        for (_ <- 0 until (2 + rng.nextInt(4))) {
+          val cat = rng.nextInt(10) match {
+            case 0 => Categories.Formula
+            case 1 => Categories.Table
+            case 2 => Categories.ListItem
+            case 3 => Categories.Picture
+            case 4 => Categories.Caption
+            case _ => Categories.Text
+          }
+          val hB = 30f + rng.nextInt(80)
+          val text = cat match {
+            case Categories.Formula => rng.pick(Formulas)
+            case Categories.Table   => "<table><tr><td>a</td><td>1</td></tr><tr><td>b</td><td>2</td></tr></table>"
+            case Categories.ListItem => "- " + sentence(rng, lang, 5)
+            case Categories.Picture => ""
+            case _                  => paragraph(rng, lang)
+          }
+          blocks += PdfLite.PdfBlock(54f, y, w - 54f, y + hB, cat, text)
+          y += hB + 12f
+        }
+      }
+      blocks += PdfLite.PdfBlock(54f, h - 50f, w - 54f, h - 36f, Categories.PageFooter,
+        s"${p + 1} / $nPages")
+      // store blocks in a shuffled order: reading order must be recovered
+      val bs = blocks.result()
+      val shuffled = bs.sortBy(b => mix(rng.nextLong()))
+      PdfLite.PdfPage(w, h, shuffled)
+    }.toVector
+    PdfLite.PdfDoc(pages)
+  }
+
+  /** Broken model-output-shaped text — drives the repair chain E2E. */
+  def garbledPayload(rng: Rng, lang: String): String = {
+    rng.nextInt(4) match {
+      case 0 => // missing delimiters + truncated tail
+        s"""[{"bbox": [10, 10, 200, 40], "category": "Title", "text": "${sentence(rng, lang, 3)}"} {"bbox": [10, 50, 200, 90], "category": "Text", "text": "${sentence(rng, lang, 6)}"}, {"bbox": [10, 1"""
+      case 1 => // duplicate dicts + unterminated array → C4 dedup path
+        val d = s"""{"bbox": [5, 5, 100, 30], "category": "Text", "text": "${sentence(rng, lang, 4)}"}"""
+        s"[$d, $d, $d, $d"
+      case 2 => // single incomplete dict
+        s"""[{"bbox": [20, 20, 300, 60], "category": "Section-header", "text": "${sentence(rng, lang, 8)}"""
+      case _ => // plain prose, not JSON at all
+        paragraph(rng, lang)
+    }
+  }
+}

@@ -1,0 +1,26 @@
+package graft.gen
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Distributed materialization of the synthetic input table. Generation is
+  * a pure function of (seed, id), so `spark.range` parallelizes it with no
+  * shuffle and no driver-side data. */
+object InputTable {
+
+  def generate(spark: SparkSession, nDocs: Long, seed: Long = 42L,
+      numPartitions: Int = 0): DataFrame = {
+    import spark.implicits._
+    val base = if (numPartitions > 0) spark.range(0, nDocs, 1, numPartitions)
+               else spark.range(nDocs)
+    base.map(i => InputGen.generate(seed, i)).toDF()
+  }
+
+  /** Scale-factor convention mirroring TESTDATA.md tiers. */
+  def docsForSfDir(sfDir: String): Long = {
+    val sf = raw".*sf([0-9.]+).*".r
+    sfDir match {
+      case sf(s) => math.max(50L, (s.toDouble * 200000).toLong) // sf0.01 → 2 000 docs
+      case _     => 2000L
+    }
+  }
+}

@@ -1,0 +1,186 @@
+package graft.kernel
+
+import graft.core._
+import java.nio.charset.StandardCharsets
+
+/** Per-page extraction kernel — the deterministic stand-in for the
+  * reference's model call, wrapped in the reference's exact pre/post flow
+  * (/root/reference/dots_ocr/parser.py:140-250):
+  *
+  *   payload → branch (HTML-DOM | PDF-layout | raw-response)
+  *           → smart_resize input dims (parser.py:163)
+  *           → "model response" = classifier cells serialized in INPUT space
+  *           → post_process_output (strict parse + rescale | repair chain)
+  *           → layoutjson2md ×2 (md, md_nohf; parser.py:223-224)
+  *           → per-page result record
+  *
+  * Everything after the response string is byte-identical to the reference
+  * (golden-tested); the classifier branch defines the response contents.
+  * Designed to run inside `mapPartitions` — stateless, allocation-light.
+  */
+object ExtractKernel {
+
+  /** Document fan-out: one input row → pages (reference analog:
+    * `load_images_from_pdf` + per-page tasks, parser.py:258-271). */
+  def fanOut(doc: PageDoc): Vector[RawPage] = {
+    val bytes = doc.html
+    if (bytes == null || bytes.isEmpty) {
+      Vector(RawPage(doc.url, 0, 1, "error", "empty payload".getBytes(StandardCharsets.UTF_8), doc.lang))
+    } else if (PdfLite.isPdfLite(bytes)) {
+      try {
+        val pdf = PdfLite.parse(bytes)
+        val total = pdf.pages.length
+        pdf.pages.zipWithIndex.map { case (p, i) =>
+          RawPage(doc.url, i, total, "pdf", PdfLite.serialize(PdfLite.PdfDoc(Vector(p))), doc.lang)
+        }
+      } catch {
+        case e: PdfLite.PdfLiteError =>
+          Vector(RawPage(doc.url, 0, 1, "error", e.getMessage.getBytes(StandardCharsets.UTF_8), doc.lang))
+      }
+    } else if (looksLikeHtml(bytes)) {
+      Vector(RawPage(doc.url, 0, 1, "html", bytes, doc.lang))
+    } else {
+      // neither HTML nor PDF-lite: treat the decoded payload as a raw model
+      // response — drives the OutputCleaner repair path end-to-end
+      Vector(RawPage(doc.url, 0, 1, "garbled", bytes, doc.lang))
+    }
+  }
+
+  def looksLikeHtml(bytes: Array[Byte]): Boolean = {
+    val head = new String(bytes, 0, math.min(bytes.length, 256), StandardCharsets.UTF_8)
+      .toLowerCase.dropWhile(_.isWhitespace)
+    head.startsWith("<!doctype") || head.startsWith("<html") || head.contains("<body") ||
+      head.startsWith("<head") || head.contains("<html")
+  }
+
+  /** The classifier "model": emit the response string the pre/post dataflow
+    * consumes, in smart-resized INPUT coordinate space (as the VLM does). */
+  def classifierResponse(
+      layout: HtmlExtract.PageLayout,
+      mode: PromptMode,
+      inputW: Long,
+      inputH: Long): String = {
+    val sx = inputW.toDouble / layout.width
+    val sy = inputH.toDouble / layout.height
+    def toInput(cell: JObject): JObject = {
+      val JArray(b) = cell.get("bbox").get
+      val scaled = Vector(
+        BboxScale.pyIntOfDouble(BboxScale.pyFloatOf(b(0)) * sx),
+        BboxScale.pyIntOfDouble(BboxScale.pyFloatOf(b(1)) * sy),
+        BboxScale.pyIntOfDouble(BboxScale.pyFloatOf(b(2)) * sx),
+        BboxScale.pyIntOfDouble(BboxScale.pyFloatOf(b(3)) * sy))
+      cell.updated("bbox", JArray(scaled.map(JInt(_))))
+    }
+    mode match {
+      case PromptMode.LayoutAll =>
+        PyJson.dumps(JArray(layout.cells.map(toInput)))
+      case PromptMode.LayoutOnly =>
+        // "Do not output the corresponding text" (prompts.py:23)
+        val noText = layout.cells.map { c =>
+          JObject(c.fields.filter { case (k, _) => k != "text" })
+        }
+        PyJson.dumps(JArray(noText.map(toInput)))
+      case PromptMode.Ocr =>
+        cellTexts(layout.cells, includeHf = true).mkString("\n\n")
+      case PromptMode.GroundingOcr((qx1, qy1, qx2, qy2)) =>
+        // query bbox is in ORIGINAL space; reference pre-processes it into
+        // input space and the model answers for that region (parser.py:130-137)
+        val q = BboxScale.preProcessBboxes(
+          layout.width, layout.height,
+          Vector(Vector(JInt(qx1), JInt(qy1), JInt(qx2), JInt(qy2))),
+          inputW, inputH).head
+        val hits = layout.cells.filter { c =>
+          val JArray(b) = c.get("bbox").get
+          val cx = (BboxScale.pyFloatOf(b(0)) + BboxScale.pyFloatOf(b(2))) / 2 * sx
+          val cy = (BboxScale.pyFloatOf(b(1)) + BboxScale.pyFloatOf(b(3))) / 2 * sy
+          cx >= q(0).toDouble && cx <= q(2).toDouble && cy >= q(1).toDouble && cy <= q(3).toDouble
+        }
+        cellTexts(hits, includeHf = true).mkString("\n\n")
+    }
+  }
+
+  def cellTexts(cells: Vector[JValue], includeHf: Boolean): Vector[String] =
+    cells.collect {
+      case o: JObject if o.has("text") &&
+        (includeHf || !o.get("category").exists {
+          case JString(c) => MdRender.PageHf.contains(c)
+          case _          => false
+        }) =>
+        o.get("text").get match { case JString(s) => s; case v => PyJson.pyStr(v) }
+    }
+
+  /** Full per-page parse (reference `_parse_single_image`). Never throws:
+    * failures become error rows (the reference writes page_NNN_error.txt,
+    * mac/run_ocr_batch.py:405-448). */
+  def parsePage(page: RawPage, mode: PromptMode): ParsedPage = {
+    try {
+      page.payload_kind match {
+        case "error" =>
+          ParsedPage(page.url, page.page_no, 0, 0, 0, 0, "", "", "", "",
+            filtered = false, error = new String(page.page_bytes, StandardCharsets.UTF_8))
+        case "garbled" =>
+          // response that never parses cleanly → repair chain → filtered row
+          val response = new String(page.page_bytes, StandardCharsets.UTF_8)
+          finishLayout(page, mode, response, 1280, 960, 1280, 960)
+        case kind =>
+          val layout = kind match {
+            case "pdf"  => PdfLite.pageToLayout(PdfLite.parse(page.page_bytes).pages.head)
+            case _      => HtmlExtract.extract(page.page_bytes)
+          }
+          val (ih, iw) = Geometry.smartResize(layout.height, layout.width)
+          mode match {
+            case PromptMode.Ocr =>
+              val response = classifierResponse(layout, mode, iw, ih)
+              // prompt_ocr responses pass through untouched (layout_utils.py:203)
+              ParsedPage(page.url, page.page_no, ih.toInt, iw.toInt,
+                layout.height.toInt, layout.width.toInt,
+                cells_json = "", md = response, md_nohf = response,
+                extracted_text = response, filtered = false, error = "")
+            case g: PromptMode.GroundingOcr =>
+              val response = classifierResponse(layout, g, iw, ih)
+              ParsedPage(page.url, page.page_no, ih.toInt, iw.toInt,
+                layout.height.toInt, layout.width.toInt,
+                cells_json = "", md = response, md_nohf = response,
+                extracted_text = response, filtered = false, error = "")
+            case m =>
+              val response = classifierResponse(layout, m, iw, ih)
+              finishLayout(page, m, response, layout.width, layout.height, iw, ih)
+          }
+      }
+    } catch {
+      case e: Exception =>
+        ParsedPage(page.url, page.page_no, 0, 0, 0, 0, "", "", "", "",
+          filtered = false, error = s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+  }
+
+  /** Layout-mode post-processing + rendering (parser.py:175-234). */
+  private def finishLayout(
+      page: RawPage,
+      mode: PromptMode,
+      response: String,
+      originW: Long,
+      originH: Long,
+      inputW: Long,
+      inputH: Long): ParsedPage = {
+    OutputRepair.postProcessOutput(response, originW, originH, inputW, inputH) match {
+      case OutputRepair.ParsedCells(cells) =>
+        val cellsJson = PyJson.dumps(JArray(cells))
+        val (md, mdNohf) =
+          if (mode == PromptMode.LayoutOnly) ("", "") // no md in detection mode (parser.py:222)
+          else (MdRender.layoutJsonToMd(cells), MdRender.layoutJsonToMd(cells, noPageHf = true))
+        val extracted = cellTexts(cells, includeHf = false).mkString("\n\n")
+        ParsedPage(page.url, page.page_no, inputH.toInt, inputW.toInt,
+          originH.toInt, originW.toInt, cellsJson, md, mdNohf, extracted,
+          filtered = false, error = "")
+      case OutputRepair.Filtered(text) =>
+        // reference: raw response saved as the json artifact, cleaned text as
+        // md (parser.py:184-204)
+        ParsedPage(page.url, page.page_no, inputH.toInt, inputW.toInt,
+          originH.toInt, originW.toInt,
+          cells_json = PyJson.dumps(JString(response)),
+          md = text, md_nohf = text, extracted_text = text,
+          filtered = true, error = "")
+    }
+  }
+}

@@ -1,0 +1,243 @@
+package graft.kernel
+
+import scala.collection.mutable
+
+/** Streaming HTML tokenizer + forgiving DOM builder.
+  *
+  * Built from scratch for the HTML branch of the north rule ("HTML payloads
+  * route through boilerplate-strip DOM heuristics"). No external parser —
+  * a single forward pass producing tokens, then a stack-based tree builder
+  * with void-element and implicit-close handling. Semantics are fixed and
+  * deterministic; they define the golden extraction contract for HTML rows.
+  */
+object HtmlDom {
+
+  sealed trait Node
+  final case class Element(
+      tag: String,
+      attrs: Map[String, String],
+      children: mutable.ArrayBuffer[Node]) extends Node
+  final case class TextNode(text: String) extends Node
+
+  val VoidTags: Set[String] = Set(
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+    "meta", "param", "source", "track", "wbr")
+
+  /** Raw-text elements: content is consumed verbatim until the matching
+    * close tag, never tokenized. */
+  val RawTextTags: Set[String] = Set("script", "style", "textarea", "title")
+
+  /** p is implicitly closed by any of these openers (HTML5 subset). */
+  private val ClosesP: Set[String] = Set(
+    "address", "article", "aside", "blockquote", "div", "dl", "fieldset",
+    "figure", "footer", "form", "h1", "h2", "h3", "h4", "h5", "h6",
+    "header", "hr", "main", "nav", "ol", "p", "pre", "section", "table", "ul")
+
+  private val NamedEntities: Map[String, String] = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+    "nbsp" -> " ", "copy" -> "©", "reg" -> "®",
+    "mdash" -> "—", "ndash" -> "–", "hellip" -> "…",
+    "laquo" -> "«", "raquo" -> "»", "times" -> "×",
+    "middot" -> "·", "bull" -> "•", "deg" -> "°",
+    "plusmn" -> "±", "sup2" -> "²", "frac12" -> "½",
+    "alpha" -> "α", "beta" -> "β", "pi" -> "π",
+    "sum" -> "∑", "infin" -> "∞", "rarr" -> "→")
+
+  /** Decode character references; unknown entities pass through literally. */
+  def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 12) {
+          val body = s.substring(i + 1, semi)
+          if (body.startsWith("#x") || body.startsWith("#X")) {
+            try { sb.appendCodePoint(Integer.parseInt(body.substring(2), 16)); i = semi + 1 }
+            catch { case _: Exception => sb.append(c); i += 1 }
+          } else if (body.startsWith("#")) {
+            try { sb.appendCodePoint(Integer.parseInt(body.substring(1))); i = semi + 1 }
+            catch { case _: Exception => sb.append(c); i += 1 }
+          } else NamedEntities.get(body) match {
+            case Some(rep) => sb.append(rep); i = semi + 1
+            case None      => sb.append(c); i += 1
+          }
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Decode payload bytes: UTF-8 (BOM stripped), malformed sequences
+    * replaced — charset declarations other than utf-8 are treated as utf-8
+    * (the synthetic corpus is utf-8; real-world sniffing is a documented
+    * extension point). */
+  def decodeBytes(bytes: Array[Byte]): String = {
+    val start = if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xef &&
+      (bytes(1) & 0xff) == 0xbb && (bytes(2) & 0xff) == 0xbf) 3 else 0
+    new String(bytes, start, bytes.length - start, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Parse HTML into a forgiving DOM. Never throws on malformed markup. */
+  def parse(html: String): Element = {
+    val root = Element("#root", Map.empty, mutable.ArrayBuffer.empty)
+    val stack = mutable.ArrayBuffer[Element](root)
+    def top: Element = stack.last
+    def openAncestor(tag: String): Boolean = stack.exists(_.tag == tag)
+
+    var i = 0
+    val n = html.length
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) {
+        if (i < n) top.children += TextNode(html.substring(i))
+        i = n
+      } else {
+        if (lt > i) top.children += TextNode(html.substring(i, lt))
+        if (lt + 1 >= n) { i = n }
+        else html.charAt(lt + 1) match {
+          case '!' =>
+            if (html.startsWith("<!--", lt)) {
+              val end = html.indexOf("-->", lt + 4)
+              i = if (end < 0) n else end + 3
+            } else { // doctype / CDATA-ish: skip to '>'
+              val end = html.indexOf('>', lt)
+              i = if (end < 0) n else end + 1
+            }
+          case '?' =>
+            val end = html.indexOf('>', lt)
+            i = if (end < 0) n else end + 1
+          case '/' =>
+            val end = html.indexOf('>', lt)
+            val name = (if (end < 0) html.substring(lt + 2) else html.substring(lt + 2, end))
+              .trim.toLowerCase
+            if (name.nonEmpty && openAncestor(name)) {
+              while (top.tag != name) stack.remove(stack.length - 1)
+              if (stack.length > 1) stack.remove(stack.length - 1)
+            } // unmatched close: ignored
+            i = if (end < 0) n else end + 1
+          case c if c.isLetter =>
+            val (tagEnd, name, attrs, selfClosed) = parseTag(html, lt)
+            i = tagEnd
+            val tag = name.toLowerCase
+            // implicit closes
+            if (tag == "li" && top.tag == "li") stack.remove(stack.length - 1)
+            if ((tag == "td" || tag == "th") && (top.tag == "td" || top.tag == "th"))
+              stack.remove(stack.length - 1)
+            if (tag == "tr" && (top.tag == "td" || top.tag == "th")) stack.remove(stack.length - 1)
+            if (tag == "tr" && top.tag == "tr") stack.remove(stack.length - 1)
+            if (ClosesP.contains(tag) && openAncestor("p")) {
+              while (top.tag != "p") stack.remove(stack.length - 1)
+              if (stack.length > 1) stack.remove(stack.length - 1)
+            }
+            val el = Element(tag, attrs, mutable.ArrayBuffer.empty)
+            top.children += el
+            if (RawTextTags.contains(tag)) {
+              val closeIdx = html.toLowerCase.indexOf(s"</$tag", i)
+              val end = if (closeIdx < 0) n else closeIdx
+              el.children += TextNode(html.substring(i, end))
+              val gt = html.indexOf('>', end)
+              i = if (closeIdx < 0) n else (if (gt < 0) n else gt + 1)
+            } else if (!selfClosed && !VoidTags.contains(tag)) {
+              stack += el
+            }
+          case _ =>
+            top.children += TextNode("<")
+            i = lt + 1
+        }
+      }
+    }
+    root
+  }
+
+  /** Parse one start tag beginning at `lt`; returns (endIndex, name, attrs, selfClosed). */
+  private def parseTag(html: String, lt: Int): (Int, String, Map[String, String], Boolean) = {
+    var i = lt + 1
+    val n = html.length
+    val nameStart = i
+    while (i < n && (html.charAt(i).isLetterOrDigit || html.charAt(i) == '-')) i += 1
+    val name = html.substring(nameStart, i)
+    val attrs = mutable.LinkedHashMap.empty[String, String]
+    var selfClosed = false
+    var done = false
+    while (!done && i < n) {
+      while (i < n && html.charAt(i).isWhitespace) i += 1
+      if (i >= n) done = true
+      else html.charAt(i) match {
+        case '>' => i += 1; done = true
+        case '/' =>
+          if (i + 1 < n && html.charAt(i + 1) == '>') { selfClosed = true; i += 2; done = true }
+          else i += 1
+        case _ =>
+          val aStart = i
+          while (i < n && !html.charAt(i).isWhitespace &&
+            html.charAt(i) != '=' && html.charAt(i) != '>' && html.charAt(i) != '/') i += 1
+          val aName = html.substring(aStart, i).toLowerCase
+          while (i < n && html.charAt(i).isWhitespace) i += 1
+          var aVal = ""
+          if (i < n && html.charAt(i) == '=') {
+            i += 1
+            while (i < n && html.charAt(i).isWhitespace) i += 1
+            if (i < n && (html.charAt(i) == '"' || html.charAt(i) == '\'')) {
+              val q = html.charAt(i)
+              val end = html.indexOf(q, i + 1)
+              if (end < 0) { aVal = html.substring(i + 1); i = n }
+              else { aVal = html.substring(i + 1, end); i = end + 1 }
+            } else {
+              val vStart = i
+              while (i < n && !html.charAt(i).isWhitespace && html.charAt(i) != '>') i += 1
+              aVal = html.substring(vStart, i)
+            }
+          }
+          if (aName.nonEmpty) attrs.getOrElseUpdate(aName, decodeEntities(aVal))
+      }
+    }
+    (i, name, attrs.toMap, selfClosed)
+  }
+
+  /** Normalized visible text of a subtree: entities decoded, whitespace
+    * runs collapsed to single spaces, trimmed; script/style excluded. */
+  def visibleText(node: Node): String = {
+    val sb = new java.lang.StringBuilder
+    def walk(nd: Node): Unit = nd match {
+      case TextNode(t) => sb.append(decodeEntities(t))
+      case e: Element =>
+        if (e.tag != "script" && e.tag != "style" && e.tag != "template" && e.tag != "noscript") {
+          if (e.tag == "br") sb.append(' ')
+          e.children.foreach(walk)
+        }
+    }
+    walk(node)
+    collapseWs(sb.toString)
+  }
+
+  def collapseWs(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var inWs = false
+    s.foreach { c =>
+      if (Character.isWhitespace(c) || c == '\u00a0') inWs = true
+      else {
+        if (inWs && sb.length() > 0) sb.append(' ')
+        inWs = false
+        sb.append(c)
+      }
+    }
+    sb.toString
+  }
+
+  /** Characters of visible text under anchor (`<a>`) descendants —
+    * numerator of the link-density boilerplate score. */
+  def linkTextChars(node: Node): Int = {
+    var count = 0
+    def walk(nd: Node, inLink: Boolean): Unit = nd match {
+      case TextNode(t) => if (inLink) count += collapseWs(decodeEntities(t)).length
+      case e: Element =>
+        if (e.tag != "script" && e.tag != "style")
+          e.children.foreach(walk(_, inLink || e.tag == "a"))
+    }
+    walk(node, inLink = false)
+    count
+  }
+}
