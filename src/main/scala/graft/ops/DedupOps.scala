@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale corpora.
+  *
+  * Scale design: every variant is shuffle-minimal —
+  *   - exact dedup: single hash-aggregate on a 64-bit content hash (never
+  *     shuffles full text; only (hash, id) pairs move);
+  *   - MinHash+LSH: signatures are pure Column ops (codegen), candidates
+  *     come from an LSH band self-join (equi-join on band key → sort-merge /
+  *     shuffled hash join on a tiny projected relation), verification
+  *     touches only candidate pairs — the classic O(n·bands) plan instead
+  *     of O(n²) similarity;
+  *   - SimHash: 64-bit signature + banded equi-join on 16-bit chunks
+  *     (Hamming ≤ 3 ⇒ at least one of 4 chunks equal — pigeonhole).
+  */
+object DedupOps {
+
+  /** Exact duplicate groups by full-content hash. Returns one row per
+    * duplicated content: (content_hash, dup_count, keep_id, dup_ids). */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), xxhash64(col(textCol)).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(count(lit(1)).as("dup_count"),
+        min(col("id")).as("keep_id"),
+        sort_array(collect_list(col("id"))).as("ids"))
+      .filter(col("dup_count") > 1)
+
+  /** Exact dedup: keep the smallest id per content hash. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = df.select(col(idCol).as(idCol), xxhash64(col(textCol)).as("__h"))
+      .groupBy("__h").agg(min(col(idCol)).as(idCol))
+    df.join(broadcastIfSmall(keep.select(idCol)), Seq(idCol), "left_semi")
+  }
+
+  private def broadcastIfSmall(df: DataFrame): DataFrame = df // AQE decides; hook for hints
+
+  /** MinHash signature: k independent min-hashes over word n-gram shingles.
+    * Pure Column ops — `xxhash64(seed, shingle)` is the seeded hash family. */
+  def minhashSignature(text: Column, numHashes: Int = 64, shingleSize: Int = 3): Column = {
+    val sh = TextOps.shingles(text, shingleSize)
+    array((0 until numHashes).map { j =>
+      array_min(transform(sh, s => xxhash64(lit(j), s)))
+    }: _*)
+  }
+
+  /** LSH candidate pairs: split the signature into `bands` bands of
+    * `rowsPerBand`, bucket-join on (band index, band hash), verify with the
+    * signature-estimated Jaccard, keep pairs ≥ threshold.
+    * Output: (id_a, id_b, est_jaccard) with id_a < id_b. */
+  def minhashDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7,
+      shingleSize: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigs = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
+    // explode to (band, bandHash, id, sig) — band hash is one long, so the
+    // shuffled relation is tiny compared to the corpus
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, r)), lit(b))): _*))
+        .as(Seq("band", "band_hash")))
+    val l = banded.select(col("band"), col("band_hash"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val rr = banded.select(col("band"), col("band_hash"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val cand = l.join(rr, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+      .dropDuplicates("id_a", "id_b")
+    cand.withColumn("est_jaccard",
+      aggregate(zip_with(col("sig_a"), col("sig_b"), (a, b) => when(a === b, 1).otherwise(0)),
+        lit(0), (acc, x) => acc + x).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** Exact n-gram Jaccard for a set of candidate pairs (verification). */
+  def ngramJaccard(
+      df: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, shingleSize: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), TextOps.shingles(col(textCol), shingleSize).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Brute-force pairwise n-gram Jaccard (test oracle; O(n²) — small n only). */
+  def bruteForceJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleSize: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), TextOps.shingles(col(textCol), shingleSize).as("sh"))
+    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over a pre-materialized token-hash array column
+    * (`transform(tokens, xxhash64)` — materialize it once with
+    * `withColumn` so the 64 bit-counters share one tokenization):
+    * bit k of the signature is the sign of Σ_tokens (±1 by bit k of the
+    * token hash). Pure Column ops, fixed Scala-level bit loop. */
+  def simhashOfHashes(tokenHashes: Column): Column =
+    (0 until 64).foldLeft(lit(0L)) { (acc, bit) =>
+      val mask = lit(1L << bit)
+      val cnt = aggregate(tokenHashes, lit(0),
+        (c, h) => c + when(h.bitwiseAND(mask) =!= 0, 1).otherwise(-1))
+      acc.bitwiseOR(when(cnt > 0, mask).otherwise(lit(0L)))
+    }
+
+  def tokenHashes(text: Column): Column =
+    transform(TextOps.tokens(text), w => xxhash64(w))
+
+  /** SimHash near-dup pairs within Hamming distance ≤ maxHamming (< 16):
+    * banded equi-join on the four 16-bit chunks (pigeonhole: distance ≤ 3
+    * ⇒ some chunk identical), then exact popcount verification. */
+  def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df
+      .withColumn("__th", tokenHashes(col(textCol)))
+      .select(col(idCol).as("id"), simhashOfHashes(col("__th")).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 16).bitwiseAND(0xffffL)): _*))
+        .as(Seq("band", "chunk")))
+    val l = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val rr = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val cand = l.join(rr, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+      .dropDuplicates("id_a", "id_b")
+    cand.withColumn("hamming", hammingDistance(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** popcount(a XOR b): count of '1' chars in the 64-bit binary rendering.
+    * (The classic SWAR popcount needs wrapping arithmetic, which ANSI mode
+    * — Spark 4's default — rejects; `bin()` is overflow-free and codegen.) */
+  def hammingDistance(a: Column, b: Column): Column =
+    length(regexp_replace(bin(a.bitwiseXOR(b)), "0", "")).cast("int")
+}

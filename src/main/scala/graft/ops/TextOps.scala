@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  * All pure Column algebra (no UDFs) — every expression stays inside
+  * whole-stage codegen and is scan-pushdown friendly.
+  */
+object TextOps {
+
+  /** Whitespace tokens of a text column (empty text → empty array). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
+
+  /** Token count (whitespace segmentation). */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword count: word-piece regex segmentation — words,
+    * numbers, and individual punctuation marks, CJK chars counted singly
+    * (the standard pre-tokenizer shape for byte-pair encoders). */
+  def subwordCount(text: Column): Column =
+    size(filter(
+      split(text, "(?U)(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])"),
+      t => trim(t) =!= "")).cast("long")
+
+  /** Integer quality features (kept integral so results are engine-exact):
+    * chars, tokens, sentence punctuation, digits, uppercase letters. */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_chars_calc", length(t).cast("long"))
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_sentences", length(regexp_replace(t, "[^.!?。]", "")).cast("long"))
+      .withColumn("n_digits", length(regexp_replace(t, "[^0-9]", "")).cast("long"))
+      .withColumn("n_upper", length(regexp_replace(t, "[^A-Z]", "")).cast("long"))
+  }
+
+  /** Quality score gate (length / punctuation / stopword-ish ratios):
+    * keep_doc = long-enough ∧ has sentence structure ∧ not mostly digits.
+    * Thresholds are deliberately simple and fixed. */
+  def qualityGate(df: DataFrame, textCol: String): DataFrame =
+    qualityFeatures(df, textCol).withColumn("keep_doc",
+      col("n_chars_calc") >= 20 && col("n_tokens") >= 5 &&
+        col("n_sentences") >= 1 && col("n_digits") * 3 < col("n_chars_calc"))
+
+  /** Script/stopword language-ID heuristic. Deliberately CASE-expressible
+    * so a SQL oracle can replay it exactly (see Queries.oracles). */
+  def langId(text: Column): Column = {
+    val zh = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", "")) > 0
+    val ru = length(regexp_replace(text, "[^\\x{0400}-\\x{04ff}]", "")) > 0
+    val bo = length(regexp_replace(text, "[^\\x{0f00}-\\x{0fff}]", "")) > 0
+    val kn = length(regexp_replace(text, "[^\\x{0c80}-\\x{0cff}]", "")) > 0
+    val de = text.rlike(" (der|die|das|und|nicht|mit) ")
+    val fr = text.rlike(" (le|la|les|des|une|est) ")
+    val es = text.rlike(" (el|los|las|una|que|con) ")
+    val nl = text.rlike(" (de|het|een|van|met|voor) ")
+    when(zh, "zh").when(ru, "ru").when(bo, "bo").when(kn, "kn")
+      .when(de, "de").when(fr, "fr").when(es, "es").when(nl, "nl")
+      .otherwise("en")
+  }
+
+  /** Rolling document fingerprint: left fold of the seeded 64-bit hash
+    * over the token stream (order-sensitive, one pass, codegen'd, no UDF).
+    * `xxhash64(acc, token)` chains instead of `acc*P+h` so the fold never
+    * overflows under ANSI arithmetic. */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, w) => xxhash64(acc, w))
+
+  /** Word n-gram shingles (n consecutive tokens joined by one space). */
+  def shingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) < n, array_distinct(array(concat_ws(" ", ts))))
+      .otherwise(array_distinct(
+        transform(sequence(lit(0), size(ts) - n), i => concat_ws(" ", slice(ts, i + 1, lit(n))))))
+  }
+}

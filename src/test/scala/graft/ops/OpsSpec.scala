@@ -1,0 +1,134 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+  lazy val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  /** documents + synthetic near-duplicates (perturbed copies) + exact dups. */
+  lazy val dupCorpus = {
+    val base = docs.limit(120).select(col("doc_id"), col("text"))
+    val exact = base.limit(10)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val near = base.limit(20)
+      .select((col("doc_id") + 20000).as("doc_id"),
+        concat(col("text"), lit(" appended tail token")).as("text"))
+    base.union(exact).union(near).cache()
+  }
+
+  test("token count / quality features are sane") {
+    val r = TextOps.qualityFeatures(docs.limit(50), "text").collect()
+    r.foreach { row =>
+      val nChars = row.getAs[Long]("n_chars_calc")
+      assert(nChars == row.getAs[String]("text").length)
+      assert(row.getAs[Long]("n_tokens") > 0)
+    }
+    val empty = Seq("", "   ", "one two  three").toDF("text")
+      .select(TextOps.tokenCount(col("text")).as("n")).as[Long].collect()
+    assert(empty.toSeq == Seq(0L, 0L, 3L))
+  }
+
+  test("language-ID heuristic: script languages exact, latin falls back sanely") {
+    // the driver's documents.lang labels are synthetic (text is English
+    // tech-words for every label) — score against real multilingual text
+    // from the generator's word banks instead
+    import graft.gen.InputGen
+    val rows = (0 until 200).flatMap { i =>
+      InputGen.Langs.map { l =>
+        val rng = new InputGen.Rng(9L, i.toLong, 2L)
+        (l, InputGen.paragraph(rng, l))
+      }
+    }.toDF("lang", "text")
+    val scored = rows.withColumn("pred", TextOps.langId(col("text"))).collect()
+    scored.foreach { r =>
+      val (lang, pred) = (r.getAs[String]("lang"), r.getAs[String]("pred"))
+      lang match {
+        case "zh" | "zh-Hant" => assert(pred == "zh", s"$lang -> $pred")
+        case "ru"             => assert(pred == "ru")
+        case "bo"             => assert(pred == "bo")
+        case "kn"             => assert(pred == "kn")
+        case _                => assert(Set("en", "nl", "de", "fr", "es").contains(pred))
+      }
+    }
+  }
+
+  test("exact dedup finds planted duplicates and keeps smallest id") {
+    val groups = DedupOps.exactDupGroups(dupCorpus, "doc_id", "text").collect()
+    assert(groups.length == 10)
+    groups.foreach { g =>
+      assert(g.getAs[Long]("dup_count") == 2)
+      assert(g.getAs[Long]("keep_id") < 10000)
+    }
+    val deduped = DedupOps.exactDedup(dupCorpus, "doc_id", "text")
+    assert(deduped.count() == dupCorpus.count() - 10)
+    assert(deduped.filter(col("doc_id") >= 10000 && col("doc_id") < 20000).count() == 0)
+  }
+
+  test("MinHash-LSH finds every brute-force Jaccard≥0.7 pair (no false negatives at high sim)") {
+    val brute = DedupOps.bruteForceJaccardPairs(dupCorpus, "doc_id", "text", threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "corpus should contain near-dup pairs")
+    val lsh = DedupOps.minhashDupPairs(dupCorpus, "doc_id", "text",
+      numHashes = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val missed = brute -- lsh
+    assert(missed.isEmpty, s"LSH missed: $missed")
+    // and LSH candidates verified by exact jaccard agree with brute force
+    val verified = DedupOps.ngramJaccard(dupCorpus, "doc_id", "text",
+      DedupOps.minhashDupPairs(dupCorpus, "doc_id", "text", 64, 16, 0.5).select("id_a", "id_b"))
+      .filter(col("jaccard") >= 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(verified == brute)
+  }
+
+  test("SimHash: exact dups at distance 0; banded join finds them") {
+    val pairs = DedupOps.simhashDupPairs(dupCorpus, "doc_id", "text", maxHamming = 3)
+      .collect()
+    val exactPairs = pairs.filter(_.getAs[Int]("hamming") == 0)
+    assert(exactPairs.length >= 10) // the 10 planted exact dups
+    pairs.foreach(p => assert(p.getAs[Int]("hamming") <= 3))
+  }
+
+  test("hamming distance column = Java popcount") {
+    val rows = Seq((0L, 0L), (1L, 0L), (-1L, 0L), (0x1234abcdL, 0x4321dcbaL),
+      (Long.MinValue, Long.MaxValue)).toDF("a", "b")
+    val got = rows.select(DedupOps.hammingDistance(col("a"), col("b"))).as[Int].collect()
+    val want = Seq((0L, 0L), (1L, 0L), (-1L, 0L), (0x1234abcdL, 0x4321dcbaL),
+      (Long.MinValue, Long.MaxValue)).map { case (a, b) => java.lang.Long.bitCount(a ^ b) }
+    assert(got.toSeq == want)
+  }
+
+  test("brute-force ANN: exact self-retrieval and symmetric sanity") {
+    val queries = embs.limit(8)
+    val top = SimilarityOps.bruteForceTopK(embs, queries, "vec_id", "embedding", k = 5,
+      excludeSelf = false).cache()
+    // rank 1 for each query must be itself (cosine=1)
+    val r1 = top.filter(col("rank") === 1).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect()
+    r1.foreach { case (q, n) => assert(q == n, s"query $q self-sim not rank1 (got $n)") }
+    assert(top.groupBy("query_id").count().select(min("count")).as[Long].head() == 5)
+  }
+
+  test("IVF ANN achieves ≥60% recall@10 vs brute force with nprobe=4/nlist=8") {
+    val queries = embs.limit(10)
+    val brute = SimilarityOps.bruteForceTopK(embs, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = SimilarityOps.ivfTopK(embs, queries, "vec_id", "embedding", 10,
+      nlist = 8, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF recall $recall")
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val r = Seq("a b c", "c b a", "a b c").toDF("text")
+      .select(TextOps.fingerprint(col("text")).as("fp")).as[Long].collect()
+    assert(r(0) == r(2) && r(0) != r(1))
+  }
+}
