@@ -18,7 +18,10 @@ object BboxScale {
   def pyIntOfDouble(v: Double): BigInt = {
     if (v.isNaN) kernelError("cannot convert float NaN to integer")
     if (v.isInfinite) kernelError("cannot convert float infinity to integer")
-    new java.math.BigDecimal(v).toBigInteger
+    // Long truncation is exact below 2^53 (every double there is integral-
+    // representable); BigDecimal only for the astronomical tail
+    if (v > -9.007199254740992e15 && v < 9.007199254740992e15) BigInt(v.toLong)
+    else new java.math.BigDecimal(v).toBigInteger
   }
 
   /** CPython `float(x)` over a JSON value. */

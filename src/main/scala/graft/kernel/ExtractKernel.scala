@@ -53,13 +53,13 @@ object ExtractKernel {
       head.startsWith("<head") || head.contains("<html")
   }
 
-  /** The classifier "model": emit the response string the pre/post dataflow
-    * consumes, in smart-resized INPUT coordinate space (as the VLM does). */
-  def classifierResponse(
+  /** Classifier cells in smart-resized INPUT coordinate space (what the
+    * VLM would emit), for the layout modes. */
+  def classifierCells(
       layout: HtmlExtract.PageLayout,
       mode: PromptMode,
       inputW: Long,
-      inputH: Long): String = {
+      inputH: Long): Vector[JValue] = {
     val sx = inputW.toDouble / layout.width
     val sy = inputH.toDouble / layout.height
     def toInput(cell: JObject): JObject = {
@@ -72,14 +72,28 @@ object ExtractKernel {
       cell.updated("bbox", JArray(scaled.map(JInt(_))))
     }
     mode match {
-      case PromptMode.LayoutAll =>
-        PyJson.dumps(JArray(layout.cells.map(toInput)))
       case PromptMode.LayoutOnly =>
         // "Do not output the corresponding text" (prompts.py:23)
-        val noText = layout.cells.map { c =>
-          JObject(c.fields.filter { case (k, _) => k != "text" })
+        layout.cells.map { c =>
+          toInput(JObject(c.fields.filter { case (k, _) => k != "text" }))
         }
-        PyJson.dumps(JArray(noText.map(toInput)))
+      case _ =>
+        layout.cells.map(toInput)
+    }
+  }
+
+  /** The classifier "model": emit the response string the pre/post dataflow
+    * consumes, in smart-resized INPUT coordinate space (as the VLM does). */
+  def classifierResponse(
+      layout: HtmlExtract.PageLayout,
+      mode: PromptMode,
+      inputW: Long,
+      inputH: Long): String = {
+    val sx = inputW.toDouble / layout.width
+    val sy = inputH.toDouble / layout.height
+    mode match {
+      case PromptMode.LayoutAll | PromptMode.LayoutOnly =>
+        PyJson.dumps(JArray(classifierCells(layout, mode, inputW, inputH)))
       case PromptMode.Ocr =>
         cellTexts(layout.cells, includeHf = true).mkString("\n\n")
       case PromptMode.GroundingOcr((qx1, qy1, qx2, qy2)) =>
@@ -143,8 +157,14 @@ object ExtractKernel {
                 cells_json = "", md = response, md_nohf = response,
                 extracted_text = response, filtered = false, error = "")
             case m =>
-              val response = classifierResponse(layout, m, iw, ih)
-              finishLayout(page, m, response, layout.width, layout.height, iw, ih)
+              // trusted path: our classifier's output round-trips the
+              // serializer exactly (ints + strings only), so the reference's
+              // json.loads(response) is the identity here — skip the
+              // dumps→parse of the full cell array (hot-path allocation;
+              // equivalence pinned by ExtractKernelSpec). Repair-needing
+              // responses (garbled payloads) still take the string path.
+              val cells = classifierCells(layout, m, iw, ih)
+              finishLayoutTrusted(page, m, cells, layout.width, layout.height, iw, ih)
           }
       }
     } catch {
@@ -152,6 +172,49 @@ object ExtractKernel {
         ParsedPage(page.url, page.page_no, 0, 0, 0, 0, "", "", "", "",
           filtered = false, error = s"${e.getClass.getSimpleName}: ${e.getMessage}")
     }
+  }
+
+  /** Trusted-cells variant of [[finishLayout]]: identical semantics to
+    * `postProcessOutput(dumps(cells), …)` when every value is a canonical
+    * int/string (our classifier's contract). */
+  private def finishLayoutTrusted(
+      page: RawPage,
+      mode: PromptMode,
+      inputCells: Vector[JValue],
+      originW: Long,
+      originH: Long,
+      inputW: Long,
+      inputH: Long): ParsedPage = {
+    try {
+      val cells = BboxScale.postProcessCells(originW, originH, inputCells, inputW, inputH)
+      renderParsed(page, mode, cells, originW, originH, inputW, inputH)
+    } catch {
+      case _: BboxScale.KernelError | _: Geometry.AspectRatioError =>
+        // mirror the reference fallback: repair over the serialized form
+        finishLayout(page, mode, PyJson.dumps(JArray(inputCells)), originW, originH, inputW, inputH)
+    }
+  }
+
+  private def renderParsed(
+      page: RawPage,
+      mode: PromptMode,
+      cells: Vector[JValue],
+      originW: Long,
+      originH: Long,
+      inputW: Long,
+      inputH: Long): ParsedPage = {
+    val cellsJson = PyJson.dumps(JArray(cells))
+    val (md, mdNohf) =
+      if (mode == PromptMode.LayoutOnly) ("", "")
+      else {
+        // render each cell once; md and md_nohf share the segments
+        val segs = MdRender.renderSegments(cells)
+        (MdRender.segmentsToMd(segs, noPageHf = false), MdRender.segmentsToMd(segs, noPageHf = true))
+      }
+    val extracted = cellTexts(cells, includeHf = false).mkString("\n\n")
+    ParsedPage(page.url, page.page_no, inputH.toInt, inputW.toInt,
+      originH.toInt, originW.toInt, cellsJson, md, mdNohf, extracted,
+      filtered = false, error = "")
   }
 
   /** Layout-mode post-processing + rendering (parser.py:175-234). */
@@ -165,14 +228,7 @@ object ExtractKernel {
       inputH: Long): ParsedPage = {
     OutputRepair.postProcessOutput(response, originW, originH, inputW, inputH) match {
       case OutputRepair.ParsedCells(cells) =>
-        val cellsJson = PyJson.dumps(JArray(cells))
-        val (md, mdNohf) =
-          if (mode == PromptMode.LayoutOnly) ("", "") // no md in detection mode (parser.py:222)
-          else (MdRender.layoutJsonToMd(cells), MdRender.layoutJsonToMd(cells, noPageHf = true))
-        val extracted = cellTexts(cells, includeHf = false).mkString("\n\n")
-        ParsedPage(page.url, page.page_no, inputH.toInt, inputW.toInt,
-          originH.toInt, originW.toInt, cellsJson, md, mdNohf, extracted,
-          filtered = false, error = "")
+        renderParsed(page, mode, cells, originW, originH, inputW, inputH)
       case OutputRepair.Filtered(text) =>
         // reference: raw response saved as the json artifact, cleaned text as
         // md (parser.py:184-204)

@@ -135,7 +135,14 @@ object HtmlDom {
             val el = Element(tag, attrs, mutable.ArrayBuffer.empty)
             top.children += el
             if (RawTextTags.contains(tag)) {
-              val closeIdx = html.toLowerCase.indexOf(s"</$tag", i)
+              // case-insensitive "</tag" scan without copying the document
+              val needle = s"</$tag"
+              var closeIdx = -1
+              var k = i
+              while (closeIdx < 0 && k <= n - needle.length) {
+                if (html.regionMatches(true, k, needle, 0, needle.length)) closeIdx = k
+                else k += 1
+              }
               val end = if (closeIdx < 0) n else closeIdx
               el.children += TextNode(html.substring(i, end))
               val gt = html.indexOf('>', end)

@@ -69,13 +69,13 @@ object HtmlExtract {
       e.tag == "math" || cls.contains("math") || cls.contains("formula")
     }
 
-    def boilerplate(e: HtmlDom.Element): Boolean = {
-      val text = HtmlDom.visibleText(e)
+    def boilerplate(e: HtmlDom.Element, text: String): Boolean = {
       if (text.isEmpty) return true
       val linkChars = HtmlDom.linkTextChars(e)
       val density = linkChars.toDouble / math.max(1, text.length)
+      if (density <= 0.5) return false // skip the word count when cheap test decides
       val words = text.split(" ").count(_.nonEmpty)
-      density > 0.5 && words < 25
+      words < 25
     }
 
     def walk(node: HtmlDom.Node): Unit = node match {
@@ -102,7 +102,7 @@ object HtmlExtract {
           case "li" =>
             val text = HtmlDom.visibleText(e)
             if (text.nonEmpty) {
-              if (boilerplate(e)) () else emit(Categories.ListItem, s"- $text")
+              if (boilerplate(e, text)) () else emit(Categories.ListItem, s"- $text")
             }
           case "table" =>
             out += Block(Categories.Table, Some(serializeTable(e)), tableLines(e))
@@ -121,7 +121,7 @@ object HtmlExtract {
             val text = HtmlDom.visibleText(e)
             if (text.nonEmpty) {
               if (classAttr(e).contains("footnote")) emit(Categories.Footnote, text)
-              else if (boilerplate(e)) ()
+              else if (boilerplate(e, text)) ()
               else if (isDisplayFormula(text)) emit(Categories.Formula, text)
               else emit(Categories.Text, text)
             }
@@ -132,7 +132,7 @@ object HtmlExtract {
             // leaf div with only inline content → Text cell; else descend
             if (t == "div" && !hasBlockChild(e)) {
               val text = HtmlDom.visibleText(e)
-              if (text.nonEmpty && !boilerplate(e)) emit(Categories.Text, text)
+              if (text.nonEmpty && !boilerplate(e, text)) emit(Categories.Text, text)
             } else e.children.foreach(walk)
           case _ =>
             // unknown element: descend (forgiving)

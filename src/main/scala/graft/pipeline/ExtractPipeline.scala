@@ -59,11 +59,21 @@ object ExtractPipeline {
       docs: Dataset[PageDoc],
       mode: PromptMode = PromptMode.LayoutAll,
       numPartitions: Int = 0,
-      lineageAcc: Option[CollectionAccumulator[PartitionLineage]] = None): Dataset[ParsedPage] = {
+      lineageAcc: Option[CollectionAccumulator[PartitionLineage]] = None,
+      spreadPages: Boolean = false): Dataset[ParsedPage] = {
     val pages = docs.flatMap(ExtractKernel.fanOut _)
-    val spread =
-      if (numPartitions > 0) pages.repartition(numPartitions, col("url"), col("page_no"))
-      else pages.repartition(col("url"), col("page_no"))
+    // Default: NO shuffle before the kernel — scan splits are already
+    // size-balanced (spark.sql.files.maxPartitionBytes bounds task input),
+    // so fan-out + parse runs map-side and the only shuffle is assembly.
+    // `spreadPages = true` adds an explicit hash repartition on
+    // (url, page_no) for corpora with pathological per-doc page counts
+    // (a 10k-page doc spreads across tasks at the cost of re-shuffling
+    // payload bytes). Partition count stays explicit: kernel cost is
+    // per-page CPU, not bytes, so AQE's byte-based coalescing must not
+    // shrink this stage.
+    val n = if (numPartitions > 0) numPartitions
+            else math.max(docs.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    val spread = if (spreadPages) pages.repartition(n, col("url"), col("page_no")) else pages
     spread.mapPartitions { iter =>
       val t0 = System.nanoTime()
       val tc = TaskContext.get()
@@ -76,12 +86,16 @@ object ExtractPipeline {
         r
       }
       new Iterator[ParsedPage] {
+        private var emitted = false
         def hasNext: Boolean = {
           val h = out.hasNext
-          if (!h) lineageAcc.foreach(_.add(PartitionLineage(
-            if (tc != null) tc.partitionId() else -1, "parse", nRows, checksum,
-            (System.nanoTime() - t0) / 1000000L,
-            if (tc != null) tc.taskAttemptId() else -1L)))
+          if (!h && !emitted) { // exactly once per task, however often the
+            emitted = true      // downstream probes an exhausted iterator
+            lineageAcc.foreach(_.add(PartitionLineage(
+              if (tc != null) tc.partitionId() else -1, "parse", nRows, checksum,
+              (System.nanoTime() - t0) / 1000000L,
+              if (tc != null) tc.taskAttemptId() else -1L)))
+          }
           h
         }
         def next(): ParsedPage = out.next()
@@ -120,14 +134,55 @@ object ExtractPipeline {
         .as("error"))
   }
 
-  /** Full pipeline: table → per-document extraction rows. */
+  /** Map-side assembly: when pages were NOT spread, every document's pages
+    * are consecutive within one partition (fanOut output order is preserved
+    * by mapPartitions), so per-url assembly needs NO shuffle at all — the
+    * whole pipeline becomes map-only. Output is column-identical to
+    * [[assemble]] (pinned by PipelineE2ESpec). */
+  def assembleLocal(pages: Dataset[ParsedPage]): DataFrame = {
+    import pages.sparkSession.implicits._
+    val docs = pages.mapPartitions { (iter: Iterator[ParsedPage]) =>
+      val in = iter.buffered
+      new Iterator[ParsedDoc] {
+        def hasNext: Boolean = in.hasNext
+        def next(): ParsedDoc = {
+          val url = in.head.url
+          val group = Vector.newBuilder[ParsedPage]
+          while (in.hasNext && in.head.url == url) group += in.next()
+          val ps = group.result().sortBy(_.page_no)
+          ParsedDoc(
+            url = url,
+            lang = "",
+            n_pages = ps.length,
+            md = ps.map(_.md).mkString("\n\n---\n\n"),
+            md_nohf = ps.map(_.md_nohf).mkString("\n\n---\n\n"),
+            extracted_text = ps.map(_.extracted_text).filter(_.nonEmpty).mkString("\n\n"),
+            cells_json = ps.map(p => "{\"page_no\": " + p.page_no + ", \"cells\": " +
+              (if (p.cells_json.isEmpty) "null" else p.cells_json) + "}")
+              .mkString("[", ", ", "]"),
+            filtered = ps.exists(_.filtered),
+            error = ps.map(_.error).filter(_.nonEmpty).mkString("; "))
+        }
+      }
+    }
+    docs.toDF().select("url", "n_pages", "md", "md_nohf", "extracted_text",
+      "cells_json", "filtered", "error")
+  }
+
+  /** Full pipeline: table → per-document extraction rows.
+    * spreadPages=false (default): map-only plan, zero shuffles.
+    * spreadPages=true: page-spread shuffle + groupBy(url) assembly. */
   def run(
       input: DataFrame,
       mode: PromptMode = PromptMode.LayoutAll,
       numPartitions: Int = 0,
-      lineageAcc: Option[CollectionAccumulator[PartitionLineage]] = None): DataFrame = {
-    val parsed = parsePages(asPageDocs(input), mode, numPartitions, lineageAcc)
-    assemble(parsed)
+      lineageAcc: Option[CollectionAccumulator[PartitionLineage]] = None,
+      spreadPages: Boolean = false): DataFrame = {
+    val parsed = parsePages(asPageDocs(input), mode, numPartitions, lineageAcc, spreadPages)
+    if (spreadPages) assemble(parsed)
+    else assembleLocal(parsed).select(
+      col("url"), col("n_pages").cast("long").as("n_pages"), col("md"), col("md_nohf"),
+      col("extracted_text"), col("cells_json"), col("filtered"), col("error"))
   }
 
   /** Session defaults for this engine: AQE on (skew-join + coalesce),
@@ -141,6 +196,11 @@ object ExtractPipeline {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // CPU-bound scans (the parse kernel runs map-side on scan splits)
+      // want far smaller splits than the 128 MB I/O-oriented default:
+      // several task waves per core self-balance stragglers. 16 MB of
+      // payload ≈ 12k docs ≈ 10 s of kernel work per task.
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")

@@ -72,10 +72,19 @@ class PipelineE2ESpec extends AnyFunSuite {
 
   test("pipeline is deterministic end-to-end") {
     val again = ExtractPipeline.run(InputTable.generate(spark, NDocs, seed = 42L))
-    val h1 = result.select(hash(col("url"), col("md"), col("cells_json"))).agg(sum("hash(url, md, cells_json)"))
     val d = result.select(col("url"), col("md"), col("cells_json"))
       .except(again.select(col("url"), col("md"), col("cells_json")))
     assert(d.count() == 0)
+  }
+
+  test("spreadPages=true (shuffle assembly) ≡ default map-only assembly, all columns") {
+    val spread = ExtractPipeline.run(InputTable.generate(spark, NDocs, seed = 42L),
+      spreadPages = true)
+    assert(spread.columns.toSeq == result.columns.toSeq)
+    val cols = result.columns.map(col)
+    val d1 = result.select(cols: _*).except(spread.select(cols: _*))
+    val d2 = spread.select(cols: _*).except(result.select(cols: _*))
+    assert(d1.count() == 0 && d2.count() == 0 && spread.count() == NDocs)
   }
 
   test("prompt modes: layout_only has no md; ocr passes text through") {
