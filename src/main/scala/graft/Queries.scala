@@ -2,7 +2,7 @@ package graft
 
 import graft.core.PromptMode
 import graft.gen.InputTable
-import graft.ops.{DedupOps, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, MultimodalOps, RepairJob, SimilarityOps, TextOps}
 import graft.pipeline.ExtractPipeline
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -202,7 +202,99 @@ object Queries {
     "q_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- W1: reading-order span enumeration (posexplode over parsed cells)
+    "x_span_explode" -> ((s, dir) => {
+      val pageSchema = "array<struct<page_no:int, cells:array<struct<bbox:array<bigint>, category:string, text:string>>>>"
+      ExtractPipeline.run(docsTable(s, dir))
+        .filter(!col("filtered") && col("error") === "")
+        .select(col("url"), from_json(col("cells_json"), org.apache.spark.sql.types.DataType.fromDDL(pageSchema)).as("pages"))
+        .select(col("url"), explode(col("pages")).as("page"))
+        .select(col("url"), col("page.page_no").as("page_no"),
+          posexplode(col("page.cells")).as(Seq("reading_order", "cell")))
+        .select(col("url"), col("page_no"), col("reading_order"),
+          col("cell.category").as("category"), col("cell.bbox").as("bbox"))
+        .orderBy("url", "page_no", "reading_order")
+    }),
+
+    // ---- W3: cross-page paragraph merge over extraction pages
+    "x_cross_page_merge" -> ((s, dir) => {
+      val pages = ExtractPipeline.parsePages(
+        ExtractPipeline.asPageDocs(docsTable(s, dir).filter(col("url").contains("/pdf/"))))
+        .toDF()
+      graft.pipeline.PageMerge.mergeDocuments(pages).orderBy("url")
+    }),
+
+    // ---- C9: offline batch repair job + A5 report
+    "x_repair_batch" -> ((s, dir) => {
+      import s.implicits._
+      val n = math.max(100L, InputTable.docsForSfDir(dir) / 10)
+      val rows = s.range(n).map { i =>
+        val rng = new graft.gen.InputGen.Rng(13L, i, 3L)
+        (i.toLong, graft.gen.InputGen.garbledPayload(rng, graft.gen.InputGen.langOf(13L, i)))
+      }
+      RepairJob.repair(rows).toDF().orderBy("case_id")
+    }),
+    "x_repair_report" -> ((s, dir) => {
+      import s.implicits._
+      val n = math.max(100L, InputTable.docsForSfDir(dir) / 10)
+      val rows = s.range(n).map { i =>
+        val rng = new graft.gen.InputGen.Rng(13L, i, 3L)
+        (i.toLong, graft.gen.InputGen.garbledPayload(rng, graft.gen.InputGen.langOf(13L, i)))
+      }
+      RepairJob.report(RepairJob.repair(rows))
+    }),
+
+    // ---- multimodal columns: feature extraction + frame sampling
+    "x_media_features" -> ((s, dir) => {
+      val n = math.max(100L, InputTable.docsForSfDir(dir) / 10)
+      MultimodalOps.extractFeatures(MultimodalOps.syntheticMedia(s, n))
+        .toDF().drop("feature").orderBy("media_id")
+    }),
+    "x_frame_sample" -> ((s, dir) => {
+      val n = math.max(100L, InputTable.docsForSfDir(dir) / 10)
+      MultimodalOps.sampleFrames(MultimodalOps.syntheticMedia(s, n), everyMs = 1000L)
+        .toDF().drop("frame_payload").orderBy("media_id", "frame_no")
+    }),
+
+    // ---- quality gate (SQL-expressible → oracle)
+    "q_quality_gate" -> ((s, dir) =>
+      TextOps.qualityGate(t(s, dir, "documents"), "text")
+        .groupBy("keep_doc").agg(count(lit(1)).as("n"))
+        .orderBy("keep_doc")),
+
+    // ---- BPE-ish subword counting (RE2 can't express the lookarounds →
+    //      rows-only; determinism across partitionings checked by driver)
+    "q_subword_count" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.subwordCount(col("text")).as("n_subwords"))
+        .orderBy("doc_id")),
+
+    // ---- exact n-gram Jaccard verification of LSH candidates
+    "q_ngram_verify" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cands = DedupOps.minhashDupPairs(docs, "doc_id", "text", 64, 16, 0.3)
+        .select("id_a", "id_b")
+      DedupOps.ngramJaccard(docs, "doc_id", "text", cands)
+        .select(col("id_a"), col("id_b"), round(col("jaccard") * 1000).cast("long").as("jaccard_x1000"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- P17 flexible JSON extraction over noisy model output
+    "x_parse_flex" -> ((s, dir) => {
+      import s.implicits._
+      val n = math.max(100L, InputTable.docsForSfDir(dir) / 10)
+      s.range(n).map { (i: java.lang.Long) =>
+        val rng = new graft.gen.InputGen.Rng(17L, i, 4L)
+        val lang = graft.gen.InputGen.langOf(17L, i)
+        val noisy = "Some preamble text " + graft.gen.InputGen.garbledPayload(rng, lang) + "]"
+        graft.kernel.MiscText.parseJsonFlex(noisy) match {
+          case Some(r) => (i, true, r.extracted, graft.kernel.PyJson.dumps(r.value).length.toLong)
+          case None    => (i, false, false, 0L)
+        }
+      }.toDF("case_id", "parsed", "extracted", "json_len").orderBy("case_id")
+    })
   )
 
   /** DuckDB equivalents over the same parquet files. Table names resolve to
@@ -278,6 +370,16 @@ object Queries {
     "q_embedding_stats" ->
       """SELECT label, CAST(count(*) AS BIGINT) AS n, CAST(min(len(embedding)) AS BIGINT) AS dim
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "q_quality_gate" ->
+      """WITH f AS (SELECT
+        |  CAST(length(text) AS BIGINT) AS n_chars_calc,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |  CAST(length(regexp_replace(text, '[^.!?。]', '', 'g')) AS BIGINT) AS n_sentences,
+        |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits
+        |  FROM documents)
+        |SELECT (n_chars_calc >= 20 AND n_tokens >= 5 AND n_sentences >= 1
+        |        AND n_digits * 3 < n_chars_calc) AS keep_doc,
+        |CAST(count(*) AS BIGINT) AS n FROM f GROUP BY keep_doc ORDER BY keep_doc""".stripMargin,
     "q_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8),
         |scored AS (

@@ -8,10 +8,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object InputTable {
 
   def generate(spark: SparkSession, nDocs: Long, seed: Long = 42L,
+      numPartitions: Int = 0): DataFrame =
+    generateRange(spark, 0L, nDocs, seed, numPartitions)
+
+  /** Half-open docId range [start, end) — disjoint ranges yield disjoint
+    * urls (docId is part of the url), e.g. for incremental crawl drops. */
+  def generateRange(spark: SparkSession, start: Long, end: Long, seed: Long = 42L,
       numPartitions: Int = 0): DataFrame = {
     import spark.implicits._
-    val base = if (numPartitions > 0) spark.range(0, nDocs, 1, numPartitions)
-               else spark.range(nDocs)
+    val base = if (numPartitions > 0) spark.range(start, end, 1, numPartitions)
+               else spark.range(start, end)
     base.map(i => InputGen.generate(seed, i)).toDF()
   }
 

@@ -213,16 +213,20 @@ object OutputRepair {
     else data.zipWithIndex.collect { case (item, i) if !toRemove.contains(i) => item }
   }
 
-  /** `clean_model_output` (output_cleaner.py:418-435). */
-  def cleanModelOutput(input: Either[Vector[JValue], String]): Vector[JValue] = {
+  /** `clean_model_output` (output_cleaner.py:418-435), with the parse
+    * success flag preserved (clean_all_data's report needs it, :539-547). */
+  def cleanModelOutputResult(input: Either[Vector[JValue], String]): CleanResult = {
     val result = input match {
       case Left(list) => cleanListData(list)
       case Right(str) => cleanStringData(str)
     }
     if (result.success && result.cleanedData.nonEmpty)
-      dedupPairsAndBbox(result.cleanedData)
-    else result.cleanedData
+      CleanResult(dedupPairsAndBbox(result.cleanedData), result.success)
+    else result
   }
+
+  def cleanModelOutput(input: Either[Vector[JValue], String]): Vector[JValue] =
+    cleanModelOutputResult(input).cleanedData
 
   /** `post_process_output` for the layout modes
     * (/root/reference/dots_ocr/utils/layout_utils.py:202-228): strict parse +

@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import graft.gen.InputTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Physical-plan assertions — the `.explain` discipline as tests: the
+  * optimizations the pipeline claims must be visible in the plan, not just
+  * intended (task brief: "iterate until it's the plan you'd want"). */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  lazy val tableDir: String = {
+    val d = Files.createTempDirectory("plan-input").toString
+    InputTable.generate(spark, 60L, seed = 3L).write.mode("overwrite").parquet(d)
+    d
+  }
+
+  private def formattedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    import org.apache.spark.sql.execution.debug._
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("url/lang filters push down to the parquet scan") {
+    val df = spark.read.parquet(tableDir)
+      .filter(col("lang") === "en" && col("warc_ts") > "2024-01-01")
+    val scan = df.queryExecution.executedPlan.toString()
+    assert(scan.contains("PushedFilters"), scan)
+    assert(scan.contains("IsNotNull(lang)") || scan.contains("EqualTo(lang,en)"), scan)
+  }
+
+  test("column pruning: selecting url+lang reads only those columns") {
+    val df = spark.read.parquet(tableDir).select("url", "lang")
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("html"), "payload column must be pruned from the scan")
+  }
+
+  test("default extraction plan has ZERO exchanges (map-only)") {
+    val out = ExtractPipeline.run(spark.read.parquet(tableDir))
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
+  test("spreadPages topology has exactly the page-spread + assembly exchanges") {
+    val out = ExtractPipeline.run(spark.read.parquet(tableDir), spreadPages = true)
+    val plan = out.queryExecution.executedPlan.toString()
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n$plan")
+  }
+
+  test("dimension joins broadcast (no sort-merge join for small dims)") {
+    val q = graft.Queries.all("q_broadcast_join")(spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("relational stages run inside WholeStageCodegen") {
+    val q = graft.Queries.all("q_agg_pushdown")(spark, "/root/testdata/sf0.001")
+    q.collect() // finalize the AQE plan — codegen spans appear post-execution
+    val plan = q.queryExecution.executedPlan.toString()
+    // WholeStageCodegen spans print as "*(n) Operator" in the final plan
+    assert(plan.contains("*(") || plan.contains("WholeStageCodegen"), plan)
+  }
+}
