@@ -281,6 +281,24 @@ object Queries {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- scale layer: per-host stats with skew salting (hot host ≈ 30%)
+    "x_host_stats" -> ((s, dir) =>
+      graft.scale.HostStats.salted(docsTable(s, dir)).orderBy("host")),
+
+    // ---- scale layer: per-partition lineage records as a metrics table
+    //      (wall-time column excluded: non-deterministic by nature)
+    "x_lineage" -> ((s, dir) => {
+      import s.implicits._
+      val acc = s.sparkContext.collectionAccumulator[graft.pipeline.PartitionLineage]("q-lineage")
+      ExtractPipeline.run(docsTable(s, dir), lineageAcc = Some(acc))
+        .write.format("noop").mode("overwrite").save()
+      import scala.jdk.CollectionConverters._
+      acc.value.asScala.toVector
+        .map(pl => (pl.partition_id, pl.stage, pl.row_count, pl.checksum))
+        .toDF("partition_id", "stage", "row_count", "checksum")
+        .orderBy("partition_id")
+    }),
+
     // ---- P17 flexible JSON extraction over noisy model output
     "x_parse_flex" -> ((s, dir) => {
       import s.implicits._

@@ -63,7 +63,8 @@ object DedupOps {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.7,
-      shingleSize: Int = 3): DataFrame = {
+      shingleSize: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sigs = df
@@ -71,10 +72,19 @@ object DedupOps {
       .select(col("id"), minhashSignatureOfHashes(col("__sh"), numHashes).as("sig"))
     // explode to (band, bandHash, id, sig) — band hash is one long, so the
     // shuffled relation is tiny compared to the corpus
-    val banded = sigs.select(col("id"), col("sig"),
+    val banded0 = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, r)), lit(b))): _*))
         .as(Seq("band", "band_hash")))
+    // Hot-bucket guard: a degenerate band value shared by k docs would emit
+    // k² candidates (at web scale: boilerplate-heavy shingles). Buckets over
+    // maxBucketSize are dropped — any pair above the similarity threshold
+    // almost surely also collides in a non-degenerate band. The window is a
+    // per-(band,hash) count — partial-agg-free but bounded by the banded
+    // relation's size, not the candidate blow-up it prevents.
+    val sized = banded0.withColumn("__bucket_n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "band_hash")))
+    val banded = sized.filter(col("__bucket_n") <= maxBucketSize).drop("__bucket_n")
     val l = banded.select(col("band"), col("band_hash"), col("id").as("id_a"), col("sig").as("sig_a"))
     val rr = banded.select(col("band"), col("band_hash"), col("id").as("id_b"), col("sig").as("sig_b"))
     val cand = l.join(rr, Seq("band", "band_hash"))

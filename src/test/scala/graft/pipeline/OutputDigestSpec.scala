@@ -1,0 +1,29 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import graft.gen.InputTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-refactor byte-identity pin: the full extraction output for a fixed
+  * (seed, size) input hashes to a committed constant. Any change to the
+  * extraction semantics — kernel, repair chain, rendering, assembly — must
+  * update this constant DELIBERATELY (it is the per-url byte-identity
+  * contract of the north rule, frozen). */
+class OutputDigestSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  // seed=99, n=120; confirmed identical across three independent JVMs
+  // (sbt test JVM + two standalone consumers, byte-equal content dumps)
+  val PinnedDigest: Int = 1506097711
+
+  test("extraction output digest matches the pinned constant") {
+    val out = ExtractPipeline.run(InputTable.generate(spark, 120L, seed = 99L))
+      .orderBy("url")
+      .select(concat_ws("", col("url"), col("md"), col("md_nohf"),
+        col("extracted_text"), col("cells_json"), col("filtered").cast("string"), col("error")))
+      .collect().map(_.getString(0)).mkString("")
+    assert(scala.util.hashing.MurmurHash3.stringHash(out) == PinnedDigest,
+      "extraction output changed — if intentional, update PinnedDigest and note it in the commit")
+  }
+}
