@@ -34,7 +34,7 @@ object BenchWorker {
     // min of 5 passes: robust to both slow JIT convergence and the
     // sandbox's intermittent multi-second stalls (observed 5× outlier
     // passes with no in-JVM cause)
-    val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "5").toInt
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val times = (1 to nPasses).map(_ => pass())
     println(f"SECONDS=${times.min}%.3f")
     println(s"PASSES=$nPasses RAW=${times.map(t => f"$t%.2f").mkString(",")}")
