@@ -21,8 +21,24 @@ object Queries {
   private def t(s: SparkSession, sfDir: String, name: String): DataFrame =
     s.read.parquet(s"$sfDir/$name.parquet")
 
-  private def docsTable(s: SparkSession, sfDir: String): DataFrame =
-    InputTable.generate(s, InputTable.docsForSfDir(sfDir), seed = 42L)
+  /** Materialized side tables (north-rule input, extraction output,
+    * signatures) — byte-identical for Spark and the DuckDB oracle. */
+  private def vt(s: SparkSession, sfDir: String, name: String): DataFrame =
+    VerifyTables.read(s, sfDir, name)
+
+  private val cellArraySchema = org.apache.spark.sql.types.DataType.fromDDL(
+    "array<struct<bbox:array<bigint>, category:string, text:string>>")
+
+  /** Exploded reading-order spans from the per-page extraction dump
+    * (clean layout rows only; bbox rendered as a JSON string — the raw
+    * array is unhashable for the driver's pandas compare). */
+  private def spanRows(s: SparkSession, sfDir: String): DataFrame =
+    vt(s, sfDir, "extract_pages")
+      .filter(!col("filtered") && col("error") === "")
+      .select(col("url"), col("page_no"),
+        from_json(col("cells_json"), cellArraySchema).as("cells"))
+      .select(col("url"), col("page_no"),
+        posexplode(col("cells")).as(Seq("reading_order", "cell")))
 
   // integral money: cents as BIGINT — engine-exact (doubles would drift
   // under Spark's partial aggregation vs DuckDB's sequential sum)
@@ -30,20 +46,25 @@ object Queries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // ---- extraction pipeline surface (rows-only; byte-identity in sbt test)
+    // ---- extraction pipeline surface. x_extract_full now carries a REAL
+    //      oracle: DuckDB independently re-assembles the per-document rows
+    //      (ordered string_agg over page_no) from the dumped per-page
+    //      extraction table — a cross-engine check of the A1+A2+S9
+    //      assembly over real kernel output. Page-level mode dumps stay
+    //      rows-only (their byte-identity gate is the golden suites).
     "x_extract_full" -> ((s, dir) =>
-      ExtractPipeline.run(docsTable(s, dir)).orderBy("url")),
+      ExtractPipeline.run(vt(s, dir, "northrule")).orderBy("url")),
     "x_extract_layout_only" -> ((s, dir) =>
       ExtractPipeline.parsePages(
-        ExtractPipeline.asPageDocs(docsTable(s, dir)), PromptMode.LayoutOnly)
+        ExtractPipeline.asPageDocs(vt(s, dir, "northrule")), PromptMode.LayoutOnly)
         .toDF().orderBy("url", "page_no")),
     "x_extract_ocr" -> ((s, dir) =>
       ExtractPipeline.parsePages(
-        ExtractPipeline.asPageDocs(docsTable(s, dir)), PromptMode.Ocr)
+        ExtractPipeline.asPageDocs(vt(s, dir, "northrule")), PromptMode.Ocr)
         .toDF().orderBy("url", "page_no")),
     "x_extract_grounding" -> ((s, dir) =>
       ExtractPipeline.parsePages(
-        ExtractPipeline.asPageDocs(docsTable(s, dir).filter(col("url").contains("/html/"))),
+        ExtractPipeline.asPageDocs(vt(s, dir, "northrule").filter(col("url").contains("/html/"))),
         PromptMode.GroundingOcr((0L, 0L, 1280L, 200L)))
         .toDF().orderBy("url", "page_no")),
 
@@ -127,11 +148,12 @@ object Queries {
         .limit(10)
         .select("doc_id", "n_chars")),
 
-    // ---- training ops: exact dedup (hash-groupBy)
+    // ---- training ops: exact dedup — runs the REAL operator (keep the
+    //      smallest id per content hash) against DuckDB's min-per-group
     "q_dedup_exact" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .agg(countDistinct(col("text")).as("distinct_texts"),
-          count(lit(1)).as("total_docs"))),
+      DedupOps.exactDedup(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")),
 
     // ---- training ops: token counting
     "q_token_count" -> ((s, dir) =>
@@ -185,17 +207,22 @@ object Queries {
         .orderBy("query_id", "rank")
     }),
 
-    // ---- dedup: MinHash+LSH near-dup pairs over documents (rows-only;
-    //      correctness vs brute force in OpsSpec)
+    // ---- dedup: MinHash+LSH near-dup pairs. The xxhash64 signatures are
+    //      materialized to parquet; Spark runs the band join + threshold
+    //      from that table and DuckDB REPLAYS the same band join (chunk
+    //      equality ⟺ band-hash equality) + match count independently —
+    //      a full cross-engine check of the LSH plan. No-false-negative
+    //      vs brute force stays in OpsSpec.
     "q_minhash_pairs" -> ((s, dir) =>
-      DedupOps.minhashDupPairs(t(s, dir, "documents"), "doc_id", "text",
+      DedupOps.minhashPairsFromSigs(vt(s, dir, "minhash_sigs"),
         numHashes = 64, bands = 16, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("est_jaccard") * 64).cast("long").as("matches64"))
         .orderBy("id_a", "id_b")),
 
-    // ---- dedup: SimHash near-dup pairs (rows-only)
+    // ---- dedup: SimHash near-dup pairs (chunk join + popcount replayed
+    //      by DuckDB from the dumped signatures)
     "q_simhash_pairs" -> ((s, dir) =>
-      DedupOps.simhashDupPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+      DedupOps.simhashPairsFromSigs(vt(s, dir, "simhash_sigs"), maxHamming = 3)
         .orderBy("id_a", "id_b")),
 
     // ---- fingerprinting (rows-only; determinism gate in OpsSpec)
@@ -204,46 +231,37 @@ object Queries {
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
-    // ---- W1: reading-order span enumeration (posexplode over parsed cells)
-    "x_span_explode" -> ((s, dir) => {
-      val pageSchema = "array<struct<page_no:int, cells:array<struct<bbox:array<bigint>, category:string, text:string>>>>"
-      ExtractPipeline.run(docsTable(s, dir))
-        .filter(!col("filtered") && col("error") === "")
-        .select(col("url"), from_json(col("cells_json"), org.apache.spark.sql.types.DataType.fromDDL(pageSchema)).as("pages"))
-        .select(col("url"), explode(col("pages")).as("page"))
-        .select(col("url"), col("page.page_no").as("page_no"),
-          posexplode(col("page.cells")).as(Seq("reading_order", "cell")))
+    // ---- W1: reading-order span enumeration (posexplode over parsed
+    //      cells, from the dumped page table; bbox emitted as a JSON
+    //      string). DuckDB replays the JSON explode + ordinality.
+    "x_span_explode" -> ((s, dir) =>
+      spanRows(s, dir)
         .select(col("url"), col("page_no"), col("reading_order"),
-          col("cell.category").as("category"), col("cell.bbox").as("bbox"))
-        .orderBy("url", "page_no", "reading_order")
-    }),
+          col("cell.category").as("category"), to_json(col("cell.bbox")).as("bbox"))
+        .orderBy("url", "page_no", "reading_order")),
+
+    // ---- A4: per-category span histogram over real extraction output
+    //      (cross-engine JSON parse + explode + aggregate)
+    "q_category_histogram" -> ((s, dir) =>
+      spanRows(s, dir)
+        .groupBy(col("cell.category").as("category"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("category")),
 
     // ---- W3: cross-page paragraph merge over extraction pages
     "x_cross_page_merge" -> ((s, dir) => {
-      val pages = ExtractPipeline.parsePages(
-        ExtractPipeline.asPageDocs(docsTable(s, dir).filter(col("url").contains("/pdf/"))))
-        .toDF()
+      val pages = vt(s, dir, "extract_pages").filter(col("url").contains("/pdf/"))
       graft.pipeline.PageMerge.mergeDocuments(pages).orderBy("url")
     }),
 
-    // ---- C9: offline batch repair job + A5 report
-    "x_repair_batch" -> ((s, dir) => {
-      import s.implicits._
-      val n = math.max(100L, InputTable.docsForSfDir(dir) / 10)
-      val rows = s.range(n).map { i =>
-        val rng = new graft.gen.InputGen.Rng(13L, i, 3L)
-        (i.toLong, graft.gen.InputGen.garbledPayload(rng, graft.gen.InputGen.langOf(13L, i)))
-      }
-      RepairJob.repair(rows).toDF().orderBy("case_id")
-    }),
+    // ---- C9: offline batch repair job + A5 report (report aggregates
+    //      replayed by DuckDB over the dumped repair-case table)
+    "x_repair_batch" -> ((s, dir) =>
+      VerifyTables.repairInput(s, dir)
+        .transform(RepairJob.repair).toDF().orderBy("case_id")),
     "x_repair_report" -> ((s, dir) => {
       import s.implicits._
-      val n = math.max(100L, InputTable.docsForSfDir(dir) / 10)
-      val rows = s.range(n).map { i =>
-        val rng = new graft.gen.InputGen.Rng(13L, i, 3L)
-        (i.toLong, graft.gen.InputGen.garbledPayload(rng, graft.gen.InputGen.langOf(13L, i)))
-      }
-      RepairJob.report(RepairJob.repair(rows))
+      RepairJob.report(vt(s, dir, "repair_cases").as[RepairJob.Repaired])
     }),
 
     // ---- multimodal columns: feature extraction + frame sampling
@@ -271,33 +289,37 @@ object Queries {
         .select(col("doc_id"), TextOps.subwordCount(col("text")).as("n_subwords"))
         .orderBy("doc_id")),
 
-    // ---- exact n-gram Jaccard verification of LSH candidates
+    // ---- exact n-gram Jaccard verification of LSH candidates (shingle
+    //      sets + signatures dumped; DuckDB replays candidates AND the
+    //      set-intersection Jaccard)
     "q_ngram_verify" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val cands = DedupOps.minhashDupPairs(docs, "doc_id", "text", 64, 16, 0.3)
+      val cands = DedupOps.minhashPairsFromSigs(vt(s, dir, "minhash_sigs"), 64, 16, 0.3)
         .select("id_a", "id_b")
-      DedupOps.ngramJaccard(docs, "doc_id", "text", cands)
+      DedupOps.ngramJaccardFromShingles(vt(s, dir, "shingles"), cands)
         .select(col("id_a"), col("id_b"), round(col("jaccard") * 1000).cast("long").as("jaccard_x1000"))
         .orderBy("id_a", "id_b")
     }),
 
-    // ---- scale layer: per-host stats with skew salting (hot host ≈ 30%)
+    // ---- scale layer: per-host stats with skew salting (hot host ≈ 30%);
+    //      oracle = DuckDB's single-phase aggregate over the same parquet
     "x_host_stats" -> ((s, dir) =>
-      graft.scale.HostStats.salted(docsTable(s, dir)).orderBy("host")),
+      graft.scale.HostStats.salted(vt(s, dir, "northrule")).orderBy("host")),
 
-    // ---- scale layer: per-partition lineage records as a metrics table
-    //      (wall-time column excluded: non-deterministic by nature)
-    "x_lineage" -> ((s, dir) => {
-      import s.implicits._
-      val acc = s.sparkContext.collectionAccumulator[graft.pipeline.PartitionLineage]("q-lineage")
-      ExtractPipeline.run(docsTable(s, dir), lineageAcc = Some(acc))
-        .write.format("noop").mode("overwrite").save()
-      import scala.jdk.CollectionConverters._
-      acc.value.asScala.toVector
-        .map(pl => (pl.partition_id, pl.stage, pl.row_count, pl.checksum))
-        .toDF("partition_id", "stage", "row_count", "checksum")
-        .orderBy("partition_id")
-    }),
+    // ---- scale layer: bucket-granular lineage computed relationally from
+    //      the committed output (retry/speculation-safe — no driver-side
+    //      accumulator funnel; see graft.scale.Lineage). Rows-only: the
+    //      bucket key and checksum are xxhash64-based. The row-count
+    //      TOTALS are oracled separately (q_lineage_totals).
+    "x_lineage" -> ((s, dir) =>
+      graft.scale.Lineage.fromOutput(vt(s, dir, "extract_docs"), nBuckets = 32)
+        .orderBy("bucket")),
+
+    // ---- lineage invariant the oracle CAN check: totals over the same
+    //      dumped output (doc count, page sum, filtered/error counts)
+    "q_lineage_totals" -> ((s, dir) =>
+      graft.scale.Lineage.fromOutput(vt(s, dir, "extract_docs"), nBuckets = 32)
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_pages")).as("n_pages"),
+          sum(col("n_filtered")).as("n_filtered"), sum(col("n_errors")).as("n_errors"))),
 
     // ---- P17 flexible JSON extraction over noisy model output
     "x_parse_flex" -> ((s, dir) => {
@@ -315,9 +337,15 @@ object Queries {
     })
   )
 
-  /** DuckDB equivalents over the same parquet files. Table names resolve to
-    * `<sfDir>/<name>.parquet` on the driver side. */
-  val oracles: Map[String, String] = Map(
+  /** DuckDB equivalents. Bare table names resolve to
+    * `<sfDir>/<name>.parquet` on the driver side; materialized side tables
+    * (kernel outputs, signatures) are referenced by absolute
+    * `read_parquet` globs under VerifyTables' content-keyed root —
+    * Verify.main materializes them in the same invocation that dumps this
+    * map, so the driver's DuckDB replay reads exactly what Spark read. */
+  def oracles: Map[String, String] = staticOracles ++ materializedOracles
+
+  private val staticOracles: Map[String, String] = Map(
     "q_page_assembly" ->
       """SELECT l_orderkey, string_agg(l_returnflag, '|' ORDER BY l_linenumber, l_returnflag) AS flags,
         |CAST(count(*) AS BIGINT) AS n_lines FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
@@ -359,8 +387,9 @@ object Queries {
     "q_topk_docs" ->
       "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 10",
     "q_dedup_exact" ->
-      """SELECT CAST(count(DISTINCT text) AS BIGINT) AS distinct_texts,
-        |CAST(count(*) AS BIGINT) AS total_docs FROM documents""".stripMargin,
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+        |ORDER BY doc_id""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
         |x -> x <> '')) AS BIGINT) AS n_tokens FROM documents ORDER BY doc_id""".stripMargin,
@@ -411,4 +440,144 @@ object Queries {
         |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin
   )
+
+  /** Oracles over the VerifyTables parquet dumps (paths resolved at dump
+    * time — see [[VerifyTables.oracleGlob]]). */
+  private def materializedOracles: Map[String, String] = {
+    def g(name: String) = VerifyTables.oracleGlob(name)
+    Map(
+      // A1+A2+S9 re-assembly of the per-document rows from per-page rows
+      "x_extract_full" ->
+        s"""SELECT url,
+           |CAST(count(*) AS BIGINT) AS n_pages,
+           |string_agg(md, e'\\n\\n---\\n\\n' ORDER BY page_no) AS md,
+           |string_agg(md_nohf, e'\\n\\n---\\n\\n' ORDER BY page_no) AS md_nohf,
+           |coalesce(string_agg(CASE WHEN extracted_text <> '' THEN extracted_text END, e'\\n\\n' ORDER BY page_no), '') AS extracted_text,
+           |'[' || string_agg('{"page_no": ' || CAST(page_no AS VARCHAR) || ', "cells": ' || CASE WHEN cells_json = '' THEN 'null' ELSE cells_json END || '}', ', ' ORDER BY page_no) || ']' AS cells_json,
+           |bool_or(filtered) AS filtered,
+           |coalesce(string_agg(CASE WHEN error <> '' THEN error END, '; ' ORDER BY page_no), '') AS error
+           |FROM read_parquet('${g("extract_pages")}')
+           |GROUP BY url ORDER BY url""".stripMargin,
+      // W1 span explode: JSON parse + per-page ordinality
+      "x_span_explode" ->
+        s"""WITH p AS (
+           |  SELECT url, page_no, json_extract(cells_json, '$$[*]') AS cells
+           |  FROM read_parquet('${g("extract_pages")}')
+           |  WHERE NOT filtered AND error = ''
+           |), c AS (
+           |  SELECT url, page_no, unnest(cells) AS cell,
+           |         generate_subscripts(cells, 1) AS idx FROM p
+           |)
+           |SELECT url, page_no, CAST(idx - 1 AS INTEGER) AS reading_order,
+           |  json_extract_string(cell, '$$.category') AS category,
+           |  CAST(json_extract(cell, '$$.bbox') AS VARCHAR) AS bbox
+           |FROM c ORDER BY url, page_no, reading_order""".stripMargin,
+      "q_category_histogram" ->
+        s"""WITH p AS (
+           |  SELECT json_extract(cells_json, '$$[*]') AS cells
+           |  FROM read_parquet('${g("extract_pages")}')
+           |  WHERE NOT filtered AND error = ''
+           |), c AS (SELECT unnest(cells) AS cell FROM p)
+           |SELECT json_extract_string(cell, '$$.category') AS category,
+           |  CAST(count(*) AS BIGINT) AS n
+           |FROM c GROUP BY category ORDER BY category""".stripMargin,
+      // skew-salted host stats ≡ single-phase aggregate
+      "x_host_stats" ->
+        s"""SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+           |CAST(count(*) AS BIGINT) AS n_docs,
+           |CAST(sum(octet_length(html)) AS BIGINT) AS payload_bytes
+           |FROM read_parquet('${g("northrule")}')
+           |GROUP BY host ORDER BY host""".stripMargin,
+      // C9/A5 report aggregates over the dumped repair cases
+      "x_repair_report" ->
+        s"""SELECT CAST(count(*) AS BIGINT) AS total_cases,
+           |CAST(sum(CASE WHEN success THEN 1 ELSE 0 END) AS BIGINT) AS successful_cases,
+           |CAST(sum(cleaned_objects) AS BIGINT) AS total_recovered_objects
+           |FROM read_parquet('${g("repair_cases")}')""".stripMargin,
+      // lineage totals ≡ direct aggregates over the dumped output
+      "q_lineage_totals" ->
+        s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |CAST(sum(n_pages) AS BIGINT) AS n_pages,
+           |CAST(sum(CASE WHEN filtered THEN 1 ELSE 0 END) AS BIGINT) AS n_filtered,
+           |CAST(sum(CASE WHEN error <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+           |FROM read_parquet('${g("extract_docs")}')""".stripMargin,
+      // MinHash LSH band join replayed via chunk equality (band-hash
+      // equality ⟺ chunk equality) + match-count threshold
+      "q_minhash_pairs" ->
+        s"""WITH s AS (SELECT id, sig FROM read_parquet('${g("minhash_sigs")}')),
+           |b AS (SELECT id, sig, band,
+           |        list_slice(sig, band*4 + 1, band*4 + 4) AS chunk
+           |      FROM s, range(0, 16) t(band)),
+           |cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+           |           l.sig AS sig_a, r.sig AS sig_b
+           |         FROM b l JOIN b r ON l.band = r.band AND l.chunk = r.chunk
+           |           AND l.id < r.id),
+           |m AS (SELECT id_a, id_b,
+           |        len(list_filter(range(1, 65), i -> sig_a[i] = sig_b[i])) AS matches
+           |      FROM cand)
+           |SELECT id_a, id_b, CAST(matches AS BIGINT) AS matches64 FROM m
+           |WHERE CAST(matches AS DOUBLE) / 64 >= 0.5
+           |ORDER BY id_a, id_b""".stripMargin,
+      // SimHash chunk join + popcount Hamming verification
+      "q_simhash_pairs" ->
+        s"""WITH s AS (SELECT id, sig FROM read_parquet('${g("simhash_sigs")}')),
+           |b AS (SELECT id, sig, band, (sig >> (band*16)) & 65535 AS chunk
+           |      FROM s, range(0, 4) t(band)),
+           |cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+           |           l.sig AS sig_a, r.sig AS sig_b
+           |         FROM b l JOIN b r ON l.band = r.band AND l.chunk = r.chunk
+           |           AND l.id < r.id)
+           |SELECT id_a, id_b,
+           |  CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+           |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+           |ORDER BY id_a, id_b""".stripMargin,
+      // candidate generation + exact set Jaccard, both replayed
+      "q_ngram_verify" ->
+        s"""WITH s AS (SELECT id, sig FROM read_parquet('${g("minhash_sigs")}')),
+           |b AS (SELECT id, sig, band,
+           |        list_slice(sig, band*4 + 1, band*4 + 4) AS chunk
+           |      FROM s, range(0, 16) t(band)),
+           |cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+           |           l.sig AS sig_a, r.sig AS sig_b
+           |         FROM b l JOIN b r ON l.band = r.band AND l.chunk = r.chunk
+           |           AND l.id < r.id),
+           |cand2 AS (SELECT id_a, id_b FROM cand
+           |  WHERE CAST(len(list_filter(range(1, 65), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 64 >= 0.3),
+           |sh AS (SELECT id, sh FROM read_parquet('${g("shingles")}')),
+           |j AS (SELECT c.id_a, c.id_b,
+           |        CAST(len(list_filter(a.sh, x -> list_contains(b2.sh, x))) AS DOUBLE)
+           |          / len(list_distinct(list_concat(a.sh, b2.sh))) AS jaccard
+           |      FROM cand2 c JOIN sh a ON c.id_a = a.id JOIN sh b2 ON c.id_b = b2.id)
+           |SELECT id_a, id_b, CAST(round(jaccard * 1000) AS BIGINT) AS jaccard_x1000
+           |FROM j ORDER BY id_a, id_b""".stripMargin,
+      // IVF: deterministic first-k centroids, argmax assignment, nprobe
+      // probing, per-query top-k — fully replayed on the embeddings table
+      "q_ann_ivf" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v AS cv
+          |          FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+          |cassign AS (
+          |  SELECT e.vec_id AS neighbor_id, e.v AS cvec, cents.cidx,
+          |    row_number() OVER (PARTITION BY e.vec_id
+          |      ORDER BY list_cosine_similarity(e.v, cents.cv) DESC, cents.cidx ASC) AS crank
+          |  FROM e, cents),
+          |corpus AS (SELECT neighbor_id, cvec, cidx AS list_idx FROM cassign WHERE crank = 1),
+          |qassign AS (
+          |  SELECT e.vec_id AS query_id, e.v AS qvec, cents.cidx,
+          |    row_number() OVER (PARTITION BY e.vec_id
+          |      ORDER BY list_cosine_similarity(e.v, cents.cv) DESC, cents.cidx ASC) AS crank
+          |  FROM e, cents WHERE e.vec_id < 8),
+          |probes AS (SELECT query_id, qvec, cidx AS list_idx FROM qassign WHERE crank <= 4),
+          |scored AS (SELECT p.query_id, c.neighbor_id,
+          |    list_cosine_similarity(c.cvec, p.qvec) AS sim
+          |  FROM corpus c JOIN probes p ON c.list_idx = p.list_idx
+          |  WHERE c.neighbor_id <> p.query_id),
+          |ranked AS (SELECT query_id, neighbor_id,
+          |    CAST(row_number() OVER (PARTITION BY query_id
+          |      ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+          |  FROM scored)
+          |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+          |ORDER BY query_id, rank""".stripMargin
+    )
+  }
 }

@@ -15,6 +15,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Materialize the synthetic north-rule table + kernel-computed side
+    // tables to parquet (content-keyed /tmp root) and pin that root for
+    // the oracle SQL dumped below — this is what lets DuckDB replay the
+    // extraction-surface queries instead of leaving them rows-only.
+    sys.props("graft.verify.tables.root") = VerifyTables.root(sfDir)
+    VerifyTables.refresh(spark, sfDir)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

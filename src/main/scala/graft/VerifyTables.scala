@@ -1,0 +1,113 @@
+package graft
+
+import graft.gen.{InputGen, InputTable}
+import graft.ops.{DedupOps, RepairJob, TextOps}
+import graft.pipeline.ExtractPipeline
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Materialized side tables for the driver's DuckDB oracle.
+  *
+  * Round 1 left 18 queries rows-only because the synthetic north-rule
+  * table (and everything computed from it) existed only in Spark memory —
+  * DuckDB had nothing to replay against. This module materializes the
+  * deterministic inputs AND the kernel-computed intermediates to parquet
+  * under a content-keyed /tmp root, so:
+  *   - Spark queries and DuckDB oracles read byte-identical inputs;
+  *   - kernel outputs DuckDB cannot recompute (extraction pages, minhash/
+  *     simhash signatures, shingle sets, repair cases) become *inputs*
+  *     whose downstream RELATIONAL logic (explode, band join, threshold,
+  *     ordered assembly, aggregation) DuckDB replays independently — the
+  *     cross-engine check the correctness gate wants. Byte-identity of
+  *     the kernel itself stays pinned by the golden suites in sbt test.
+  *
+  * Everything here is a pure function of (sf tier, seed), so the path is
+  * keyed by (version, nDocs, seed) and tables are written at most once.
+  */
+object VerifyTables {
+
+  private val Version = "r2"
+  val Seed = 42L
+
+  /** All table names, in dependency order. */
+  val names: Vector[String] = Vector(
+    "northrule", "extract_pages", "extract_docs", "repair_cases",
+    "minhash_sigs", "simhash_sigs", "shingles")
+
+  def root(sfDir: String): String =
+    s"/tmp/graft_tables_${Version}_${InputTable.docsForSfDir(sfDir)}_$Seed"
+
+  def path(sfDir: String, name: String): String = s"${root(sfDir)}/$name"
+
+  /** The parquet glob a DuckDB oracle uses for table `name`. The root is
+    * overridable via system property (set by Verify.main to the sfDir it
+    * was invoked with); the default is the driver's correctness tier
+    * (sf0.01, TESTDATA.md). */
+  def oracleGlob(name: String): String = {
+    val r = sys.props.getOrElse("graft.verify.tables.root", root("sf0.01"))
+    s"$r/$name/*.parquet"
+  }
+
+  private def done(p: String): Boolean = Files.exists(Paths.get(p, "_SUCCESS"))
+
+  /** Deterministic garbled "model output" cases (the C9 repair-job input;
+    * same construction as round 1's x_repair_batch). */
+  def repairInput(s: SparkSession, sfDir: String): Dataset[(Long, String)] = {
+    import s.implicits._
+    val n = math.max(100L, InputTable.docsForSfDir(sfDir) / 10)
+    s.range(n).map { i =>
+      val rng = new InputGen.Rng(13L, i, 3L)
+      (i.toLong, InputGen.garbledPayload(rng, InputGen.langOf(13L, i)))
+    }
+  }
+
+  /** Materialize `name` (and its dependencies) if absent, then read it. */
+  def read(s: SparkSession, sfDir: String, name: String): DataFrame = {
+    ensure(s, sfDir, name)
+    s.read.parquet(path(sfDir, name))
+  }
+
+  def ensureAll(s: SparkSession, sfDir: String): Unit =
+    names.foreach(ensure(s, sfDir, _))
+
+  /** Force re-materialization (Verify.main calls this so a round never
+    * replays stale tables dumped by older code). */
+  def refresh(s: SparkSession, sfDir: String): Unit = {
+    val r = Paths.get(root(sfDir))
+    if (Files.exists(r)) {
+      Files.walk(r).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+    ensureAll(s, sfDir)
+  }
+
+  def ensure(s: SparkSession, sfDir: String, name: String): Unit = {
+    val p = path(sfDir, name)
+    if (done(p)) return
+    val df: DataFrame = name match {
+      case "northrule" =>
+        InputTable.generate(s, InputTable.docsForSfDir(sfDir), Seed)
+      case "extract_pages" =>
+        ExtractPipeline.parsePages(
+          ExtractPipeline.asPageDocs(read(s, sfDir, "northrule"))).toDF()
+      case "extract_docs" =>
+        ExtractPipeline.run(read(s, sfDir, "northrule"))
+      case "repair_cases" =>
+        RepairJob.repair(repairInput(s, sfDir)).toDF()
+      case "minhash_sigs" =>
+        DedupOps.minhashSignatures(docs(s, sfDir), "doc_id", "text",
+          numHashes = 64, shingleSize = 3)
+      case "simhash_sigs" =>
+        DedupOps.simhashSignatures(docs(s, sfDir), "doc_id", "text")
+      case "shingles" =>
+        docs(s, sfDir).select(col("doc_id").as("id"),
+          TextOps.shingles(col("text"), 3).as("sh"))
+      case other => throw new IllegalArgumentException(s"unknown table $other")
+    }
+    df.write.mode("overwrite").parquet(p)
+  }
+
+  private def docs(s: SparkSession, sfDir: String): DataFrame =
+    s.read.parquet(s"$sfDir/documents.parquet")
+}

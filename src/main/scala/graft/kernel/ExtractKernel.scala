@@ -22,15 +22,42 @@ object ExtractKernel {
 
   /** Document fan-out: one input row → pages (reference analog:
     * `load_images_from_pdf` + per-page tasks, parser.py:258-271). */
-  def fanOut(doc: PageDoc): Vector[RawPage] = {
+  def fanOut(doc: PageDoc): Vector[RawPage] = fanOut(doc, 0, -1)
+
+  /** Page-range variant (reference `load_images_from_pdf(start_page_id,
+    * end_page_id)`, doc_utils.py:42-58): inclusive [start, end], end < 0 →
+    * last page, end clamped to page count; page_no restarts at 0 relative
+    * to the slice (parser.py:262-271 enumerates the sliced image list).
+    * Pruning happens HERE, before any page is parsed — skipped pages cost
+    * nothing (the kernel analog of partition pruning). */
+  def fanOut(doc: PageDoc, startPageId: Int, endPageId: Int): Vector[RawPage] = {
     val bytes = doc.html
     if (bytes == null || bytes.isEmpty) {
       Vector(RawPage(doc.url, 0, 1, "error", "empty payload".getBytes(StandardCharsets.UTF_8), doc.lang))
+    } else if (isRealPdf(bytes)) {
+      // A real `%PDF-` payload: full PDF parsing is out of scope for this
+      // build (the reference renders via PyMuPDF, doc_utils.py:42-60;
+      // extension dispatch parser.py:307-312). Emit a TYPED error row
+      // instead of letting the bytes fall into the garbled-repair branch
+      // and silently produce junk markdown.
+      Vector(RawPage(doc.url, 0, 1, "error",
+        "unsupported_format: real PDF payload (%PDF- magic); this build parses PDF-lite and HTML payloads"
+          .getBytes(StandardCharsets.UTF_8), doc.lang))
     } else if (PdfLite.isPdfLite(bytes)) {
       try {
         val pdf = PdfLite.parse(bytes)
-        val total = pdf.pages.length
-        pdf.pages.zipWithIndex.map { case (p, i) =>
+        val slice =
+          if (startPageId == 0 && endPageId < 0) pdf.pages
+          else {
+            val last = pdf.pages.length - 1
+            val end = if (endPageId >= 0) math.min(endPageId, last) else last
+            pdf.pages.slice(startPageId, end + 1)
+          }
+        val total = slice.length
+        if (total == 0)
+          Vector(RawPage(doc.url, 0, 1, "error",
+            s"empty page range [$startPageId, $endPageId]".getBytes(StandardCharsets.UTF_8), doc.lang))
+        else slice.zipWithIndex.map { case (p, i) =>
           RawPage(doc.url, i, total, "pdf", PdfLite.serialize(PdfLite.PdfDoc(Vector(p))), doc.lang)
         }
       } catch {
@@ -45,6 +72,11 @@ object ExtractKernel {
       Vector(RawPage(doc.url, 0, 1, "garbled", bytes, doc.lang))
     }
   }
+
+  /** Real-PDF magic (`%PDF-`, consts.py:5 routes .pdf first-class). */
+  def isRealPdf(bytes: Array[Byte]): Boolean =
+    bytes.length >= 5 && bytes(0) == '%' && bytes(1) == 'P' &&
+      bytes(2) == 'D' && bytes(3) == 'F' && bytes(4) == '-'
 
   def looksLikeHtml(bytes: Array[Byte]): Boolean = {
     val head = new String(bytes, 0, math.min(bytes.length, 256), StandardCharsets.UTF_8)

@@ -321,10 +321,10 @@ object PyJson {
     var p = 0
     var sci: String = null
     while (p <= 17 && sci == null) {
-      val cand = String.format("%." + p + "e", Double.box(a))
+      val cand = String.format(java.util.Locale.ROOT, "%." + p + "e", Double.box(a))
       if (cand.toDouble == a) sci = cand else p += 1
     }
-    if (sci == null) sci = String.format("%.17e", Double.box(a))
+    if (sci == null) sci = String.format(java.util.Locale.ROOT, "%.17e", Double.box(a))
     // sci looks like "d.ddde±XX" or "de±XX" (p=0 gives "1e+16" style w/o dot)
     val eIdx = sci.indexOf('e')
     val mant = sci.substring(0, eIdx).replace(".", "")

@@ -52,6 +52,16 @@ object DedupOps {
   def shingleHashes(text: Column, shingleSize: Int = 3): Column =
     transform(TextOps.shingles(text, shingleSize), s => xxhash64(s))
 
+  /** MinHash signature table (id, sig: array<bigint>[numHashes]) — the
+    * materialization point for cross-engine verification (the driver's
+    * DuckDB oracle recomputes the band join + estimate from this table;
+    * xxhash64 itself is not replayable there). */
+  def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, shingleSize: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"), shingleHashes(col(textCol), shingleSize).as("__sh"))
+      .select(col("id"), minhashSignatureOfHashes(col("__sh"), numHashes).as("sig"))
+
   /** LSH candidate pairs: split the signature into `bands` bands of
     * `rowsPerBand`, bucket-join on (band index, band hash), verify with the
     * signature-estimated Jaccard, keep pairs ≥ threshold.
@@ -64,12 +74,20 @@ object DedupOps {
       bands: Int = 16,
       threshold: Double = 0.7,
       shingleSize: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame =
+    minhashPairsFromSigs(
+      minhashSignatures(df, idCol, textCol, numHashes, shingleSize),
+      numHashes, bands, threshold, maxBucketSize)
+
+  /** Band join + threshold over a precomputed (id, sig) signature table. */
+  def minhashPairsFromSigs(
+      sigs: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7,
       maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sigs = df
-      .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleSize).as("__sh"))
-      .select(col("id"), minhashSignatureOfHashes(col("__sh"), numHashes).as("sig"))
     // explode to (band, bandHash, id, sig) — band hash is one long, so the
     // shuffled relation is tiny compared to the corpus
     val banded0 = sigs.select(col("id"), col("sig"),
@@ -101,8 +119,13 @@ object DedupOps {
   /** Exact n-gram Jaccard for a set of candidate pairs (verification). */
   def ngramJaccard(
       df: DataFrame, idCol: String, textCol: String,
-      pairs: DataFrame, shingleSize: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), TextOps.shingles(col(textCol), shingleSize).as("sh"))
+      pairs: DataFrame, shingleSize: Int = 3): DataFrame =
+    ngramJaccardFromShingles(
+      df.select(col(idCol).as("id"), TextOps.shingles(col(textCol), shingleSize).as("sh")),
+      pairs)
+
+  /** Same over a precomputed (id, sh: array<string>) shingle table. */
+  def ngramJaccardFromShingles(sh: DataFrame, pairs: DataFrame): DataFrame = {
     pairs
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -143,14 +166,21 @@ object DedupOps {
   def tokenHashes(text: Column): Column =
     transform(TextOps.tokens(text), w => xxhash64(w))
 
+  /** SimHash signature table (id, sig: bigint) — materialization point
+    * for the DuckDB oracle (which replays the chunk join + popcount). */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("__th", tokenHashes(col(textCol)))
+      .select(col(idCol).as("id"), simhashOfHashes(col("__th")).as("sig"))
+
   /** SimHash near-dup pairs within Hamming distance ≤ maxHamming (< 16):
     * banded equi-join on the four 16-bit chunks (pigeonhole: distance ≤ 3
     * ⇒ some chunk identical), then exact popcount verification. */
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sigs = df
-      .withColumn("__th", tokenHashes(col(textCol)))
-      .select(col(idCol).as("id"), simhashOfHashes(col("__th")).as("sig"))
+      maxHamming: Int = 3): DataFrame =
+    simhashPairsFromSigs(simhashSignatures(df, idCol, textCol), maxHamming)
+
+  /** Chunk join + Hamming filter over a precomputed (id, sig) table. */
+  def simhashPairsFromSigs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sig"), b * 16).bitwiseAND(0xffffL)): _*))

@@ -4,19 +4,6 @@ import graft.core._
 import graft.kernel.ExtractKernel
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.TaskContext
-import org.apache.spark.util.CollectionAccumulator
-import scala.util.hashing.MurmurHash3
-
-/** Per-partition lineage record (north rule: input split, row counts,
-  * checksum, wall-time → metrics table). */
-final case class PartitionLineage(
-    partition_id: Int,
-    stage: String,
-    row_count: Long,
-    checksum: Long,
-    wall_time_ms: Long,
-    attempt: Long)
 
 /** The Spark-native extraction pipeline (SURVEY.md §3.1 translation):
   *
@@ -53,15 +40,18 @@ object ExtractPipeline {
     df.select("url", "warc_ts", "html", "text", "lang").as[PageDoc]
   }
 
-  /** Fan documents out into pages and parse each page. Returns the parsed
-    * pages and registers per-partition lineage into `lineageAcc` if given. */
+  /** Fan documents out into pages and parse each page. (Lineage metrics
+    * are computed relationally from the output — graft.scale.Lineage —
+    * not collected here: a task-side channel double-counts under retries
+    * and funnels through driver memory.) */
   def parsePages(
       docs: Dataset[PageDoc],
       mode: PromptMode = PromptMode.LayoutAll,
       numPartitions: Int = 0,
-      lineageAcc: Option[CollectionAccumulator[PartitionLineage]] = None,
-      spreadPages: Boolean = false): Dataset[ParsedPage] = {
-    val pages = docs.flatMap(ExtractKernel.fanOut _)
+      spreadPages: Boolean = false,
+      pageRange: Option[(Int, Int)] = None): Dataset[ParsedPage] = {
+    val (rangeStart, rangeEnd) = pageRange.getOrElse((0, -1))
+    val pages = docs.flatMap(d => ExtractKernel.fanOut(d, rangeStart, rangeEnd))
     // Default: NO shuffle before the kernel — scan splits are already
     // size-balanced (spark.sql.files.maxPartitionBytes bounds task input),
     // so fan-out + parse runs map-side and the only shuffle is assembly.
@@ -74,33 +64,7 @@ object ExtractPipeline {
     val n = if (numPartitions > 0) numPartitions
             else math.max(docs.sparkSession.sparkContext.defaultParallelism * 2, 8)
     val spread = if (spreadPages) pages.repartition(n, col("url"), col("page_no")) else pages
-    spread.mapPartitions { iter =>
-      val t0 = System.nanoTime()
-      val tc = TaskContext.get()
-      var nRows = 0L
-      var checksum = 0L
-      val out = iter.map { page =>
-        val r = ExtractKernel.parsePage(page, mode)
-        nRows += 1
-        checksum ^= MurmurHash3.stringHash(r.url) * 31L + MurmurHash3.stringHash(r.md) + r.page_no
-        r
-      }
-      new Iterator[ParsedPage] {
-        private var emitted = false
-        def hasNext: Boolean = {
-          val h = out.hasNext
-          if (!h && !emitted) { // exactly once per task, however often the
-            emitted = true      // downstream probes an exhausted iterator
-            lineageAcc.foreach(_.add(PartitionLineage(
-              if (tc != null) tc.partitionId() else -1, "parse", nRows, checksum,
-              (System.nanoTime() - t0) / 1000000L,
-              if (tc != null) tc.taskAttemptId() else -1L)))
-          }
-          h
-        }
-        def next(): ParsedPage = out.next()
-      }
-    }
+    spread.mapPartitions(_.map(page => ExtractKernel.parsePage(page, mode)))
   }
 
   /** Assemble per-document rows: page_no-ordered md join with
@@ -134,11 +98,46 @@ object ExtractPipeline {
         .as("error"))
   }
 
-  /** Map-side assembly: when pages were NOT spread, every document's pages
-    * are consecutive within one partition (fanOut output order is preserved
-    * by mapPartitions), so per-url assembly needs NO shuffle at all — the
-    * whole pipeline becomes map-only. Output is column-identical to
-    * [[assemble]] (pinned by PipelineE2ESpec). */
+  /** Spark's string comparison is binary over UTF-8 bytes; Scala's default
+    * String ordering is UTF-16 code-unit-wise. They diverge for
+    * supplementary-plane characters, so in-group tie-breaks use this
+    * comparator to stay byte-identical with [[assemble]]'s sort_array. */
+  private def utf8Compare(a: String, b: String): Int = {
+    val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(ab.length, bb.length)
+    while (i < n) {
+      val c = (ab(i) & 0xff) - (bb(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    ab.length - bb.length
+  }
+
+  private val pageOrdering: Ordering[ParsedPage] = new Ordering[ParsedPage] {
+    def compare(x: ParsedPage, y: ParsedPage): Int = {
+      if (x.page_no != y.page_no) return x.page_no - y.page_no
+      var c = utf8Compare(x.md, y.md); if (c != 0) return c
+      c = utf8Compare(x.md_nohf, y.md_nohf); if (c != 0) return c
+      c = utf8Compare(x.extracted_text, y.extracted_text); if (c != 0) return c
+      c = utf8Compare(x.cells_json, y.cells_json); if (c != 0) return c
+      c = java.lang.Boolean.compare(x.filtered, y.filtered); if (c != 0) return c
+      utf8Compare(x.error, y.error)
+    }
+  }
+
+  /** Map-side assembly. PRECONDITION: all pages of a url are consecutive
+    * within one partition — true for fanOut output when input urls are
+    * unique (the default corpus contract, enforced upstream by exact dedup
+    * or by construction), or after `repartition(url) +
+    * sortWithinPartitions(url, page_no)` (the `uniqueUrls = false` path in
+    * [[run]]). A url whose pages straddle partitions or arrive
+    * non-consecutively would yield one output row per run — which is why
+    * duplicate-url corpora MUST take one of the two shuffled routes.
+    * Output is column-identical to [[assemble]] including in-group
+    * tie-break order (pinned by PipelineE2ESpec, incl. planted-duplicate
+    * equivalence). */
   def assembleLocal(pages: Dataset[ParsedPage]): DataFrame = {
     import pages.sparkSession.implicits._
     val docs = pages.mapPartitions { (iter: Iterator[ParsedPage]) =>
@@ -149,7 +148,7 @@ object ExtractPipeline {
           val url = in.head.url
           val group = Vector.newBuilder[ParsedPage]
           while (in.hasNext && in.head.url == url) group += in.next()
-          val ps = group.result().sortBy(_.page_no)
+          val ps = group.result().sorted(pageOrdering)
           ParsedDoc(
             url = url,
             lang = "",
@@ -170,19 +169,34 @@ object ExtractPipeline {
   }
 
   /** Full pipeline: table → per-document extraction rows.
-    * spreadPages=false (default): map-only plan, zero shuffles.
-    * spreadPages=true: page-spread shuffle + groupBy(url) assembly. */
+    *
+    * Topologies (all column-identical output):
+    *   - spreadPages=false, uniqueUrls=true (default): map-only plan, ZERO
+    *     shuffles. Requires unique input urls (see [[assembleLocal]]).
+    *   - spreadPages=false, uniqueUrls=false: one url-hash repartition +
+    *     in-partition sort before local assembly — correct for corpora with
+    *     re-crawled duplicate urls (same url, different warc_ts), and still
+    *     cheaper in memory than the wide-agg path (streaming group-merge
+    *     instead of collect_list buffering).
+    *   - spreadPages=true: page-spread shuffle + groupBy(url) assembly, for
+    *     pathological per-doc page counts. */
   def run(
       input: DataFrame,
       mode: PromptMode = PromptMode.LayoutAll,
       numPartitions: Int = 0,
-      lineageAcc: Option[CollectionAccumulator[PartitionLineage]] = None,
-      spreadPages: Boolean = false): DataFrame = {
-    val parsed = parsePages(asPageDocs(input), mode, numPartitions, lineageAcc, spreadPages)
+      spreadPages: Boolean = false,
+      pageRange: Option[(Int, Int)] = None,
+      uniqueUrls: Boolean = true): DataFrame = {
+    val parsed = parsePages(asPageDocs(input), mode, numPartitions, spreadPages, pageRange)
     if (spreadPages) assemble(parsed)
-    else assembleLocal(parsed).select(
-      col("url"), col("n_pages").cast("long").as("n_pages"), col("md"), col("md_nohf"),
-      col("extracted_text"), col("cells_json"), col("filtered"), col("error"))
+    else {
+      val local =
+        if (uniqueUrls) parsed
+        else parsed.repartition(col("url")).sortWithinPartitions(col("url"), col("page_no"))
+      assembleLocal(local).select(
+        col("url"), col("n_pages").cast("long").as("n_pages"), col("md"), col("md_nohf"),
+        col("extracted_text"), col("cells_json"), col("filtered"), col("error"))
+    }
   }
 
   /** Session defaults for this engine: AQE on (skew-join + coalesce),

@@ -1,7 +1,7 @@
 package graft.scale
 
 import graft.core.PromptMode
-import graft.pipeline.{ExtractPipeline, PartitionLineage}
+import graft.pipeline.ExtractPipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
@@ -20,6 +20,20 @@ import scala.jdk.CollectionConverters._
   * dataflow analog of an anti-join against committed lineage keys;
   * SURVEY.md §2.9 — with bucket granularity the anti-join collapses to a
   * scan predicate, which is what survives at 10^12 rows).
+  *
+  * Crash-safety contract (the snapshot-log semantics):
+  *   - batch data is written with DYNAMIC PARTITION OVERWRITE into
+  *     bucket=<k> partitions: a crash between the data write and the
+  *     manifest rename leaves orphan partitions that the NEXT run simply
+  *     overwrites (the job is deterministic), so re-running an
+  *     uncommitted batch is idempotent, never additive;
+  *   - [[output]] / [[lineage]] read ONLY committed buckets/commits (a
+  *     partition-pruned filter derived from the manifest) — uncommitted
+  *     partial writes are invisible, exactly like an Iceberg snapshot
+  *     read of the last committed snapshot;
+  *   - lineage is computed relationally from the read-back committed
+  *     batch ([[Lineage.fromOutput]]) — retry/speculation-safe and
+  *     consistent with the data by construction.
   *
   * No Iceberg runtime jar ships in this sandbox, so the manifest directory
   * IS the snapshot log; the data layout stays `spark.read.parquet`-
@@ -70,28 +84,48 @@ final class SnapshotRunner(
     val batches = remaining.grouped(bucketsPerCommit).toVector
     val toRun = if (maxBatches >= 0) batches.take(maxBatches) else batches
     var commitId = commits().map(_.id).maxOption.getOrElse(-1) + 1
-    toRun.foreach { buckets =>
+    val prevOverwriteMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try toRun.foreach { buckets =>
       val t0 = System.currentTimeMillis()
-      val acc = spark.sparkContext.collectionAccumulator[PartitionLineage](s"lineage-$commitId")
-      val bucketCol = pmod(xxhash64(col("url")), lit(nBuckets))
-      val batchInput = input.filter(bucketCol.isin(buckets.map(Integer.valueOf): _*))
-      val out = ExtractPipeline.run(batchInput, mode, lineageAcc = Some(acc))
-        .withColumn("bucket", pmod(xxhash64(col("url")), lit(nBuckets)))
-      out.write.mode("append").partitionBy("bucket").parquet(dataDir)
-      val rows = spark.read.parquet(dataDir)
-        .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*)).count()
-      import spark.implicits._
-      val lineage = acc.value.asScala.toVector
-        .map(pl => (commitId, pl.partition_id, pl.stage, pl.row_count, pl.checksum, pl.wall_time_ms))
-        .toDF("commit_id", "partition_id", "stage", "row_count", "checksum", "wall_time_ms")
-      lineage.coalesce(1).write.mode("append").parquet(lineageDir)
+      val bucketCol = Lineage.bucketOf(col("url"), nBuckets)
+      val inBatch = bucketCol.isin(buckets.map(Integer.valueOf): _*)
+      val batchInput = input.filter(inBatch)
+      val out = ExtractPipeline.run(batchInput, mode).withColumn("bucket", bucketCol)
+      // dynamic overwrite: only the bucket=<k> partitions present in `out`
+      // are replaced — a rerun of an uncommitted batch lands identically
+      out.write.mode("overwrite").partitionBy("bucket").parquet(dataDir)
+      // read back the committed bytes (partition-pruned) for row count +
+      // lineage — lineage derived from committed data is retry-safe and
+      // exactly describes what the snapshot contains
+      val committed = spark.read.parquet(dataDir)
+        .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+      val rows = committed.count()
+      val lineage = Lineage.fromOutput(committed.drop("bucket"), nBuckets)
+        .withColumn("commit_id", lit(commitId))
+      lineage.coalesce(1).write.mode("overwrite")
+        .partitionBy("commit_id").parquet(lineageDir)
       writeCommit(Commit(commitId, buckets, rows, System.currentTimeMillis() - t0))
       commitId += 1
+    } finally prevOverwriteMode match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
     toRun.length
   }
 
-  def output(spark: SparkSession): DataFrame = spark.read.parquet(dataDir)
+  /** Snapshot read: only buckets recorded in the manifest are visible
+    * (partition-pruned scan — uncommitted partial writes are invisible). */
+  def output(spark: SparkSession): DataFrame = {
+    val done = committedBuckets().toSeq.sorted
+    spark.read.parquet(dataDir)
+      .filter(col("bucket").isin(done.map(Integer.valueOf): _*))
+  }
 
-  def lineage(spark: SparkSession): DataFrame = spark.read.parquet(lineageDir)
+  /** Committed lineage rows (commit_id, bucket, n_docs, n_pages, checksum,
+    * n_filtered, n_errors), restricted to manifest-committed commits. */
+  def lineage(spark: SparkSession): DataFrame = {
+    val ids = commits().map(c => Integer.valueOf(c.id))
+    spark.read.parquet(lineageDir).filter(col("commit_id").isin(ids: _*))
+  }
 }

@@ -15,8 +15,15 @@ import org.apache.spark.sql.types._
   * drops: file-source `readStream` over the input table directory →
   * the SAME map-only extraction dataflow per micro-batch (`foreachBatch`,
   * so the zero-shuffle plan and all kernel semantics are shared verbatim)
-  * → append parquet, exactly-once via the checkpointed file-source log.
-  * No watermarks needed: rows are independent documents.
+  * → parquet. No watermarks needed: rows are independent documents.
+  *
+  * End-to-end exactly-once = checkpointed file-source offsets (at-least-
+  * once replay) + an IDEMPOTENT sink: each micro-batch writes to its own
+  * `batch_id=<id>` partition with mode=overwrite, so a batch replayed
+  * after a crash between the parquet write and the offset commit lands on
+  * top of its own previous (possibly partial) output instead of appending
+  * duplicates — the standard foreachBatch idempotence recipe keyed by the
+  * replay-stable `batchId`.
   */
 object StreamingExtract {
 
@@ -42,9 +49,16 @@ object StreamingExtract {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // idempotent per-batch commit: overwrite THIS batch's partition
+        // only (replays of an uncommitted batch are self-overwriting)
         ExtractPipeline.run(batch, mode)
-          .write.mode("append").parquet(outputDir)
+          .write.mode("overwrite").parquet(s"$outputDir/batch_id=$batchId")
       }
       .start()
   }
+
+  /** Read everything committed by [[start]]; `batch_id` appears as a
+    * partition column. */
+  def output(spark: SparkSession, outputDir: String): org.apache.spark.sql.DataFrame =
+    spark.read.option("basePath", outputDir).parquet(s"$outputDir/batch_id=*")
 }

@@ -128,6 +128,20 @@ class PdfLiteSpec extends AnyFunSuite {
     assert(ordered.map(_.text) == Vector("title", "L1", "L2", "R1", "R2", "f"))
   }
 
+  test("real %PDF- payload → typed unsupported_format error row, never junk md") {
+    import graft.core._
+    val doc = PageDoc("https://a.example/real.pdf",
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      "%PDF-1.7\n1 0 obj\n<< /Type /Catalog >>\nendobj\ntrailer".getBytes("UTF-8"),
+      "", "en")
+    assert(ExtractKernel.isRealPdf(doc.html))
+    val pages = ExtractKernel.fanOut(doc)
+    assert(pages.length == 1 && pages.head.payload_kind == "error")
+    val parsed = ExtractKernel.parsePage(pages.head, graft.core.PromptMode.LayoutAll)
+    assert(parsed.error.contains("unsupported_format"))
+    assert(!parsed.filtered && parsed.md == "" && parsed.cells_json == "")
+  }
+
   test("dpi scale 200/72 with 4500-px clamp fallback") {
     val normal = PdfPage(612f, 792f, Vector(block(72, 72, 144, 144)))
     val ln = pageToLayout(normal)

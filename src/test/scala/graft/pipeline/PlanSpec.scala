@@ -58,6 +58,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("IVF assignment is map-side: no cross join, no corpus-side exchange") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = embs.filter(col("vec_id") < 4)
+    val q = graft.ops.SimilarityOps.ivfTopK(embs, queries, "vec_id", "embedding",
+      k = 3, nlist = 8, nprobe = 2)
+    val plan = q.queryExecution.executedPlan.toString()
+    // round-1 plan: crossJoin(centroids) blew the corpus up ×nlist and
+    // shuffled it through a row_number window just to compute an argmax
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+    // the only hash exchange left is the per-query top-k window; the
+    // corpus reaches the probe join via projection + broadcast only
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected <=1 hash exchange, got $exchanges:\n$plan")
+  }
+
   test("relational stages run inside WholeStageCodegen") {
     val q = graft.Queries.all("q_agg_pushdown")(spark, "/root/testdata/sf0.001")
     q.collect() // finalize the AQE plan — codegen spans appear post-execution

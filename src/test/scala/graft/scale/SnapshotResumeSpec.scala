@@ -38,10 +38,39 @@ class SnapshotResumeSpec extends AnyFunSuite {
     assert(a.count() == 120 && b.count() == 120)
     assert(a.except(b).count() == 0 && b.except(a).count() == 0)
 
-    // lineage table covers both run segments with positive wall times
+    // lineage table covers both run segments and matches the output
     val lin = resumed.lineage(spark)
     assert(lin.count() > 0)
-    assert(lin.filter(col("row_count") > 0).count() > 0)
     assert(lin.select(countDistinct("commit_id")).head().getLong(0) == 4)
+    assert(lin.agg(sum("n_docs")).head().getLong(0) == 120L)
+  }
+
+  test("crash AFTER data write but BEFORE manifest commit is invisible and idempotent") {
+    val input = InputTable.generate(spark, 120L, seed = 7L).cache()
+    val dir = Files.createTempDirectory("snap-c").toString
+    val r1 = new SnapshotRunner(dir, nBuckets = 8, bucketsPerCommit = 2)
+    assert(r1.run(spark, input, maxBatches = 1) == 1)
+
+    // simulate the torn state: write the NEXT batch's data by hand (what a
+    // crash between parquet write and manifest rename leaves behind)
+    val committed = r1.committedBuckets()
+    val orphanBuckets = (0 until 8).filterNot(committed.contains).take(2)
+    val bucketCol = Lineage.bucketOf(col("url"), 8)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    graft.pipeline.ExtractPipeline
+      .run(input.filter(bucketCol.isin(orphanBuckets.map(Integer.valueOf): _*)))
+      .withColumn("bucket", bucketCol)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/data")
+
+    // snapshot read sees ONLY the committed buckets — orphans invisible
+    val visible = r1.output(spark)
+    assert(visible.select(countDistinct("bucket")).head().getLong(0) == committed.size.toLong)
+
+    // resume after the "crash": reruns the orphan batch idempotently
+    val r2 = new SnapshotRunner(dir, nBuckets = 8, bucketsPerCommit = 2)
+    assert(r2.run(spark, input) == 3)
+    val out = r2.output(spark)
+    assert(out.count() == 120)
+    assert(out.select("url").distinct().count() == 120) // no duplicate appends
   }
 }
