@@ -27,7 +27,7 @@ object Bench {
 
     val headline = Vector(
       "x_extract_full", "x_extract_ocr", "q_page_assembly", "q_agg_pushdown",
-      "q_minhash_pairs", "q_simhash_pairs", "q_ann_topk", "q_ann_ivf",
+      "q_minhash_e2e", "q_simhash_e2e", "q_ann_topk", "q_ann_ivf",
       "q_sessionize", "q_broadcast_join", "q_lang_id", "q_fingerprint")
 
     val runHeadline = sys.env.getOrElse("SPARK_GRAFT_HEADLINE", "1") == "1"
@@ -35,7 +35,7 @@ object Bench {
       val spark = ExtractPipeline.newSession(s"local[$cpus]", cpus.toInt * 2)
       spark.sparkContext.setLogLevel("WARN")
       val r = headline.flatMap { name =>
-        Queries.all.get(name).map { fn =>
+        (Queries.all ++ Queries.benchExtras).get(name).map { fn =>
           val sec = try timeSec(fn(spark, sfDir).count())
           catch { case _: Throwable => -1.0 }
           name -> sec

@@ -55,12 +55,16 @@ object DedupOps {
   /** MinHash signature table (id, sig: array<bigint>[numHashes]) — the
     * materialization point for cross-engine verification (the driver's
     * DuckDB oracle recomputes the band join + estimate from this table;
-    * xxhash64 itself is not replayable there). */
+    * xxhash64 itself is not replayable there). Signatures come from the
+    * native expression (token-hash sliding windows — no shingle-string
+    * allocation, no per-shingle accumulator arrays; see
+    * [[graft.functions.MinHashShingleSig]]). */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, shingleSize: Int = 3): DataFrame =
-    df.select(col(idCol).as("id"), shingleHashes(col(textCol), shingleSize).as("__sh"))
-      .select(col("id"), minhashSignatureOfHashes(col("__sh"), numHashes).as("sig"))
+    df.select(col(idCol).as("id"), tokenHashes(col(textCol)).as("__th"))
+      .select(col("id"),
+        graft.functions.MinHashShingleSig(col("__th"), shingleSize, numHashes).as("sig"))
 
   /** LSH candidate pairs: split the signature into `bands` bands of
     * `rowsPerBand`, bucket-join on (band index, band hash), verify with the
@@ -150,12 +154,20 @@ object DedupOps {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 64-bit SimHash over a pre-materialized token-hash array column
-    * (`transform(tokens, xxhash64)` — materialize it once with
-    * `withColumn` so the 64 bit-counters share one tokenization):
-    * bit k of the signature is the sign of Σ_tokens (±1 by bit k of the
-    * token hash). Pure Column ops, fixed Scala-level bit loop. */
+  /** 64-bit SimHash over a token-hash array column: bit k of the
+    * signature is the sign of Σ_tokens (±1 by bit k of the token hash).
+    * Implemented as a native codegen'd Catalyst expression
+    * ([[graft.functions.SimHash64]]) — one pass over the hashes, a 64-int
+    * counter block, no per-token array allocation. (The round-1 columnar
+    * formulation — 64 independent `aggregate` folds — was the most
+    * expensive query in the bench; kept below for the equivalence pin.) */
   def simhashOfHashes(tokenHashes: Column): Column =
+    graft.functions.SimHash64(tokenHashes)
+
+  /** Round-1 pure-Column formulation (64 folds) — retained as the
+    * independent oracle for the native expression (OpsSpec pins
+    * bit-identity on real corpus text). */
+  def simhashOfHashesColumnar(tokenHashes: Column): Column =
     (0 until 64).foldLeft(lit(0L)) { (acc, bit) =>
       val mask = lit(1L << bit)
       val cnt = aggregate(tokenHashes, lit(0),

@@ -95,6 +95,68 @@ class OpsSpec extends AnyFunSuite {
     pairs.foreach(p => assert(p.getAs[Int]("hamming") <= 3))
   }
 
+  test("native MinHashShingleSig ≡ independent Scala reference; codegen ≡ interpreted") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    def refSig(text: String): Seq[Long] = {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      val th = toks.map(w => XXH64.hashUTF8String(UTF8String.fromString(w), 42L))
+      val n = th.length
+      val win = math.min(math.max(n, 1), 3)
+      val nw = math.max(n - win + 1, 1)
+      val seeds = Array.tabulate(64)(j => XXH64.hashInt(j, 42L))
+      val mins = Array.fill(64)(Long.MaxValue)
+      for (w <- 0 until nw) {
+        var h = 42L
+        for (i <- w until math.min(w + win, n)) h = XXH64.hashLong(th(i), h)
+        for (j <- 0 until 64) {
+          val hj = XXH64.hashLong(h, seeds(j))
+          if (hj < mins(j)) mins(j) = hj
+        }
+      }
+      mins.toSeq
+    }
+    val sample = docs.limit(20).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val got = DedupOps.minhashSignatures(docs.limit(20), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    sample.foreach { case (id, text) =>
+      assert(got(id) == refSig(text), s"sig mismatch for doc $id")
+    }
+    // interpreted path agrees with codegen
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interp = DedupOps.minhashSignatures(docs.limit(20), "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(interp == got)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("native SimHash64 expression ≡ columnar 64-fold formulation (and codegen path ≡ interpreted)") {
+    val th = DedupOps.tokenHashes(col("text"))
+    val both = dupCorpus
+      .select(col("doc_id"),
+        DedupOps.simhashOfHashes(th).as("native"),
+        DedupOps.simhashOfHashesColumnar(th).as("columnar"))
+    assert(both.filter(col("native") =!= col("columnar")).count() == 0)
+    // interpreted eval path (codegen off) must agree too
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interp = dupCorpus.select(col("doc_id"), DedupOps.simhashOfHashes(th).as("native"))
+      assert(both.select("doc_id", "native").except(interp).count() == 0)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("hamming distance column = Java popcount") {
     val rows = Seq((0L, 0L), (1L, 0L), (-1L, 0L), (0x1234abcdL, 0x4321dcbaL),
       (Long.MinValue, Long.MaxValue)).toDF("a", "b")
