@@ -517,6 +517,55 @@ object Queries {
            |CAST(sum(CASE WHEN filtered THEN 1 ELSE 0 END) AS BIGINT) AS n_filtered,
            |CAST(sum(CASE WHEN error <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
            |FROM read_parquet('${g("extract_docs")}')""".stripMargin,
+      // W3 cross-page paragraph merge: the continuation predicate
+      // (heading/list guard, CJK punctuation, terminal punctuation) and
+      // the rstrip-splice, replayed in SQL over the page dump
+      "x_cross_page_merge" ->
+        s"""
+           |WITH p AS (
+           |  SELECT url, page_no, md FROM read_parquet('${g("extract_pages")}')
+           |  WHERE url LIKE '%/pdf/%'
+           |), ctx AS (
+           |  SELECT url, page_no, md,
+           |    list_filter(list_transform(string_split(md, chr(10)),
+           |      x -> trim(x, ' ' || chr(9) || chr(13) || chr(12) || chr(11))), x -> x <> '') AS lines
+           |  FROM p
+           |), b AS (
+           |  SELECT url, page_no, md,
+           |    CASE WHEN len(lines) = 0 THEN '' ELSE lines[1] END AS first_line,
+           |    CASE WHEN len(lines) = 0 THEN '' ELSE lines[-1] END AS last_line
+           |  FROM ctx
+           |), w AS (
+           |  SELECT *, lag(last_line) OVER (PARTITION BY url ORDER BY page_no) AS prev_last FROM b
+           |), m AS (
+           |  SELECT url, page_no, md,
+           |    CASE
+           |      WHEN prev_last IS NULL THEN false
+           |      WHEN prev_last = '' OR first_line = '' THEN false
+           |      WHEN substr(prev_last,1,1) = '#' OR substr(prev_last,1,2) = '- ' OR substr(prev_last,1,2) = '* '
+           |        OR substr(prev_last,1,2) = '> ' OR substr(prev_last,1,1) = '|' OR substr(prev_last,1,2) = '$$$$'
+           |        OR substr(prev_last,1,6) = '<table' THEN false
+           |      WHEN substr(first_line,1,1) = '#' OR substr(first_line,1,2) = '- ' OR substr(first_line,1,2) = '* '
+           |        OR substr(first_line,1,2) = '> ' OR substr(first_line,1,1) = '|' OR substr(first_line,1,2) = '$$$$'
+           |        OR substr(first_line,1,6) = '<table' THEN false
+           |      WHEN substr(first_line,1,1) IN ('，','。','、','；','：','）','」','』','…') THEN true
+           |      ELSE NOT (substr(prev_last, length(prev_last), 1) IN ('。','？','！','.','?','!','"','”','’','」','』',':','：',';','；'))
+           |    END AS merge_here
+           |  FROM w
+           |), t AS (
+           |  SELECT url, page_no, md, merge_here,
+           |    coalesce(lead(merge_here) OVER (PARTITION BY url ORDER BY page_no), false) AS next_merges
+           |  FROM m
+           |), piece AS (
+           |  SELECT url, page_no,
+           |    (CASE WHEN page_no = 0 OR merge_here THEN '' ELSE chr(10)||chr(10) END) ||
+           |    (CASE WHEN next_merges THEN rtrim(md, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) ELSE md END)
+           |    AS piece
+           |  FROM t
+           |)
+           |SELECT url, CAST(count(*) AS INTEGER) AS n_pages,
+           |  string_agg(piece, '' ORDER BY page_no) AS merged_md
+           |FROM piece GROUP BY url ORDER BY url""".stripMargin.trim,
       // MinHash LSH band join replayed via chunk equality (band-hash
       // equality ⟺ chunk equality) + match-count threshold
       "q_minhash_pairs" ->

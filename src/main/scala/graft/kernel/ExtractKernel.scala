@@ -79,8 +79,10 @@ object ExtractKernel {
       bytes(2) == 'D' && bytes(3) == 'F' && bytes(4) == '-'
 
   def looksLikeHtml(bytes: Array[Byte]): Boolean = {
-    val head = new String(bytes, 0, math.min(bytes.length, 256), StandardCharsets.UTF_8)
-      .toLowerCase.dropWhile(_.isWhitespace)
+    // decode the prefix charset-aware (BOM/meta sniff) so e.g. a UTF-16
+    // page still dispatches to the HTML branch instead of garbled-repair
+    val prefix = java.util.Arrays.copyOfRange(bytes, 0, math.min(bytes.length, 1024))
+    val head = HtmlDom.decodeBytes(prefix).toLowerCase.dropWhile(_.isWhitespace)
     head.startsWith("<!doctype") || head.startsWith("<html") || head.contains("<body") ||
       head.startsWith("<head") || head.contains("<html")
   }

@@ -70,14 +70,71 @@ object HtmlDom {
     sb.toString
   }
 
-  /** Decode payload bytes: UTF-8 (BOM stripped), malformed sequences
-    * replaced — charset declarations other than utf-8 are treated as utf-8
-    * (the synthetic corpus is utf-8; real-world sniffing is a documented
-    * extension point). */
+  /** Decode payload bytes with charset sniffing (S4 polymorphic fetch —
+    * the reference's 100-language claim implies real crawl pages that are
+    * NOT utf-8). Sniff order, WHATWG-style:
+    *   1. byte-order mark (utf-8 / utf-16le / utf-16be);
+    *   2. `<meta charset=…>` / `<meta http-equiv … charset=…>` declaration
+    *      in the first 1024 bytes (scanned as an ASCII superset);
+    *   3. default utf-8.
+    * Malformed sequences decode to U+FFFD (never throws). */
   def decodeBytes(bytes: Array[Byte]): String = {
-    val start = if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xef &&
-      (bytes(1) & 0xff) == 0xbb && (bytes(2) & 0xff) == 0xbf) 3 else 0
-    new String(bytes, start, bytes.length - start, java.nio.charset.StandardCharsets.UTF_8)
+    import java.nio.charset.{Charset, CodingErrorAction, StandardCharsets}
+    if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xef &&
+        (bytes(1) & 0xff) == 0xbb && (bytes(2) & 0xff) == 0xbf)
+      return decodeWith(bytes, 3, StandardCharsets.UTF_8)
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xfe)
+      return decodeWith(bytes, 2, StandardCharsets.UTF_16LE)
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff)
+      return decodeWith(bytes, 2, StandardCharsets.UTF_16BE)
+    sniffMetaCharset(bytes) match {
+      case Some(cs) if cs != StandardCharsets.UTF_8 => decodeWith(bytes, 0, cs)
+      case _ =>
+        // hot path: the String constructor is JIT-intrinsified (same
+        // U+FFFD replacement semantics as a REPLACE-configured decoder)
+        new String(bytes, StandardCharsets.UTF_8)
+    }
+  }
+
+  private def decodeWith(bytes: Array[Byte], offset: Int,
+      cs: java.nio.charset.Charset): String = {
+    import java.nio.charset.CodingErrorAction
+    val dec = cs.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(CodingErrorAction.REPLACE)
+    dec.decode(java.nio.ByteBuffer.wrap(bytes, offset, bytes.length - offset)).toString
+  }
+
+  /** Charset label → JVM charset (the common crawl-era labels; unknown
+    * labels fall back to utf-8). */
+  private val CharsetLabels: Map[String, String] = Map(
+    "utf-8" -> "UTF-8", "utf8" -> "UTF-8",
+    "iso-8859-1" -> "ISO-8859-1", "latin1" -> "ISO-8859-1",
+    "iso-8859-2" -> "ISO-8859-2", "iso-8859-15" -> "ISO-8859-15",
+    "windows-1250" -> "windows-1250", "windows-1251" -> "windows-1251",
+    "windows-1252" -> "windows-1252", "cp1251" -> "windows-1251",
+    "cp1252" -> "windows-1252", "x-user-defined" -> "windows-1252",
+    "shift_jis" -> "Shift_JIS", "shift-jis" -> "Shift_JIS", "sjis" -> "Shift_JIS",
+    "euc-jp" -> "EUC-JP", "euc-kr" -> "EUC-KR",
+    "gb2312" -> "GB18030", "gbk" -> "GB18030", "gb18030" -> "GB18030",
+    "big5" -> "Big5", "koi8-r" -> "KOI8-R",
+    "us-ascii" -> "US-ASCII", "ascii" -> "US-ASCII")
+
+  private val MetaCharsetRe =
+    """(?is)<meta[^>]+charset\s*=\s*["']?\s*([a-z0-9_\-]+)""".r
+
+  def sniffMetaCharset(bytes: Array[Byte]): Option[java.nio.charset.Charset] = {
+    val n = math.min(bytes.length, 1024)
+    // scan the prefix as latin-1 (byte-transparent ASCII superset);
+    // cheap indexOf gate before the regex — almost no page declares one
+    val head = new String(bytes, 0, n, java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (head.indexOf("charset") < 0) return None
+    MetaCharsetRe.findFirstMatchIn(head).flatMap { m =>
+      CharsetLabels.get(m.group(1).toLowerCase(java.util.Locale.ROOT)).flatMap { name =>
+        try Some(java.nio.charset.Charset.forName(name))
+        catch { case _: Exception => None }
+      }
+    }
   }
 
   /** Parse HTML into a forgiving DOM. Never throws on malformed markup. */

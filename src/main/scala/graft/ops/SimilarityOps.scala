@@ -25,22 +25,33 @@ object SimilarityOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Per-query top-k via the k-bounded TypedImperativeAggregate
+    * ([[graft.functions.TopKSimAgg]]): map-side partial top-k heaps, the
+    * shuffle carries at most k entries per (query, task). Replaces the
+    * round-1 `row_number` window, which shuffled every corpus score and
+    * landed each query's full score set on a single task — the
+    * documented large-q scale hazard. Ordering (sim desc, neighbor asc)
+    * is identical to the window formulation. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKSimAgg(
+        col("sim"), col("neighbor_id").cast("long"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("__r", "e")))
+      .select(col("query_id"), col("e.neighbor_id").as("neighbor_id"),
+        (col("__r") + 1).cast("int").as("rank"), col("e.sim").as("sim"))
+
   /** Exact top-k cosine neighbors for each query id in `queries` (small,
     * broadcast) against `corpus`. Output: (query_id, neighbor_id, rank). */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       excludeSelf: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val scored = c.join(broadcast(q),
         if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .withColumn("sim", cosine(col("cvec"), col("qvec")))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "sim")
+    topKPerQuery(scored, k)
   }
 
   /** Deterministic coarse centroids: the first `k` corpus vectors by id
@@ -99,10 +110,7 @@ object SimilarityOps {
     val scored = c.join(broadcast(q), Seq("list_idx"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("cvec"), col("qvec")))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "sim")
+    topKPerQuery(scored, k)
   }
 
   /** Random-hyperplane LSH bucket signature for cosine (sign bits of

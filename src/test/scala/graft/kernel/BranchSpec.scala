@@ -90,6 +90,33 @@ class HtmlExtractSpec extends AnyFunSuite {
     val b = HtmlExtract.extractFromString(page)
     assert(PyJson.dumps(JArray(a.cells)) == PyJson.dumps(JArray(b.cells)))
   }
+
+  test("charset sniffing: meta-declared windows-1251/latin-1 and utf-16 BOM decode correctly") {
+    val ruDoc = "<html><head><meta charset=\"windows-1251\"></head>" +
+      "<body><p>Привет мир, это длинное предложение с настоящим содержанием страницы.</p></body></html>"
+    val ruBytes = ruDoc.getBytes("windows-1251")
+    val ruText = HtmlExtract.extract(ruBytes).cells
+      .flatMap(_.get("text")).collect { case JString(s) => s }.mkString(" ")
+    assert(ruText.contains("Привет мир"), ruText)
+
+    val deDoc = "<html><head><meta http-equiv=\"Content-Type\" content=\"text/html; charset=iso-8859-1\"></head>" +
+      "<body><p>Größe und Straße — ein längerer Satz mit echtem Inhalt für die Seite.</p></body></html>"
+    val deText = HtmlExtract.extract(deDoc.getBytes("ISO-8859-1")).cells
+      .flatMap(_.get("text")).collect { case JString(s) => s }.mkString(" ")
+    assert(deText.contains("Größe und Straße"), deText)
+
+    val zhDoc = "<html><body><p>这是一个包含真实内容的较长中文句子，用于测试页面解码。</p></body></html>"
+    val bom = Array[Byte](0xff.toByte, 0xfe.toByte)
+    val zhBytes = bom ++ zhDoc.getBytes("UTF-16LE")
+    assert(ExtractKernel.looksLikeHtml(zhBytes), "utf-16le page must dispatch to the html branch")
+    val zhText = HtmlExtract.extract(zhBytes).cells
+      .flatMap(_.get("text")).collect { case JString(s) => s }.mkString(" ")
+    assert(zhText.contains("中文句子"), zhText)
+
+    // undeclared, pure utf-8 stays byte-identical to the old path
+    val utf8 = "<html><body><p>plain utf-8 content with ünïcode — 日本語のテキスト。</p></body></html>"
+    assert(HtmlDom.decodeBytes(utf8.getBytes("UTF-8")) == utf8)
+  }
 }
 
 class PdfLiteSpec extends AnyFunSuite {
