@@ -192,7 +192,7 @@ object Queries {
     // ---- similarity search: brute-force cosine top-k (ids ranked)
     "q_ann_topk" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
-      val queries = embs.filter(col("vec_id") < 64)
+      val queries = embs.filter(col("vec_id") < 256)
       SimilarityOps.bruteForceTopK(embs, queries, "vec_id", "embedding", k = 5)
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id", "rank")
@@ -201,10 +201,10 @@ object Queries {
     // ---- similarity search: IVF scale path (rows-only; recall gate in test)
     "q_ann_ivf" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
-      // 64 queries: enough for the inverted-list scan reduction to beat
-      // the brute-force baseline (assignment costs nlist cosines per row;
-      // probing replaces q cosines per row with ~q*nprobe/nlist)
-      val queries = embs.filter(col("vec_id") < 64)
+      // 256 queries: the inverted-list scan reduction pays off when the
+      // query set is large (brute force does q cosines per corpus row;
+      // IVF does nlist for assignment + ~q*nprobe/nlist for probing)
+      val queries = embs.filter(col("vec_id") < 256)
       SimilarityOps.ivfTopK(embs, queries, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id", "rank")
@@ -226,6 +226,14 @@ object Queries {
     //      by DuckDB from the dumped signatures)
     "q_simhash_pairs" -> ((s, dir) =>
       DedupOps.simhashPairsFromSigs(vt(s, dir, "simhash_sigs"), maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+
+    // ---- dedup: embedding-cosine near-dup via banded sign-LSH over the
+    //      hashed-BoW document vectors (dumped with their signatures;
+    //      DuckDB replays band join + cosine-threshold verify; cosine
+    //      emitted rounded to 1e-6 so cross-engine floats can't flip rows)
+    "q_embed_neardup" -> ((s, dir) =>
+      SimilarityOps.embeddingDupPairsFromSigs(vt(s, dir, "doc_vectors"), threshold = 0.95)
         .orderBy("id_a", "id_b")),
 
     // ---- fingerprinting (rows-only; determinism gate in OpsSpec)
@@ -444,7 +452,7 @@ object Queries {
         |        AND n_digits * 3 < n_chars_calc) AS keep_doc,
         |CAST(count(*) AS BIGINT) AS n FROM f GROUP BY keep_doc ORDER BY keep_doc""".stripMargin,
     "q_ann_topk" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 64),
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 256),
         |scored AS (
         |  SELECT q.query_id, c.vec_id AS neighbor_id,
         |    list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])) AS sim
@@ -566,6 +574,19 @@ object Queries {
            |SELECT url, CAST(count(*) AS INTEGER) AS n_pages,
            |  string_agg(piece, '' ORDER BY page_no) AS merged_md
            |FROM piece GROUP BY url ORDER BY url""".stripMargin.trim,
+      // embedding-cosine near-dup: band join over the dumped sign-LSH
+      // signatures + exact cosine verify, both replayed
+      "q_embed_neardup" ->
+        s"""WITH v AS (SELECT id, vec, sig FROM read_parquet('${g("doc_vectors")}')),
+           |b AS (SELECT id, vec, sig, band, (sig >> (band*4)) & 15 AS chunk
+           |      FROM v, range(0, 4) t(band)),
+           |cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b, l.vec AS va, r.vec AS vb
+           |         FROM b l JOIN b r ON l.band = r.band AND l.chunk = r.chunk
+           |           AND l.id < r.id)
+           |SELECT id_a, id_b,
+           |  CAST(round(list_cosine_similarity(va, vb) * 1000000) AS BIGINT) AS cos_x1e6
+           |FROM cand WHERE round(list_cosine_similarity(va, vb) * 1000000) >= 950000
+           |ORDER BY id_a, id_b""".stripMargin,
       // MinHash LSH band join replayed via chunk equality (band-hash
       // equality ⟺ chunk equality) + match-count threshold
       "q_minhash_pairs" ->
@@ -631,7 +652,7 @@ object Queries {
           |  SELECT e.vec_id AS query_id, e.v AS qvec, cents.cidx,
           |    row_number() OVER (PARTITION BY e.vec_id
           |      ORDER BY list_cosine_similarity(e.v, cents.cv) DESC, cents.cidx ASC) AS crank
-          |  FROM e, cents WHERE e.vec_id < 64),
+          |  FROM e, cents WHERE e.vec_id < 256),
           |probes AS (SELECT query_id, qvec, cidx AS list_idx FROM qassign WHERE crank <= 4),
           |scored AS (SELECT p.query_id, c.neighbor_id,
           |    list_cosine_similarity(c.cvec, p.qvec) AS sim

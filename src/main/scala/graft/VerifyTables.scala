@@ -33,7 +33,7 @@ object VerifyTables {
   /** All table names, in dependency order. */
   val names: Vector[String] = Vector(
     "northrule", "extract_pages", "extract_docs", "repair_cases",
-    "minhash_sigs", "simhash_sigs", "shingles")
+    "minhash_sigs", "simhash_sigs", "shingles", "doc_vectors")
 
   def root(sfDir: String): String =
     s"/tmp/graft_tables_${Version}_${InputTable.docsForSfDir(sfDir)}_$Seed"
@@ -103,6 +103,13 @@ object VerifyTables {
       case "shingles" =>
         docs(s, sfDir).select(col("doc_id").as("id"),
           TextOps.shingles(col("text"), 3).as("sh"))
+      case "doc_vectors" =>
+        // hashed-BoW "embedding" per document + its sign-LSH signature —
+        // the dumped basis for the embedding-cosine near-dup oracle
+        docs(s, sfDir)
+          .select(col("doc_id").as("id"),
+            TextOps.hashedBowVector(col("text"), 64).as("vec"))
+          .withColumn("sig", graft.ops.SimilarityOps.cosineLshSignature(col("vec"), 16))
       case other => throw new IllegalArgumentException(s"unknown table $other")
     }
     df.write.mode("overwrite").parquet(p)

@@ -23,7 +23,15 @@ object SimilarityOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — native fused-loop expression
+    * ([[graft.functions.CosineSim]]); bit-identical to the columnar
+    * `dot/(norm·norm)` formulation (pinned in OpsSpec) with no per-pair
+    * intermediate array allocation. */
+  def cosine(a: Column, b: Column): Column = graft.functions.CosineSim(a, b)
+
+  /** Columnar formulation — retained as the independent equivalence
+    * oracle for the native expression. */
+  def cosineColumnar(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Per-query top-k via the k-bounded TypedImperativeAggregate
     * ([[graft.functions.TopKSimAgg]]): map-side partial top-k heaps, the
@@ -111,6 +119,48 @@ object SimilarityOps {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("cvec"), col("qvec")))
     topKPerQuery(scored, k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs via banded sign-LSH: the
+    * `nbits` random-hyperplane signature is split into `bands` chunks and
+    * candidates come from an equi-join on (band, chunk) — identical
+    * vectors always collide (all bits equal); near-duplicates collide in
+    * ≥1 band with high probability (bit flip prob θ/π per hyperplane).
+    * Candidates are verified with exact cosine. The cosine is compared
+    * and emitted ROUNDED to 1e-6 so a DuckDB oracle reproduces the exact
+    * row set from the dumped (id, vec, sig) table — engines agree to
+    * ~1 ulp, far inside the rounding grain.
+    * Input: (id, vec); output: (id_a, id_b, cos_x1e6), id_a < id_b. */
+  def embeddingDupPairs(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nbits: Int = 16, bands: Int = 4): DataFrame = {
+    require(nbits % bands == 0)
+    val sigs = vecs.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("sig", cosineLshSignature(col("vec"), nbits))
+    embeddingDupPairsFromSigs(sigs, threshold, nbits, bands)
+  }
+
+  /** Band join + verify over a precomputed (id, vec, sig) table (the
+    * materialization point for the DuckDB oracle). */
+  def embeddingDupPairsFromSigs(
+      sigs: DataFrame, threshold: Double,
+      nbits: Int = 16, bands: Int = 4): DataFrame = {
+    val chunkBits = nbits / bands
+    val mask = (1L << chunkBits) - 1
+    val banded = sigs.select(col("id"), col("vec"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sig"), b * chunkBits).bitwiseAND(mask)): _*))
+        .as(Seq("band", "chunk")))
+    val l = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val r = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("vec").as("vec_b"))
+    val thresholdMicros = math.round(threshold * 1e6)
+    l.join(r, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "vec_a", "vec_b")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos_x1e6", round(cosine(col("vec_a"), col("vec_b")) * 1e6).cast("long"))
+      .filter(col("cos_x1e6") >= thresholdMicros)
+      .select("id_a", "id_b", "cos_x1e6")
   }
 
   /** Random-hyperplane LSH bucket signature for cosine (sign bits of

@@ -66,6 +66,21 @@ object TextOps {
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, w) => xxhash64(acc, w))
 
+  /** Hashed bag-of-words document vector (feature hashing): dimension
+    * `pmod(xxhash64(token), dim)` accumulates token counts. Deterministic,
+    * so exact-duplicate texts map to identical vectors (cosine 1) and
+    * near-duplicates stay close — the embedding stand-in for the
+    * embedding-cosine near-dup operator when no learned embeddings exist
+    * for the text corpus. */
+  def hashedBowVector(text: Column, dim: Int = 64): Column =
+    aggregate(
+      transform(tokens(text), w => xxhash64(w)),
+      array_repeat(lit(0.0), dim),
+      (acc, h) => {
+        val idx = pmod(h, lit(dim.toLong)).cast("int")
+        transform(acc, (v, i) => when(i === idx, v + 1.0).otherwise(v))
+      })
+
   /** Word n-gram shingles (n consecutive tokens joined by one space). */
   def shingles(text: Column, n: Int): Column = {
     val ts = tokens(text)

@@ -34,10 +34,18 @@ object ExtractPipeline {
   implicit val parsedPageEnc: org.apache.spark.sql.Encoder[ParsedPage] = Encoders.product[ParsedPage]
 
   /** Adapt the (url, warc_ts, html, text, lang) table; keep this AFTER any
-    * relational filters so pushdown stays intact. */
+    * relational filters so pushdown stays intact. The kernel consumes only
+    * (url, html, lang), so warc_ts/text are replaced by literals — the
+    * parquet scan then PRUNES those columns (`text` is a full pre-extracted
+    * text copy per row; decoding it would roughly double scan bytes and
+    * per-row String allocation for nothing). Pinned by PlanSpec. */
   def asPageDocs(df: DataFrame): Dataset[PageDoc] = {
     import df.sparkSession.implicits._
-    df.select("url", "warc_ts", "html", "text", "lang").as[PageDoc]
+    df.select(col("url"),
+      lit(null).cast("timestamp").as("warc_ts"),
+      col("html"),
+      lit("").as("text"),
+      col("lang")).as[PageDoc]
   }
 
   /** Fan documents out into pages and parse each page. (Lineage metrics

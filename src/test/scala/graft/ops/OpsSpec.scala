@@ -157,6 +157,44 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding-cosine near-dup: planted exact dups found at cos=1; threshold respected") {
+    val vecs = dupCorpus.select(col("doc_id").as("id"),
+      TextOps.hashedBowVector(col("text"), 64).as("vec"))
+    val pairs = SimilarityOps.embeddingDupPairs(vecs, "id", "vec", threshold = 0.95)
+      .collect()
+    val exact = pairs.filter(_.getAs[Long]("cos_x1e6") == 1000000L)
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // the 10 planted exact duplicates have identical vectors → cosine 1,
+    // and identical vectors always share every LSH band
+    val planted = (0 until 10).map { i =>
+      val base = dupCorpus.orderBy("doc_id").limit(120).collect()(i).getAs[Long]("doc_id")
+      (base, base + 10000)
+    }.toSet
+    assert(planted.subsetOf(exact), s"missing exact dups: ${planted -- exact}")
+    pairs.foreach(p => assert(p.getAs[Long]("cos_x1e6") >= 950000L))
+  }
+
+  test("native CosineSim ≡ columnar dot/(norm·norm) bit-for-bit; codegen ≡ interpreted") {
+    val pairs = embs.limit(60).select(col("vec_id").as("ia"), col("embedding").as("va"))
+      .crossJoin(embs.limit(20).select(col("vec_id").as("ib"), col("embedding").as("vb")))
+    val both = pairs.select(col("ia"), col("ib"),
+      SimilarityOps.cosine(col("va"), col("vb")).as("native"),
+      SimilarityOps.cosineColumnar(col("va"), col("vb")).as("columnar"))
+    // bit-identical, not just approximately equal — rank/oracle stability
+    assert(both.filter(col("native") =!= col("columnar")).count() == 0)
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interp = pairs.select(col("ia"), col("ib"),
+        SimilarityOps.cosine(col("va"), col("vb")).as("native"))
+      assert(both.select("ia", "ib", "native").except(interp).count() == 0)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("hamming distance column = Java popcount") {
     val rows = Seq((0L, 0L), (1L, 0L), (-1L, 0L), (0x1234abcdL, 0x4321dcbaL),
       (Long.MinValue, Long.MaxValue)).toDF("a", "b")

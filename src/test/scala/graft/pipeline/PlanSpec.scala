@@ -44,6 +44,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
 
+  test("extraction scan prunes the unused text/warc_ts columns") {
+    val out = ExtractPipeline.run(spark.read.parquet(tableDir))
+    val plan = out.queryExecution.executedPlan.toString()
+    val readSchema = "ReadSchema: [^\\n]+".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.nonEmpty, plan)
+    assert(!readSchema.contains("text") && !readSchema.contains("warc_ts"),
+      s"scan should read only url/html/lang: $readSchema")
+    assert(readSchema.contains("html") && readSchema.contains("url"), readSchema)
+  }
+
   test("spreadPages topology has exactly the page-spread + assembly exchanges") {
     val out = ExtractPipeline.run(spark.read.parquet(tableDir), spreadPages = true)
     val plan = out.queryExecution.executedPlan.toString()
