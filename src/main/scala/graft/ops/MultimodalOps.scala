@@ -2,6 +2,9 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
 
 /** Multimodal column handling for training-data pipelines: media travel as
   * opaque `binary` columns with typed metadata; decode / feature-extract /
@@ -9,11 +12,13 @@ import org.apache.spark.sql.functions._
   * (`mapPartitions` — the Scala analog of `mapInPandas`: one kernel init
   * per partition, batch-shaped work per row).
   *
-  * The actual codec step is STUBBED (no image/audio libraries ship in this
-  * container): [[StubCodec.decode]] derives deterministic pseudo-features
-  * from the payload bytes. The Spark-side plumbing — schema, partitioning,
-  * kernel signature, batch shape — is real and tested; swapping the stub
-  * for a JNI/javax.imageio decoder changes one function.
+  * The codecs are REAL, using only the JDK (no external libraries ship in
+  * this container): PNG/JPEG via `javax.imageio`, PCM WAV via
+  * `javax.sound.sampled`, and "video" as a length-prefixed container of
+  * PNG frames (a motion-PNG toy format this module defines — real mp4/
+  * h264 demuxing would need native codecs and stays a documented
+  * non-goal). Decode failures become typed error rows, never task
+  * failures — mirroring the extraction pipeline's error contract.
   */
 object MultimodalOps {
 
@@ -25,29 +30,161 @@ object MultimodalOps {
 
   final case class MediaFeatures(
       media_id: Long, mime: String, width: Int, height: Int,
-      feature: Array[Float], payload_hash: Long)
+      feature: Array[Float], payload_hash: Long, error: String)
 
   final case class FrameRow(
-      media_id: Long, frame_no: Int, ts_ms: Long, frame_payload: Array[Byte])
+      media_id: Long, frame_no: Int, ts_ms: Long, frame_payload: Array[Byte],
+      frame_width: Int, frame_height: Int)
+
+  final case class ResizedMedia(
+      media_id: Long, payload: Array[Byte], width: Int, height: Int,
+      resized_width: Int, resized_height: Int, error: String)
 
   implicit val mediaRowEnc: org.apache.spark.sql.Encoder[MediaRow] = Encoders.product[MediaRow]
   implicit val mediaFeaturesEnc: org.apache.spark.sql.Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
   implicit val frameRowEnc: org.apache.spark.sql.Encoder[FrameRow] = Encoders.product[FrameRow]
+  implicit val resizedEnc: org.apache.spark.sql.Encoder[ResizedMedia] = Encoders.product[ResizedMedia]
 
-  /** STUB decoder — deterministic fake standing in for the real codec
-    * (??? boundary). Produces a `dim`-length feature from payload bytes. */
-  object StubCodec {
-    def decode(payload: Array[Byte], dim: Int = 16): Array[Float] = {
-      val out = new Array[Float](dim)
-      var h = 0x9e3779b97f4a7c15L
-      var i = 0
-      while (i < payload.length) {
-        h = graft.gen.InputGen.mix(h ^ payload(i))
-        out(i % dim) += ((h & 0xffff) / 65535.0f - 0.5f)
-        i += 1
+  /** JDK-backed codecs. Everything deterministic: fixed PNG writer, fixed
+    * raster math, no wall-clock or RNG. */
+  object Codec {
+
+    def encodePng(img: BufferedImage): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    def decodeImage(payload: Array[Byte]): BufferedImage = {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      if (img == null) throw new IllegalArgumentException("undecodable image payload")
+      img
+    }
+
+    /** Nearest-neighbor resample — exact integer source-pixel lookup, so
+      * the result is bit-deterministic across JVMs (Graphics2D filtering
+      * kernels are implementation-defined; NN is not). */
+    def resize(img: BufferedImage, w: Int, h: Int): BufferedImage = {
+      val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        val sy = (y.toLong * img.getHeight / h).toInt
+        var x = 0
+        while (x < w) {
+          val sx = (x.toLong * img.getWidth / w).toInt
+          out.setRGB(x, y, img.getRGB(sx, sy))
+          x += 1
+        }
+        y += 1
       }
       out
     }
+
+    /** Grid mean-color features: `grid`×`grid` cells × RGB = feature dim.
+      * The standard cheap visual descriptor for dedup/quality gating. */
+    def imageFeatures(img: BufferedImage, grid: Int = 4): Array[Float] = {
+      val out = new Array[Float](grid * grid * 3)
+      val counts = new Array[Int](grid * grid)
+      val w = img.getWidth; val h = img.getHeight
+      var y = 0
+      while (y < h) {
+        val gy = math.min(y * grid / h, grid - 1)
+        var x = 0
+        while (x < w) {
+          val gx = math.min(x * grid / w, grid - 1)
+          val cell = gy * grid + gx
+          val rgb = img.getRGB(x, y)
+          out(cell * 3) += ((rgb >> 16) & 0xff)
+          out(cell * 3 + 1) += ((rgb >> 8) & 0xff)
+          out(cell * 3 + 2) += (rgb & 0xff)
+          counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var c = 0
+      while (c < counts.length) {
+        if (counts(c) > 0) {
+          out(c * 3) /= counts(c); out(c * 3 + 1) /= counts(c); out(c * 3 + 2) /= counts(c)
+        }
+        c += 1
+      }
+      out
+    }
+
+    // ---- PCM16 mono WAV (RIFF) — hand-rolled writer, JDK reader ----
+
+    def encodeWav(samples: Array[Short], sampleRate: Int = 8000): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+
+    def decodeWavSamples(payload: Array[Byte]): (Array[Short], Float) = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(payload))
+      val fmt = in.getFormat
+      val bytes = in.readAllBytes()
+      val n = bytes.length / 2
+      val out = new Array[Short](n)
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN else java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < n) { out(i) = bb.getShort(); i += 1 }
+      (out, fmt.getSampleRate)
+    }
+
+    /** Windowed RMS energy over `windows` equal slices of the clip. */
+    def audioFeatures(samples: Array[Short], windows: Int = 16): Array[Float] = {
+      val out = new Array[Float](windows)
+      if (samples.isEmpty) return out
+      var w = 0
+      while (w < windows) {
+        val from = (w.toLong * samples.length / windows).toInt
+        val to = ((w + 1).toLong * samples.length / windows).toInt
+        var acc = 0.0
+        var i = from
+        while (i < to) { val s = samples(i) / 32768.0; acc += s * s; i += 1 }
+        out(w) = if (to > from) math.sqrt(acc / (to - from)).toFloat else 0f
+        w += 1
+      }
+      out
+    }
+
+    // ---- toy video container: 4-byte frame count, then per frame
+    //      4-byte length + PNG bytes (motion-PNG) ----
+
+    def encodeVideo(frames: Seq[BufferedImage]): Array[Byte] = {
+      val encoded = frames.map(encodePng)
+      val bb = java.nio.ByteBuffer.allocate(4 + encoded.map(_.length + 4).sum)
+      bb.putInt(encoded.length)
+      encoded.foreach { f => bb.putInt(f.length); bb.put(f) }
+      bb.array()
+    }
+
+    def videoFrameCount(payload: Array[Byte]): Int =
+      java.nio.ByteBuffer.wrap(payload).getInt()
+
+    def decodeVideoFrame(payload: Array[Byte], idx: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.wrap(payload)
+      val n = bb.getInt()
+      require(idx >= 0 && idx < n, s"frame $idx out of $n")
+      var i = 0
+      while (i < idx) { val len = bb.getInt(); bb.position(bb.position() + len); i += 1 }
+      val len = bb.getInt()
+      val out = new Array[Byte](len)
+      bb.get(out)
+      out
+    }
+
     def payloadHash(payload: Array[Byte]): Long = {
       var h = 0L
       payload.foreach(b => h = graft.gen.InputGen.mix(h ^ b))
@@ -55,20 +192,56 @@ object MultimodalOps {
     }
   }
 
-  /** Decode + feature-extract: batched per partition (codec init amortized,
-    * mirroring the reference's client-per-thread shape, inference.py:12-49). */
-  def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] =
+  /** Decode + feature-extract, dispatched on the mime column: images →
+    * 4×4 grid mean-color (48-dim), audio → 16-window RMS, video → first
+    * frame's grid features. Batched per partition; failures → error rows. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] =
     media.mapPartitions { iter =>
-      // per-partition "codec" init happens here (stubbed)
       iter.map { m =>
-        MediaFeatures(m.media_id, m.meta.mime, m.meta.width, m.meta.height,
-          StubCodec.decode(m.payload, dim), StubCodec.payloadHash(m.payload))
+        try {
+          val feature = m.meta.mime match {
+            case mime if mime.startsWith("image/") =>
+              Codec.imageFeatures(Codec.decodeImage(m.payload))
+            case mime if mime.startsWith("audio/") =>
+              Codec.audioFeatures(Codec.decodeWavSamples(m.payload)._1)
+            case mime if mime.startsWith("video/") =>
+              Codec.imageFeatures(Codec.decodeImage(Codec.decodeVideoFrame(m.payload, 0)))
+            case other =>
+              throw new IllegalArgumentException(s"unsupported mime $other")
+          }
+          MediaFeatures(m.media_id, m.meta.mime, m.meta.width, m.meta.height,
+            feature, Codec.payloadHash(m.payload), error = "")
+        } catch {
+          case e: Exception =>
+            MediaFeatures(m.media_id, m.meta.mime, m.meta.width, m.meta.height,
+              Array.empty[Float], Codec.payloadHash(m.payload),
+              error = s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
       }
     }
 
-  /** Resize plumbing: rewrites the metadata through the reference's
-    * smart_resize geometry (image_utils.py:29-63) — the raster op itself is
-    * behind the stub boundary. */
+  /** Real raster resize through the reference's smart_resize geometry
+    * (image_utils.py:29-63): decode → smart_resize target dims →
+    * nearest-neighbor resample → re-encode PNG. */
+  def resizeImages(media: Dataset[MediaRow]): Dataset[ResizedMedia] =
+    media.mapPartitions { iter =>
+      iter.map { m =>
+        try {
+          val img = Codec.decodeImage(m.payload)
+          val (hb, wb) = graft.kernel.Geometry.smartResize(img.getHeight.toLong, img.getWidth.toLong)
+          val out = Codec.resize(img, wb.toInt, hb.toInt)
+          ResizedMedia(m.media_id, Codec.encodePng(out), img.getWidth, img.getHeight,
+            wb.toInt, hb.toInt, error = "")
+        } catch {
+          case e: Exception =>
+            ResizedMedia(m.media_id, Array.empty[Byte], m.meta.width, m.meta.height,
+              0, 0, error = s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      }
+    }
+
+  /** smart_resize geometry over metadata columns (no raster touch) —
+    * the relational fast path when only target dims are needed. */
   def withResizedDims(df: DataFrame, widthCol: String, heightCol: String): DataFrame = {
     val resize = udf { (h: Int, w: Int) =>
       try { val (hb, wb) = graft.kernel.Geometry.smartResize(h.toLong, w.toLong); Some((hb.toInt, wb.toInt)) }
@@ -80,35 +253,82 @@ object MultimodalOps {
       .drop("__r")
   }
 
-  /** Frame sampling: every `everyMs` milliseconds across the clip — pure
-    * relational fan-out (sequence + explode), frame decode stubbed as a
-    * deterministic byte slice. */
+  /** Frame sampling: every `everyMs` milliseconds across the clip; for
+    * video payloads the sampled frames are REAL PNG frames demuxed from
+    * the container (decoded lazily downstream); for stills, frame 0 is
+    * the image itself. */
   def sampleFrames(media: Dataset[MediaRow], everyMs: Long): Dataset[FrameRow] =
     media.flatMap { m =>
-      val n = math.max(1, (m.meta.durationMs / math.max(1L, everyMs)).toInt)
-      (0 until math.min(n, m.meta.nFrames.max(1))).map { f =>
-        val ts = f * everyMs
-        val start = if (m.payload.isEmpty) 0 else (f * 97) % math.max(1, m.payload.length)
-        val len = math.min(64, m.payload.length - start)
-        FrameRow(m.media_id, f, ts, m.payload.slice(start, start + math.max(0, len)))
-      }
+      if (m.meta.mime.startsWith("video/")) {
+        val available = try Codec.videoFrameCount(m.payload) catch { case _: Exception => 0 }
+        val wanted = math.max(1, (m.meta.durationMs / math.max(1L, everyMs)).toInt)
+        val frameDur = m.meta.durationMs / math.max(1, available)
+        (0 until math.min(wanted, available)).map { f =>
+          // pick the container frame whose timestamp covers f*everyMs
+          val srcIdx = math.min(((f * everyMs) / math.max(1L, frameDur)).toInt, available - 1)
+          val bytes = Codec.decodeVideoFrame(m.payload, srcIdx)
+          val img = Codec.decodeImage(bytes)
+          FrameRow(m.media_id, f, f * everyMs, bytes, img.getWidth, img.getHeight)
+        }
+      } else if (m.meta.mime.startsWith("image/")) {
+        val dims = try { val i = Codec.decodeImage(m.payload); (i.getWidth, i.getHeight) }
+                   catch { case _: Exception => (0, 0) }
+        Seq(FrameRow(m.media_id, 0, 0L, m.payload, dims._1, dims._2))
+      } else Seq.empty
     }
 
-  /** Deterministic synthetic media table for tests/bench. */
+  /** Deterministic synthetic media table with REAL payloads: seeded
+    * pattern PNGs, PCM sine-mix WAVs, and motion-PNG videos (plus a few
+    * deliberately corrupt payloads to exercise the error rows). */
   def syntheticMedia(spark: org.apache.spark.sql.SparkSession, n: Long, seed: Long = 42L): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).map { i =>
       val rng = new graft.gen.InputGen.Rng(seed, i, 5L)
-      val kind = rng.nextInt(3)
-      val (mime, w, h, dur, frames) = kind match {
-        case 0 => ("image/png", 640 + rng.nextInt(1280), 480 + rng.nextInt(960), 0L, 1)
-        case 1 => ("audio/wav", 0, 0, 1000L + rng.nextInt(60000), 0)
-        case _ => ("video/mp4", 1280, 720, 1000L + rng.nextInt(30000), 24 + rng.nextInt(240))
+      val kind = rng.nextInt(4)
+      kind match {
+        case 0 =>
+          val w = 32 + rng.nextInt(96); val h = 32 + rng.nextInt(96)
+          val payload = Codec.encodePng(patternImage(w, h, rng.nextLong()))
+          MediaRow(i, payload, MediaMeta("image/png", w, h, 0L, 1))
+        case 1 =>
+          val nSamples = 4000 + rng.nextInt(8000)
+          val f1 = 1 + rng.nextInt(40)
+          val samples = Array.tabulate(nSamples)(t =>
+            (math.sin(t * f1 * 2 * math.Pi / 8000) * 12000).toShort)
+          MediaRow(i, Codec.encodeWav(samples),
+            MediaMeta("audio/wav", 0, 0, nSamples / 8L, 0))
+        case 2 =>
+          val nFrames = 2 + rng.nextInt(5)
+          val w = 32 + rng.nextInt(32); val h = 32 + rng.nextInt(32)
+          val frames = (0 until nFrames).map(f => patternImage(w, h, rng.nextLong() + f))
+          MediaRow(i, Codec.encodeVideo(frames),
+            MediaMeta("video/mp4-toy", w, h, nFrames * 1000L, nFrames))
+        case _ =>
+          // corrupt payload → must surface as an error row, not a crash
+          val payload = new Array[Byte](64 + rng.nextInt(64))
+          var j = 0
+          while (j < payload.length) { payload(j) = (rng.nextLong() & 0xff).toByte; j += 1 }
+          MediaRow(i, payload, MediaMeta("image/png", 0, 0, 0L, 1))
       }
-      val payload = new Array[Byte](256 + rng.nextInt(1024))
-      var j = 0
-      while (j < payload.length) { payload(j) = (rng.nextLong() & 0xff).toByte; j += 1 }
-      MediaRow(i, payload, MediaMeta(mime, w, h, dur, frames))
     }
+  }
+
+  /** Seeded deterministic test pattern (gradients + hash noise). */
+  def patternImage(w: Int, h: Int, seed: Long): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val mixv = graft.gen.InputGen.mix(seed ^ (x.toLong << 20) ^ y.toLong)
+        val r = (x * 255 / math.max(1, w - 1)) & 0xff
+        val g = (y * 255 / math.max(1, h - 1)) & 0xff
+        val b = (mixv & 0xff).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
   }
 }

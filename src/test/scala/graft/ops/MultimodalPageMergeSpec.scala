@@ -9,19 +9,62 @@ class MultimodalSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
   import spark.implicits._
 
-  test("media features: schema, determinism, batch shape") {
+  test("media features: real decode per mime, determinism, corrupt → error rows") {
     val media = MultimodalOps.syntheticMedia(spark, 60L).cache()
     val feats = MultimodalOps.extractFeatures(media).cache()
     assert(feats.count() == 60)
-    assert(feats.head().feature.length == 16)
+    val rows = feats.collect()
+    // images/video decode to 4x4x3 grid features; audio to 16 RMS windows
+    rows.filter(r => r.error.isEmpty && r.mime.startsWith("image/"))
+      .foreach(r => assert(r.feature.length == 48))
+    rows.filter(r => r.error.isEmpty && r.mime.startsWith("video/"))
+      .foreach(r => assert(r.feature.length == 48))
+    rows.filter(r => r.error.isEmpty && r.mime.startsWith("audio/"))
+      .foreach { r =>
+        assert(r.feature.length == 16)
+        assert(r.feature.exists(_ > 0.1f), "sine clip must carry RMS energy")
+      }
+    // the planted corrupt payloads surface as typed error rows
+    val bad = rows.filter(_.error.nonEmpty)
+    assert(bad.nonEmpty && bad.forall(_.feature.isEmpty))
+    assert(rows.count(_.error.isEmpty) > bad.length, "most media decode fine")
     val again = MultimodalOps.extractFeatures(media)
     assert(feats.select("media_id", "payload_hash").except(
       again.select("media_id", "payload_hash")).count() == 0)
   }
 
+  test("real image decode round-trip: pattern png decodes to original dims and pixels") {
+    val img = MultimodalOps.patternImage(40, 30, seed = 7L)
+    val bytes = MultimodalOps.Codec.encodePng(img)
+    val back = MultimodalOps.Codec.decodeImage(bytes)
+    assert(back.getWidth == 40 && back.getHeight == 30)
+    for (x <- 0 until 40 by 7; y <- 0 until 30 by 5)
+      assert((back.getRGB(x, y) & 0xffffff) == (img.getRGB(x, y) & 0xffffff))
+  }
+
+  test("raster resize hits smart_resize dims exactly") {
+    val media = MultimodalOps.syntheticMedia(spark, 40L)
+      .filter(col("meta.mime") === "image/png" && col("meta.width") > lit(0))
+    val resized = MultimodalOps.resizeImages(media).collect().filter(_.error.isEmpty)
+    assert(resized.nonEmpty)
+    resized.foreach { r =>
+      val (hb, wb) = graft.kernel.Geometry.smartResize(r.height.toLong, r.width.toLong)
+      assert(r.resized_width == wb.toInt && r.resized_height == hb.toInt)
+      val img = MultimodalOps.Codec.decodeImage(r.payload)
+      assert(img.getWidth == wb.toInt && img.getHeight == hb.toInt)
+    }
+  }
+
+  test("wav codec round-trip preserves samples") {
+    val samples = Array.tabulate(4000)(t => (math.sin(t * 0.05) * 10000).toShort)
+    val wav = MultimodalOps.Codec.encodeWav(samples)
+    val (back, rate) = MultimodalOps.Codec.decodeWavSamples(wav)
+    assert(rate == 8000f && back.toSeq == samples.toSeq)
+  }
+
   test("resize plumbing applies smart_resize geometry to metadata") {
     val media = MultimodalOps.syntheticMedia(spark, 40L)
-      .filter(col("meta.mime") === "image/png")
+      .filter(col("meta.mime") === "image/png" && col("meta.width") > 0)
       .select(col("media_id"), col("meta.width").as("width"), col("meta.height").as("height"))
     val resized = MultimodalOps.withResizedDims(media, "width", "height").collect()
     assert(resized.nonEmpty)
@@ -32,13 +75,22 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("frame sampling fans out video rows deterministically") {
+  test("frame sampling demuxes REAL png frames from the video container") {
     val media = MultimodalOps.syntheticMedia(spark, 60L)
     val frames = MultimodalOps.sampleFrames(media, everyMs = 1000L).cache()
-    val videos = media.filter(col("meta.mime") === "video/mp4").count()
+    val videos = media.filter(col("meta.mime").startsWith("video/")).count()
+    assert(videos > 0)
     assert(frames.select("media_id").distinct().count() >= videos)
     frames.groupBy("media_id").agg(countDistinct("frame_no").as("n"), count(lit(1)).as("t"))
       .collect().foreach(r => assert(r.getAs[Long]("n") == r.getAs[Long]("t")))
+    // every sampled video frame is an actually decodable PNG with dims
+    val vids = media.filter(col("meta.mime").startsWith("video/"))
+      .select("media_id").as[Long].collect().toSet
+    frames.collect().filter(f => vids.contains(f.media_id)).foreach { f =>
+      val img = MultimodalOps.Codec.decodeImage(f.frame_payload)
+      assert(img.getWidth == f.frame_width && img.getHeight == f.frame_height)
+      assert(f.frame_width >= 32 && f.frame_height >= 32)
+    }
   }
 }
 
