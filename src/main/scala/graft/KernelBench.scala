@@ -22,9 +22,8 @@ object KernelBench {
           var i = idx.getAndIncrement()
           var sink = 0L
           while (i < nDocs) {
-            ExtractKernel.fanOut(docs(i.toInt)).foreach { p =>
-              sink += ExtractKernel.parsePage(p, PromptMode.LayoutAll).md.length
-            }
+            ExtractKernel.parseDoc(docs(i.toInt), PromptMode.LayoutAll)
+              .foreach(p => sink += p.md.length)
             i = idx.getAndIncrement()
           }
           if (sink == -1) println("")

@@ -175,36 +175,83 @@ object ExtractKernel {
             case "pdf"  => PdfLite.pageToLayout(PdfLite.parse(page.page_bytes).pages.head)
             case _      => HtmlExtract.extract(page.page_bytes)
           }
-          val (ih, iw) = Geometry.smartResize(layout.height, layout.width)
-          mode match {
-            case PromptMode.Ocr =>
-              val response = classifierResponse(layout, mode, iw, ih)
-              // prompt_ocr responses pass through untouched (layout_utils.py:203)
-              ParsedPage(page.url, page.page_no, ih.toInt, iw.toInt,
-                layout.height.toInt, layout.width.toInt,
-                cells_json = "", md = response, md_nohf = response,
-                extracted_text = response, filtered = false, error = "")
-            case g: PromptMode.GroundingOcr =>
-              val response = classifierResponse(layout, g, iw, ih)
-              ParsedPage(page.url, page.page_no, ih.toInt, iw.toInt,
-                layout.height.toInt, layout.width.toInt,
-                cells_json = "", md = response, md_nohf = response,
-                extracted_text = response, filtered = false, error = "")
-            case m =>
-              // trusted path: our classifier's output round-trips the
-              // serializer exactly (ints + strings only), so the reference's
-              // json.loads(response) is the identity here — skip the
-              // dumps→parse of the full cell array (hot-path allocation;
-              // equivalence pinned by ExtractKernelSpec). Repair-needing
-              // responses (garbled payloads) still take the string path.
-              val cells = classifierCells(layout, m, iw, ih)
-              finishLayoutTrusted(page, m, cells, layout.width, layout.height, iw, ih)
-          }
+          parseLayout(page, mode, layout)
       }
     } catch {
       case e: Exception =>
         ParsedPage(page.url, page.page_no, 0, 0, 0, 0, "", "", "", "",
           filtered = false, error = s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+  }
+
+  /** Fused fan-out + parse for the map-only default path: a multi-page
+    * PDF-lite payload is parsed ONCE and each page's in-memory layout goes
+    * straight to the kernel — skipping the per-page serialize→reparse
+    * round-trip the RawPage byte schema requires when pages cross a
+    * shuffle (spreadPages). Element-wise identical to
+    * `fanOut(...).map(parsePage(_, mode))` (the round-trip is a pinned
+    * identity: PdfLiteSpec `parse(serialize(doc)) == doc`; equivalence
+    * also covered end-to-end by PipelineE2ESpec's spread≡default test). */
+  def parseDoc(doc: PageDoc, mode: PromptMode,
+      startPageId: Int = 0, endPageId: Int = -1): Vector[ParsedPage] = {
+    val bytes = doc.html
+    def viaRawPages(): Vector[ParsedPage] =
+      fanOut(doc, startPageId, endPageId).map(parsePage(_, mode))
+    if (bytes == null || bytes.isEmpty || isRealPdf(bytes) || !PdfLite.isPdfLite(bytes)) {
+      // non-PDF branches carry no redundant work — share fanOut verbatim
+      viaRawPages()
+    } else {
+      val pdf = try PdfLite.parse(bytes) catch {
+        case _: PdfLite.PdfLiteError => return viaRawPages() // error-row path
+      }
+      val slice =
+        if (startPageId == 0 && endPageId < 0) pdf.pages
+        else {
+          val last = pdf.pages.length - 1
+          val end = if (endPageId >= 0) math.min(endPageId, last) else last
+          pdf.pages.slice(startPageId, end + 1)
+        }
+      if (slice.isEmpty) viaRawPages() // empty-range error row
+      else slice.zipWithIndex.map { case (p, i) =>
+        val rp = RawPage(doc.url, i, slice.length, "pdf", null, doc.lang)
+        try parseLayout(rp, mode, PdfLite.pageToLayout(p))
+        catch {
+          case e: Exception =>
+            ParsedPage(doc.url, i, 0, 0, 0, 0, "", "", "", "",
+              filtered = false, error = s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      }
+    }
+  }
+
+  /** Mode dispatch + render from an already-built page layout
+    * (the shared tail of parsePage and parseDoc). */
+  private def parseLayout(page: RawPage, mode: PromptMode,
+      layout: HtmlExtract.PageLayout): ParsedPage = {
+    val (ih, iw) = Geometry.smartResize(layout.height, layout.width)
+    mode match {
+      case PromptMode.Ocr =>
+        val response = classifierResponse(layout, mode, iw, ih)
+        // prompt_ocr responses pass through untouched (layout_utils.py:203)
+        ParsedPage(page.url, page.page_no, ih.toInt, iw.toInt,
+          layout.height.toInt, layout.width.toInt,
+          cells_json = "", md = response, md_nohf = response,
+          extracted_text = response, filtered = false, error = "")
+      case g: PromptMode.GroundingOcr =>
+        val response = classifierResponse(layout, g, iw, ih)
+        ParsedPage(page.url, page.page_no, ih.toInt, iw.toInt,
+          layout.height.toInt, layout.width.toInt,
+          cells_json = "", md = response, md_nohf = response,
+          extracted_text = response, filtered = false, error = "")
+      case m =>
+        // trusted path: our classifier's output round-trips the
+        // serializer exactly (ints + strings only), so the reference's
+        // json.loads(response) is the identity here — skip the
+        // dumps→parse of the full cell array (hot-path allocation;
+        // equivalence pinned by ExtractKernelSpec). Repair-needing
+        // responses (garbled payloads) still take the string path.
+        val cells = classifierCells(layout, m, iw, ih)
+        finishLayoutTrusted(page, m, cells, layout.width, layout.height, iw, ih)
     }
   }
 

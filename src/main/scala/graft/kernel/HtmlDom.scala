@@ -278,15 +278,33 @@ object HtmlDom {
   }
 
   def collapseWs(s: String): String = {
-    val sb = new java.lang.StringBuilder(s.length)
+    @inline def isWs(c: Char) = Character.isWhitespace(c) || c == '\u00a0'
+    val n = s.length
+    // fast path: detect already-collapsed strings (no leading/trailing ws,
+    // no ws run, every ws a plain space) and return the input unchanged \u2014
+    // most short texts qualify, and the char-closure version of this loop
+    // boxed every Char
+    var i = 0
+    var clean = true
+    while (clean && i < n) {
+      val c = s.charAt(i)
+      if (isWs(c) &&
+          (c != ' ' || i == 0 || i == n - 1 || isWs(s.charAt(i - 1)))) clean = false
+      i += 1
+    }
+    if (clean) return s
+    val sb = new java.lang.StringBuilder(n)
     var inWs = false
-    s.foreach { c =>
-      if (Character.isWhitespace(c) || c == '\u00a0') inWs = true
+    i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (isWs(c)) inWs = true
       else {
         if (inWs && sb.length() > 0) sb.append(' ')
         inWs = false
         sb.append(c)
       }
+      i += 1
     }
     sb.toString
   }

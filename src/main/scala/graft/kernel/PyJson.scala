@@ -244,23 +244,35 @@ object PyJson {
   }
 
   def writeString(s: String, sb: java.lang.StringBuilder): Unit = {
+    // run-based: bulk-append maximal spans of unescaped chars (escapes are
+    // rare in real text; the per-char append version was the kernel's
+    // single hottest frame under JFR)
     sb.append('"')
+    val n = s.length
     var i = 0
-    while (i < s.length) {
+    var start = 0
+    while (i < n) {
       val c = s.charAt(i)
-      c match {
-        case '"'  => sb.append("\\\"")
-        case '\\' => sb.append("\\\\")
-        case '\n' => sb.append("\\n")
-        case '\r' => sb.append("\\r")
-        case '\t' => sb.append("\\t")
-        case '\b' => sb.append("\\b")
-        case '\f' => sb.append("\\f")
-        case _ if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
-        case _ => sb.append(c)
+      if (c == '"' || c == '\\' || c < 0x20) {
+        sb.append(s, start, i)
+        (c: @annotation.switch) match {
+          case '"'  => sb.append("\\\"")
+          case '\\' => sb.append("\\\\")
+          case '\n' => sb.append("\\n")
+          case '\r' => sb.append("\\r")
+          case '\t' => sb.append("\\t")
+          case '\b' => sb.append("\\b")
+          case '\f' => sb.append("\\f")
+          case _ =>
+            sb.append("\\u00")
+            sb.append(Character.forDigit((c >> 4) & 0xf, 16))
+            sb.append(Character.forDigit(c & 0xf, 16))
+        }
+        start = i + 1
       }
       i += 1
     }
+    sb.append(s, start, n)
     sb.append('"')
   }
 

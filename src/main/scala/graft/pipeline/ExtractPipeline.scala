@@ -59,6 +59,13 @@ object ExtractPipeline {
       spreadPages: Boolean = false,
       pageRange: Option[(Int, Int)] = None): Dataset[ParsedPage] = {
     val (rangeStart, rangeEnd) = pageRange.getOrElse((0, -1))
+    if (!spreadPages) {
+      // fused fan-out+parse: multi-page payloads are parsed once and pages
+      // never round-trip through the RawPage byte schema (JFR showed the
+      // per-page serialize→reparse as a measurable kernel cost)
+      return docs.mapPartitions(
+        _.flatMap(d => ExtractKernel.parseDoc(d, mode, rangeStart, rangeEnd)))
+    }
     val pages = docs.flatMap(d => ExtractKernel.fanOut(d, rangeStart, rangeEnd))
     // Default: NO shuffle before the kernel — scan splits are already
     // size-balanced (spark.sql.files.maxPartitionBytes bounds task input),
