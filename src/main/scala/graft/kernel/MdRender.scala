@@ -172,4 +172,25 @@ object MdRender {
     * (/root/reference/parse_pdf_to_markdown.py:19-31, parser.py:289). */
   def combinePages(pages: Seq[(Int, String)]): String =
     pages.sortBy(_._1).map(_._2).mkString("\n\n---\n\n")
+
+  /** P16 `fix_streamlit_formulas` (/root/reference/dots_ocr/utils/
+    * format_transformer.py:183-206): ensure a newline after the opening
+    * `$$` and before the closing `$$` of every (DOTALL, non-greedy)
+    * formula block. Golden-tested against the reference function. */
+  private val StreamlitFormulaRe =
+    java.util.regex.Pattern.compile("\\$\\$(.*?)\\$\\$", java.util.regex.Pattern.DOTALL)
+
+  def fixStreamlitFormulas(md: String): String = {
+    val m = StreamlitFormulaRe.matcher(md)
+    val sb = new StringBuffer
+    while (m.find()) {
+      var content = m.group(1)
+      if (content.startsWith("\n")) content = content.substring(1)
+      if (content.endsWith("\n")) content = content.substring(0, content.length - 1)
+      m.appendReplacement(sb,
+        java.util.regex.Matcher.quoteReplacement("$$\n" + content + "\n$$"))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
 }

@@ -60,4 +60,56 @@ object MiscText {
         }
       case _ => true
     }
+
+  final case class ExtractedImage(filename: String, bytes: Array[Byte])
+
+  /** P18 `extract_and_save_images` (/root/reference/mac/
+    * run_ocr_batch.py:152-177): rewrite base64 data-URI images embedded in
+    * markdown into per-page files + relative links.
+    *
+    * Deviations from the reference, both deliberate:
+    *   - the reference regex is double-escaped inside a raw string
+    *     (run_ocr_batch.py:153: `r'!\\\\[...'`) and can never match its own
+    *     `![](data:image...)` markdown — we implement the evident intent;
+    *   - file writing is left to the caller (we return the rewritten md
+    *     plus the decoded images) so the operator stays a pure function
+    *     usable inside a distributed job; undecodable base64 keeps the
+    *     original link instead of throwing (never-throw kernel contract).
+    * Faithfully mirrored quirks: subtype sniffed from payload magic when
+    * the URI omits it ('jpeg' fallback), and the literal string
+    * replacement replaces ALL identical occurrences (Python str.replace),
+    * so duplicate identical data URIs collapse onto the first filename
+    * while still emitting one file per match. */
+  private val MdImageRe =
+    java.util.regex.Pattern.compile("!\\[(.*?)\\]\\(data:image(?:/(\\w+))?;base64,([^)]+)\\)")
+
+  def extractMdImages(md: String, pageNum: Int): (String, Vector[ExtractedImage]) = {
+    val m = MdImageRe.matcher(md)
+    var out = md
+    val images = Vector.newBuilder[ExtractedImage]
+    var i = 0
+    while (m.find()) {
+      val whole = m.group(0)
+      val alt = m.group(1)
+      val declared = Option(m.group(2))
+      try {
+        val bytes = java.util.Base64.getDecoder.decode(m.group(3))
+        val imgType = declared.getOrElse(sniffImageType(bytes))
+        val filename = f"page_$pageNum%03d_image_${i + 1}.$imgType"
+        images += ExtractedImage(filename, bytes)
+        out = out.replace(whole, s"![$alt]($filename)")
+      } catch { case _: IllegalArgumentException => () } // keep original link
+      i += 1
+    }
+    (out, images.result())
+  }
+
+  /** Magic-byte subtype sniff (the reference asks PIL; 'jpeg' fallback
+    * mirrors run_ocr_batch.py:166). */
+  def sniffImageType(bytes: Array[Byte]): String =
+    if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+        bytes(2) == 'N' && bytes(3) == 'G') "png"
+    else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) "jpeg"
+    else if (bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') "gif"
+    else "jpeg"
 }

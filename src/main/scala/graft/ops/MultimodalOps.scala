@@ -185,6 +185,51 @@ object MultimodalOps {
       out
     }
 
+    /** P5 `to_rgb` (/root/reference/dots_ocr/utils/image_utils.py:74-80):
+      * RGBA → RGB composited over a white background using the alpha
+      * channel as mask (non-alpha images pass through as RGB). Semantic
+      * port — PIL's exact per-pixel rounding is not byte-replicated
+      * (raster parity is a documented non-goal); invariants (opaque
+      * pixels unchanged, transparent pixels white) are test-pinned. */
+    def toRgb(img: BufferedImage): BufferedImage = {
+      if (!img.getColorModel.hasAlpha) {
+        if (img.getType == BufferedImage.TYPE_INT_RGB) return img
+        val out = new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics(); g.drawImage(img, 0, 0, null); g.dispose()
+        return out
+      }
+      val out = new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val argb = img.getRGB(x, y)
+          val a = (argb >>> 24) & 0xff
+          val r = ((argb >> 16) & 0xff) * a / 255 + 255 * (255 - a) / 255
+          val g = ((argb >> 8) & 0xff) * a / 255 + 255 * (255 - a) / 255
+          val b = (argb & 0xff) * a / 255 + 255 * (255 - a) / 255
+          out.setRGB(x, y, (math.min(r, 255) << 16) | (math.min(g, 255) << 8) | math.min(b, 255))
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** P20 `read_image` display resize (/root/reference/dots_ocr/utils/
+      * demo_utils/display.py:27-61): aspect-preserving resize where the
+      * longer side becomes `max(w,h)` (use_native) or 1024; the shorter
+      * side is `int(short * max_size / long)` — Python int() truncation.
+      * Returns (resized, original_w, original_h). */
+    def displayResize(img: BufferedImage, useNative: Boolean = false): (BufferedImage, Int, Int) = {
+      val w = img.getWidth; val h = img.getHeight
+      val maxSize = if (useNative) math.max(w, h) else 1024
+      val (nw, nh) =
+        if (w > h) (maxSize, (h.toLong * maxSize / w).toInt)
+        else ((w.toLong * maxSize / h).toInt, maxSize)
+      (resize(img, nw, nh), w, h)
+    }
+
     def payloadHash(payload: Array[Byte]): Long = {
       var h = 0L
       payload.foreach(b => h = graft.gen.InputGen.mix(h ^ b))

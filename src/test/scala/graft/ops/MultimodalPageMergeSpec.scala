@@ -55,6 +55,35 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("P5 to_rgb: alpha composited over white; opaque unchanged") {
+    val img = new java.awt.image.BufferedImage(4, 1, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    img.setRGB(0, 0, 0xff336699)         // opaque → unchanged
+    img.setRGB(1, 0, 0x00336699)         // fully transparent → white
+    img.setRGB(2, 0, (128 << 24) | 0x000000) // half-alpha black → mid grey
+    img.setRGB(3, 0, 0xffffffff)
+    val rgb = MultimodalOps.Codec.toRgb(img)
+    assert((rgb.getRGB(0, 0) & 0xffffff) == 0x336699)
+    assert((rgb.getRGB(1, 0) & 0xffffff) == 0xffffff)
+    val grey = rgb.getRGB(2, 0) & 0xff
+    assert(grey > 100 && grey < 140, s"half-alpha black over white ≈ 127, got $grey")
+    assert((rgb.getRGB(3, 0) & 0xffffff) == 0xffffff)
+    // non-alpha input passes through as RGB
+    val plain = MultimodalOps.patternImage(5, 5, 1L)
+    assert(MultimodalOps.Codec.toRgb(plain).getRGB(2, 2) == plain.getRGB(2, 2))
+  }
+
+  test("P20 display resize: long side 1024 (or native), short side int-truncated") {
+    val wide = MultimodalOps.patternImage(200, 100, 2L)
+    val (r1, ow, oh) = MultimodalOps.Codec.displayResize(wide)
+    assert(ow == 200 && oh == 100)
+    assert(r1.getWidth == 1024 && r1.getHeight == 512)
+    val tall = MultimodalOps.patternImage(99, 301, 2L)
+    val (r2, _, _) = MultimodalOps.Codec.displayResize(tall)
+    assert(r2.getHeight == 1024 && r2.getWidth == (99L * 1024 / 301).toInt)
+    val (r3, _, _) = MultimodalOps.Codec.displayResize(wide, useNative = true)
+    assert(r3.getWidth == 200 && r3.getHeight == 100)
+  }
+
   test("wav codec round-trip preserves samples") {
     val samples = Array.tabulate(4000)(t => (math.sin(t * 0.05) * 10000).toShort)
     val wav = MultimodalOps.Codec.encodeWav(samples)
