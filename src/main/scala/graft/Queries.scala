@@ -574,12 +574,14 @@ object Queries {
            |SELECT url, CAST(count(*) AS INTEGER) AS n_pages,
            |  string_agg(piece, '' ORDER BY page_no) AS merged_md
            |FROM piece GROUP BY url ORDER BY url""".stripMargin.trim,
-      // embedding-cosine near-dup: band join over the dumped sign-LSH
-      // signatures + exact cosine verify, both replayed
+      // embedding-cosine near-dup: 16-bit-chunk band join over the dumped
+      // 64-bit sign-LSH signatures (incl. the hot-bucket guard) + exact
+      // cosine verify, all replayed
       "q_embed_neardup" ->
         s"""WITH v AS (SELECT id, vec, sig FROM read_parquet('${g("doc_vectors")}')),
-           |b AS (SELECT id, vec, sig, band, (sig >> (band*4)) & 15 AS chunk
-           |      FROM v, range(0, 4) t(band)),
+           |b AS (SELECT id, vec, sig, band, (sig >> (band*16)) & 65535 AS chunk
+           |      FROM v, range(0, 4) t(band)
+           |      QUALIFY count(*) OVER (PARTITION BY band, chunk) <= 1000),
            |cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b, l.vec AS va, r.vec AS vb
            |         FROM b l JOIN b r ON l.band = r.band AND l.chunk = r.chunk
            |           AND l.id < r.id)
@@ -593,7 +595,8 @@ object Queries {
         s"""WITH s AS (SELECT id, sig FROM read_parquet('${g("minhash_sigs")}')),
            |b AS (SELECT id, sig, band,
            |        list_slice(sig, band*4 + 1, band*4 + 4) AS chunk
-           |      FROM s, range(0, 16) t(band)),
+           |      FROM s, range(0, 16) t(band)
+           |      QUALIFY count(*) OVER (PARTITION BY band, chunk) <= 1000),
            |cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b,
            |           l.sig AS sig_a, r.sig AS sig_b
            |         FROM b l JOIN b r ON l.band = r.band AND l.chunk = r.chunk
@@ -608,7 +611,8 @@ object Queries {
       "q_simhash_pairs" ->
         s"""WITH s AS (SELECT id, sig FROM read_parquet('${g("simhash_sigs")}')),
            |b AS (SELECT id, sig, band, (sig >> (band*16)) & 65535 AS chunk
-           |      FROM s, range(0, 4) t(band)),
+           |      FROM s, range(0, 4) t(band)
+           |      QUALIFY count(*) OVER (PARTITION BY band, chunk) <= 1000),
            |cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b,
            |           l.sig AS sig_a, r.sig AS sig_b
            |         FROM b l JOIN b r ON l.band = r.band AND l.chunk = r.chunk
@@ -622,7 +626,8 @@ object Queries {
         s"""WITH s AS (SELECT id, sig FROM read_parquet('${g("minhash_sigs")}')),
            |b AS (SELECT id, sig, band,
            |        list_slice(sig, band*4 + 1, band*4 + 4) AS chunk
-           |      FROM s, range(0, 16) t(band)),
+           |      FROM s, range(0, 16) t(band)
+           |      QUALIFY count(*) OVER (PARTITION BY band, chunk) <= 1000),
            |cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b,
            |           l.sig AS sig_a, r.sig AS sig_b
            |         FROM b l JOIN b r ON l.band = r.band AND l.chunk = r.chunk
@@ -631,7 +636,7 @@ object Queries {
            |  WHERE CAST(len(list_filter(range(1, 65), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 64 >= 0.3),
            |sh AS (SELECT id, sh FROM read_parquet('${g("shingles")}')),
            |j AS (SELECT c.id_a, c.id_b,
-           |        CAST(len(list_filter(a.sh, x -> list_contains(b2.sh, x))) AS DOUBLE)
+           |        CAST(len(list_filter(list_distinct(a.sh), x -> list_contains(b2.sh, x))) AS DOUBLE)
            |          / len(list_distinct(list_concat(a.sh, b2.sh))) AS jaccard
            |      FROM cand2 c JOIN sh a ON c.id_a = a.id JOIN sh b2 ON c.id_b = b2.id)
            |SELECT id_a, id_b, CAST(round(jaccard * 1000) AS BIGINT) AS jaccard_x1000

@@ -27,7 +27,9 @@ import java.nio.file.{Files, Paths}
   */
 object VerifyTables {
 
-  private val Version = "r2"
+  // bump whenever kernel/signature semantics change, or stale /tmp dumps
+  // would be replayed (r3: doc_vectors sig went 16-bit → 64-bit native)
+  private val Version = "r3"
   val Seed = 42L
 
   /** All table names, in dependency order. */
@@ -104,12 +106,13 @@ object VerifyTables {
         docs(s, sfDir).select(col("doc_id").as("id"),
           TextOps.shingles(col("text"), 3).as("sh"))
       case "doc_vectors" =>
-        // hashed-BoW "embedding" per document + its sign-LSH signature —
-        // the dumped basis for the embedding-cosine near-dup oracle
+        // hashed-BoW "embedding" per document + its 64-bit sign-LSH
+        // signature — the dumped basis for the embedding-cosine near-dup
+        // oracle (DuckDB replays the 16-bit-chunk band join from `sig`)
         docs(s, sfDir)
           .select(col("doc_id").as("id"),
             TextOps.hashedBowVector(col("text"), 64).as("vec"))
-          .withColumn("sig", graft.ops.SimilarityOps.cosineLshSignature(col("vec"), 16))
+          .withColumn("sig", graft.ops.SimilarityOps.cosineLshSignature(col("vec"), 64))
       case other => throw new IllegalArgumentException(s"unknown table $other")
     }
     df.write.mode("overwrite").parquet(p)

@@ -95,8 +95,15 @@ case class TopKSimAgg(
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val s = sim.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null)
-      buf.add(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    // NaN similarities (CosineSim of a zero-norm/empty vector) are skipped:
+    // NaN makes every `worse` comparison false (never evicted, and sortWith
+    // can throw on the broken total order). The replaced row_number window
+    // ordered NaN as LARGEST — ranking an undefined similarity first; the
+    // defined-sims-only semantics here is the documented divergence.
+    if (s != null && i != null) {
+      val sv = s.asInstanceOf[Double]
+      if (!java.lang.Double.isNaN(sv)) buf.add(sv, i.asInstanceOf[Long])
+    }
     buf
   }
 

@@ -83,6 +83,33 @@ object DedupOps {
       minhashSignatures(df, idCol, textCol, numHashes, shingleSize),
       numHashes, bands, threshold, maxBucketSize)
 
+  /** Shared LSH candidate machinery: the guarded band self-join. `banded`
+    * carries (band, <keyCol>, id, payload…); output is the deduplicated
+    * candidate pair set (id_a, id_b, <payload>_a, <payload>_b), id_a < id_b.
+    *
+    * Hot-bucket guard: a degenerate band value shared by k docs would emit
+    * k² candidates (at web scale: boilerplate-heavy shingles, template
+    * vectors). Buckets over `maxBucketSize` are dropped — any pair above
+    * the similarity threshold almost surely also collides in a
+    * non-degenerate band. The window is a per-(band, key) count —
+    * bounded by the banded relation's size, not the candidate blow-up it
+    * prevents. Shared by minhash, simhash, and embedding-LSH so the guard
+    * cannot drift between variants (round-2 review items #1/#3). */
+  private[ops] def guardedSelfJoin(
+      banded0: DataFrame, payloadCols: Seq[String], maxBucketSize: Int,
+      keyCol: String = "chunk"): DataFrame = {
+    val sized = banded0.withColumn("__bucket_n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", keyCol)))
+    val banded = sized.filter(col("__bucket_n") <= maxBucketSize).drop("__bucket_n")
+    def side(suffix: String) = banded.select(
+      col("band") +: col(keyCol) +: col("id").as(s"id$suffix") +:
+        payloadCols.map(p => col(p).as(s"$p$suffix")): _*)
+    side("_a").join(side("_b"), Seq("band", keyCol))
+      .filter(col("id_a") < col("id_b"))
+      .select(("id_a" +: "id_b" +: payloadCols.flatMap(p => Seq(s"${p}_a", s"${p}_b"))).map(col): _*)
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Band join + threshold over a precomputed (id, sig) signature table. */
   def minhashPairsFromSigs(
       sigs: DataFrame,
@@ -98,21 +125,7 @@ object DedupOps {
       posexplode(array((0 until bands).map(b =>
         xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, r)), lit(b))): _*))
         .as(Seq("band", "band_hash")))
-    // Hot-bucket guard: a degenerate band value shared by k docs would emit
-    // k² candidates (at web scale: boilerplate-heavy shingles). Buckets over
-    // maxBucketSize are dropped — any pair above the similarity threshold
-    // almost surely also collides in a non-degenerate band. The window is a
-    // per-(band,hash) count — partial-agg-free but bounded by the banded
-    // relation's size, not the candidate blow-up it prevents.
-    val sized = banded0.withColumn("__bucket_n",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "band_hash")))
-    val banded = sized.filter(col("__bucket_n") <= maxBucketSize).drop("__bucket_n")
-    val l = banded.select(col("band"), col("band_hash"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val rr = banded.select(col("band"), col("band_hash"), col("id").as("id_b"), col("sig").as("sig_b"))
-    val cand = l.join(rr, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b")
-      .dropDuplicates("id_a", "id_b")
+    val cand = guardedSelfJoin(banded0, Seq("sig"), maxBucketSize, keyCol = "band_hash")
     cand.withColumn("est_jaccard",
       aggregate(zip_with(col("sig_a"), col("sig_b"), (a, b) => when(a === b, 1).otherwise(0)),
         lit(0), (acc, x) => acc + x).cast("double") / numHashes)
@@ -186,31 +199,30 @@ object DedupOps {
 
   /** SimHash near-dup pairs within Hamming distance ≤ maxHamming (< 16):
     * banded equi-join on the four 16-bit chunks (pigeonhole: distance ≤ 3
-    * ⇒ some chunk identical), then exact popcount verification. */
+    * ⇒ some chunk identical), then exact popcount verification. The
+    * chunk join carries the same hot-bucket guard as minhash — web corpora
+    * concentrate near-identical boilerplate, and one hot chunk value of k
+    * docs would otherwise emit k² candidates (round-2 review item #3). */
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame =
-    simhashPairsFromSigs(simhashSignatures(df, idCol, textCol), maxHamming)
+      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame =
+    simhashPairsFromSigs(simhashSignatures(df, idCol, textCol), maxHamming, maxBucketSize)
 
   /** Chunk join + Hamming filter over a precomputed (id, sig) table. */
-  def simhashPairsFromSigs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairsFromSigs(sigs: DataFrame, maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sig"), b * 16).bitwiseAND(0xffffL)): _*))
         .as(Seq("band", "chunk")))
-    val l = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val rr = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
-    val cand = l.join(rr, Seq("band", "chunk"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b")
-      .dropDuplicates("id_a", "id_b")
+    val cand = guardedSelfJoin(banded, Seq("sig"), maxBucketSize)
     cand.withColumn("hamming", hammingDistance(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
 
-  /** popcount(a XOR b): count of '1' chars in the 64-bit binary rendering.
-    * (The classic SWAR popcount needs wrapping arithmetic, which ANSI mode
-    * — Spark 4's default — rejects; `bin()` is overflow-free and codegen.) */
+  /** popcount(a XOR b) via the `bit_count` intrinsic (ANSI-safe, codegen;
+    * replaces the round-2 `bin()`+regex rendering — a per-pair regex where
+    * a builtin exists, review item "What's wrong #5"). */
   def hammingDistance(a: Column, b: Column): Column =
-    length(regexp_replace(bin(a.bitwiseXOR(b)), "0", "")).cast("int")
+    bit_count(a.bitwiseXOR(b))
 }

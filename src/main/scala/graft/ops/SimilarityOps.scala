@@ -130,43 +130,59 @@ object SimilarityOps {
     * and emitted ROUNDED to 1e-6 so a DuckDB oracle reproduces the exact
     * row set from the dumped (id, vec, sig) table — engines agree to
     * ~1 ulp, far inside the rounding grain.
+    *
+    * Scale contract (round-2 review item #1): the default signature is
+    * 64-bit with 16-bit chunks — 65 536 join keys per band, so the band
+    * self-join stays ~O(n·bands) candidates instead of the old 16-bit/
+    * 4-bit-chunk default's ≤16 buckets per band (~n²/16 pairs). On top of
+    * the key-domain fix, `maxBucketSize` drops degenerate hot buckets
+    * (boilerplate-heavy corpora concentrate near-identical vectors) —
+    * the same guard minhash carries.
+    *
     * Input: (id, vec); output: (id_a, id_b, cos_x1e6), id_a < id_b. */
   def embeddingDupPairs(
       vecs: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nbits: Int = 16, bands: Int = 4): DataFrame = {
+      threshold: Double, nbits: Int = 64, bands: Int = 4,
+      maxBucketSize: Int = 1000): DataFrame = {
     require(nbits % bands == 0)
     val sigs = vecs.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("sig", cosineLshSignature(col("vec"), nbits))
-    embeddingDupPairsFromSigs(sigs, threshold, nbits, bands)
+    embeddingDupPairsFromSigs(sigs, threshold, nbits, bands, maxBucketSize)
   }
 
   /** Band join + verify over a precomputed (id, vec, sig) table (the
     * materialization point for the DuckDB oracle). */
   def embeddingDupPairsFromSigs(
       sigs: DataFrame, threshold: Double,
-      nbits: Int = 16, bands: Int = 4): DataFrame = {
+      nbits: Int = 64, bands: Int = 4,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(nbits % bands == 0)
     val chunkBits = nbits / bands
-    val mask = (1L << chunkBits) - 1
+    val mask = if (chunkBits >= 64) -1L else (1L << chunkBits) - 1
     val banded = sigs.select(col("id"), col("vec"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("sig"), b * chunkBits).bitwiseAND(mask)): _*))
         .as(Seq("band", "chunk")))
-    val l = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val r = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("vec").as("vec_b"))
+    val cand = DedupOps.guardedSelfJoin(banded, Seq("vec"), maxBucketSize)
     val thresholdMicros = math.round(threshold * 1e6)
-    l.join(r, Seq("band", "chunk"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "vec_a", "vec_b")
-      .dropDuplicates("id_a", "id_b")
+    cand
       .withColumn("cos_x1e6", round(cosine(col("vec_a"), col("vec_b")) * 1e6).cast("long"))
       .filter(col("cos_x1e6") >= thresholdMicros)
       .select("id_a", "id_b", "cos_x1e6")
   }
 
-  /** Random-hyperplane LSH bucket signature for cosine (sign bits of
-    * projections onto `nbits` pseudo-random hyperplanes derived from a
-    * seeded hash — no stored projection matrix). */
-  def cosineLshSignature(vec: Column, nbits: Int = 16, seed: Int = 7): Column =
+  /** Random-hyperplane LSH bucket signature for cosine — native fused-loop
+    * expression ([[graft.functions.CosineLshSig]]); the sign matrix is
+    * cached per task, the per-row work is one pass over the vector.
+    * Bit-identical to [[cosineLshSignatureColumnar]] (pinned in OpsSpec,
+    * codegen and interpreted paths). */
+  def cosineLshSignature(vec: Column, nbits: Int = 64, seed: Int = 7): Column =
+    graft.functions.CosineLshSig(vec, nbits, seed)
+
+  /** Pure-Column formulation (nbits independent aggregate folds; weights
+    * `xxhash64(seed, bit, i) & 1`) — retained as the independent
+    * bit-identity oracle for the native expression. */
+  def cosineLshSignatureColumnar(vec: Column, nbits: Int = 64, seed: Int = 7): Column =
     (0 until nbits).foldLeft(lit(0L)) { (acc, bit) =>
       // pseudo-random ±1 weights per (bit, dim) via xxhash64
       val proj = aggregate(

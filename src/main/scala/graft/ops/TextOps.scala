@@ -71,8 +71,15 @@ object TextOps {
     * so exact-duplicate texts map to identical vectors (cosine 1) and
     * near-duplicates stay close — the embedding stand-in for the
     * embedding-cosine near-dup operator when no learned embeddings exist
-    * for the text corpus. */
+    * for the text corpus. Native one-pass expression
+    * ([[graft.functions.HashedBow]]); bit-identical to
+    * [[hashedBowVectorColumnar]] (pinned in OpsSpec). */
   def hashedBowVector(text: Column, dim: Int = 64): Column =
+    graft.functions.HashedBow(transform(tokens(text), w => xxhash64(w)), dim)
+
+  /** Pure-Column formulation (a dim-wide array copy per token) — retained
+    * as the independent bit-identity oracle for the native expression. */
+  def hashedBowVectorColumnar(text: Column, dim: Int = 64): Column =
     aggregate(
       transform(tokens(text), w => xxhash64(w)),
       array_repeat(lit(0.0), dim),

@@ -231,4 +231,133 @@ class OpsSpec extends AnyFunSuite {
       .select(TextOps.fingerprint(col("text")).as("fp")).as[Long].collect()
     assert(r(0) == r(2) && r(0) != r(1))
   }
+
+  test("native CosineLshSig ≡ columnar formulation at 64 bits (double AND float vectors); codegen ≡ interpreted") {
+    // array<double> input: hashed-BoW doc vectors
+    val vecs = dupCorpus.select(col("doc_id"),
+      TextOps.hashedBowVector(col("text"), 64).as("vec"))
+    val both = vecs.select(col("doc_id"),
+      SimilarityOps.cosineLshSignature(col("vec"), 64).as("native"),
+      SimilarityOps.cosineLshSignatureColumnar(col("vec"), 64).as("columnar"))
+    assert(both.filter(col("native") =!= col("columnar")).count() == 0)
+    // array<float> input: the embeddings table
+    val fboth = embs.limit(100).select(col("vec_id"),
+      SimilarityOps.cosineLshSignature(col("embedding"), 64).as("native"),
+      SimilarityOps.cosineLshSignatureColumnar(col("embedding"), 64).as("columnar"))
+    assert(fboth.filter(col("native") =!= col("columnar")).count() == 0)
+    // non-default widths agree too
+    val short = vecs.select(
+      SimilarityOps.cosineLshSignature(col("vec"), 16).as("native"),
+      SimilarityOps.cosineLshSignatureColumnar(col("vec"), 16).as("columnar"))
+    assert(short.filter(col("native") =!= col("columnar")).count() == 0)
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interp = vecs.select(col("doc_id"),
+        SimilarityOps.cosineLshSignature(col("vec"), 64).as("native"))
+      assert(both.select("doc_id", "native").except(interp).count() == 0)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("native HashedBow ≡ columnar formulation bit-for-bit; codegen ≡ interpreted") {
+    val both = dupCorpus.select(col("doc_id"),
+      TextOps.hashedBowVector(col("text"), 64).as("native"),
+      TextOps.hashedBowVectorColumnar(col("text"), 64).as("columnar"))
+    assert(both.filter(col("native") =!= col("columnar")).count() == 0)
+    val empty = Seq("", "   ").toDF("text")
+      .select(TextOps.hashedBowVector(col("text"), 8).as("v")).as[Seq[Double]].collect()
+    empty.foreach(v => assert(v == Seq.fill(8)(0.0)))
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interp = dupCorpus.select(col("doc_id"),
+        TextOps.hashedBowVector(col("text"), 64).as("native"))
+      assert(both.select("doc_id", "native").except(interp).count() == 0)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  /** Heavy-boilerplate corpus: every doc shares the template tokens and
+    * differs only in a unique tail — the web-scale shape that concentrates
+    * LSH buckets. */
+  private def boilerplateCorpus(n: Int) = {
+    val template = "home about contact copyright all rights reserved nav menu " +
+      "footer header subscribe newsletter privacy policy terms of service"
+    spark.range(n.toLong)
+      .select(col("id"), concat(lit(template + " page token "), col("id")).as("text"))
+  }
+
+  test("hot-bucket guard bounds candidates on a boilerplate-heavy corpus (simhash + embedding LSH)") {
+    val n = 2000
+    val corpus = boilerplateCorpus(n).cache()
+    // SimHash: near-identical docs concentrate the 16-bit chunks. With the
+    // guard at 100, every (band, chunk) bucket contributes ≤ 100·(100-1)/2
+    // pairs, so candidates ≤ guardBound regardless of skew.
+    val simSigs = DedupOps.simhashSignatures(corpus, "id", "text").cache()
+    val simBanded = simSigs.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 16).bitwiseAND(0xffffL)): _*))
+        .as(Seq("band", "chunk")))
+    val guarded = DedupOps.guardedSelfJoin(simBanded, Seq("sig"), maxBucketSize = 100).count()
+    // the dominant (hot) buckets are dropped entirely; what remains is the
+    // long tail — far below the unguarded all-pairs blow-up (~n²/bands)
+    assert(guarded < n.toLong * 100, s"guarded candidate count $guarded not ~O(n·cap)")
+    // embedding LSH end-to-end: the 64-bit/16-bit-chunk default plus the
+    // guard must keep candidates bounded even though every vector is
+    // nearly identical (this corpus is the review's degenerate case)
+    val vecs = corpus.select(col("id"), TextOps.hashedBowVector(col("text"), 64).as("vec"))
+    val pairs = SimilarityOps.embeddingDupPairs(vecs, "id", "vec",
+      threshold = 0.95, maxBucketSize = 100)
+    assert(pairs.count() < n.toLong * 100)
+  }
+
+  test("hot-bucket guard drops planted degenerate buckets but keeps the long tail") {
+    // 300 identical signatures (one hot bucket per band) + 20 distinct ones
+    val hot = spark.range(300).select(col("id"), lit(0x1234_5678_9abc_def0L).as("sig"))
+    val tail = spark.range(300, 320)
+      .select(col("id"), (col("id") * 1000000007L).as("sig"))
+    val sigs = hot.union(tail)
+    val pairs = DedupOps.simhashPairsFromSigs(sigs, maxHamming = 3, maxBucketSize = 100)
+      .collect()
+    // no pair from the hot bucket survives (both endpoints ≥ 300 excluded…
+    // actually hot ids are 0-299: no pair may have BOTH endpoints < 300)
+    assert(!pairs.exists(p => p.getAs[Long]("id_a") < 300 && p.getAs[Long]("id_b") < 300))
+    // and with the guard above the bucket size, the hot pairs come back
+    val unguarded = DedupOps.simhashPairsFromSigs(sigs, maxHamming = 3, maxBucketSize = 1000)
+    assert(unguarded.filter(col("id_a") < 300 && col("id_b") < 300).count() == 300L * 299 / 2)
+  }
+
+  test("embedding LSH 64-bit default: planted exact dups still found, candidate domain is 16-bit") {
+    val vecs = dupCorpus.select(col("doc_id").as("id"),
+      TextOps.hashedBowVector(col("text"), 64).as("vec"))
+    val pairs = SimilarityOps.embeddingDupPairs(vecs, "id", "vec", threshold = 0.95)
+      .collect()
+    val exact = pairs.filter(_.getAs[Long]("cos_x1e6") == 1000000L)
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val planted = (0 until 10).map { i =>
+      val base = dupCorpus.orderBy("doc_id").limit(120).collect()(i).getAs[Long]("doc_id")
+      (base, base + 10000)
+    }.toSet
+    assert(planted.subsetOf(exact), s"missing exact dups: ${planted -- exact}")
+  }
+
+  test("TopKSimAgg skips NaN similarities (zero-norm vectors) instead of corrupting the heap") {
+    val rows = Seq(
+      (1L, 10L, 0.9), (1L, 11L, Double.NaN), (1L, 12L, 0.8),
+      (1L, 13L, Double.NaN), (1L, 14L, 0.95)
+    ).toDF("query_id", "neighbor_id", "sim")
+    val top = rows.groupBy("query_id")
+      .agg(graft.functions.TopKSimAgg(col("sim"), col("neighbor_id"), 3).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.neighbor_id"), col("e.sim"))
+      .as[(Long, Double)].collect().toSeq
+    assert(top == Seq((14L, 0.95), (10L, 0.9), (12L, 0.8)))
+  }
 }
