@@ -110,15 +110,20 @@ object Bench {
       val t: Map[Int, Double] =
         levels.map(n => n -> byRound.map(_(n)).min).toMap
       def eff(a: Int, b: Int): Double = (t(a) / t(b)) * (a.toDouble / b)
-      // within-round pairing: T_1 and T_4 measured back-to-back (~2 min
-      // apart) — immune to the load-regime drift that can separate the
-      // cross-round minima by 20+ minutes on this shared box. The REPORTED
-      // figure is the better of (conservative cross-round-min pair, best
-      // within-round pair); both appear in the JSON and the md.
       def effRound(r: Map[Int, Double], a: Int, b: Int): Double =
         (r(a) / r(b)) * (a.toDouble / b)
-      val effWithin14 = byRound.map(effRound(_, 1, 4)).max
-      val eff14 = math.max(eff(1, 4), effWithin14)
+      // The REPORTED north-rule figure is the CROSS-ROUND-MIN pair: ambient
+      // sandbox stalls only ever ADD wall time, so min-of-passes is the
+      // consistent estimator of each level's uncontended wall (the timeit
+      // convention), and the efficiency of the two minima is a single
+      // defensible number — not a max over noisy estimators (the round-2
+      // review flagged reporting the best of 5 pairings as upward-biased
+      // selection). The within-round pairings (back-to-back, immune to
+      // between-round load drift) are reported alongside as labeled
+      // median/best — diagnostics, not the headline.
+      val within14 = byRound.map(effRound(_, 1, 4)).sorted
+      val medianWithin14 = within14(within14.length / 2)
+      val eff14 = eff(1, 4)
       val eff28 = eff(2, 8)
       val eff832 = eff(8, 32)
       scaling = Map(
@@ -130,12 +135,12 @@ object Bench {
         // 1→4 — one box cannot emulate 4N executors' memory channels at
         // 8→32; the full curve below carries the saturation evidence)
         "scaling_efficiency" -> eff14,
-        "scaling_efficiency_cross_min" -> eff(1, 4),
-        "scaling_efficiency_within_round" -> effWithin14,
+        "scaling_efficiency_within_round_median" -> medianWithin14,
+        "scaling_efficiency_within_round_best" -> within14.last,
         "scaling_efficiency_2_8" -> eff28,
         "scaling_efficiency_8_32" -> eff832,
         "n_docs" -> nDocs.toDouble)
-      writeBenchMd(sfDir, nDocs, t, byRound, eff14, eff28, eff832, results)
+      writeBenchMd(sfDir, nDocs, t, byRound, eff14, medianWithin14, eff28, eff832, results)
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -152,7 +157,7 @@ object Bench {
     * a static "recorded curve" that could contradict the live table). */
   private def writeBenchMd(sfDir: String, nDocs: Long, t: Map[Int, Double],
       byRound: Vector[Map[Int, Double]],
-      eff14: Double, eff28: Double, eff832: Double,
+      eff14: Double, medianWithin14: Double, eff28: Double, eff832: Double,
       results: Vector[(String, Double)]): Unit = {
     val md = new StringBuilder
     md ++= "# BENCH\n\n"
@@ -167,13 +172,14 @@ object Bench {
       md ++= f"| ${s"local[$n]"}%-9s | ${t(n)}%.2f | ${nDocs / t(n)}%.0f | ${nDocs / t(n) / n}%.0f |\n"
     }
     md ++= "\n| pair (N -> 4N cores) | T_N (s) | T_4N (s) | efficiency |\n|---|---|---|---|\n"
-    md ++= f"| **1 -> 4 (uncontended — the reported pair)** | ${t(1)}%.2f | ${t(4)}%.2f | **$eff14%.3f** |\n"
+    md ++= f"| **1 -> 4 (uncontended — the reported pair; cross-round-min walls)** | ${t(1)}%.2f | ${t(4)}%.2f | **$eff14%.3f** |\n"
     md ++= f"| 2 -> 8 | ${t(2)}%.2f | ${t(8)}%.2f | $eff28%.3f |\n"
     md ++= f"| 8 -> 32 (DRAM-saturated) | ${t(8)}%.2f | ${t(32)}%.2f | $eff832%.3f |\n\n"
-    md ++= "Per-round raw walls (each round measures all levels back-to-back; the\n"
-    md ++= "reported 1 -> 4 figure is the better of the cross-round-min pair and the\n"
-    md ++= "best within-round pair — back-to-back pairing is immune to load-regime\n"
-    md ++= "drift between rounds):\n\n"
+    md ++= f"Within-round 1 -> 4 pairings (back-to-back, immune to between-round load\n"
+    md ++= f"drift): median $medianWithin14%.3f, per round in the table below. The\n"
+    md ++= f"REPORTED figure is the cross-round-min pair — min-of-passes is the\n"
+    md ++= f"consistent estimator under the sandbox's strictly-additive ambient\n"
+    md ++= f"stalls; no max-over-estimators selection.\n\n"
     md ++= "| round | T_1 | T_2 | T_4 | T_8 | T_32 | eff 1->4 within round |\n|---|---|---|---|---|---|---|\n"
     byRound.zipWithIndex.foreach { case (r, i) =>
       md ++= f"| ${i + 1} | ${r(1)}%.2f | ${r(2)}%.2f | ${r(4)}%.2f | ${r(8)}%.2f | ${r(32)}%.2f | ${(r(1) / r(4)) * 0.25}%.3f |\n"
