@@ -62,11 +62,16 @@ object Queries {
       ExtractPipeline.parsePages(
         ExtractPipeline.asPageDocs(vt(s, dir, "northrule")), PromptMode.Ocr)
         .toDF().orderBy("url", "page_no")),
+    // grounding mode now carries a REAL oracle: the kernel dumps per-cell
+    // input-space centers + the pre-processed query bbox (grounding_cells)
+    // and DuckDB independently replays the center-containment filter +
+    // reading-order text join that defines the response (parser.py:130-137)
     "x_extract_grounding" -> ((s, dir) =>
       ExtractPipeline.parsePages(
         ExtractPipeline.asPageDocs(vt(s, dir, "northrule").filter(col("url").contains("/html/"))),
-        PromptMode.GroundingOcr((0L, 0L, 1280L, 200L)))
-        .toDF().orderBy("url", "page_no")),
+        PromptMode.GroundingOcr(VerifyTables.GroundingQueryBox))
+        .toDF().select(col("url"), col("page_no"), col("md").as("response"))
+        .orderBy("url", "page_no")),
 
     // ---- A1+A2+W2/S9: per-group ordered assembly (reference md combine)
     "q_page_assembly" -> ((s, dir) =>
@@ -482,6 +487,20 @@ object Queries {
            |coalesce(string_agg(CASE WHEN error <> '' THEN error END, '; ' ORDER BY page_no), '') AS error
            |FROM read_parquet('${g("extract_pages")}')
            |GROUP BY url ORDER BY url""".stripMargin,
+      // grounding OCR: center-containment filter + reading-order text join
+      // replayed from the dumped per-cell centers / query bbox; anchor rows
+      // (ord = -1) keep zero-hit and error pages in the group with "" —
+      // exactly the kernel's empty-response rendering
+      "x_extract_grounding" ->
+        s"""WITH c AS (SELECT * FROM read_parquet('${g("grounding_cells")}')),
+           |hits AS (
+           |  SELECT url, page_no, ord, text FROM c
+           |  WHERE ord >= 0 AND cx >= qx1 AND cx <= qx2 AND cy >= qy1 AND cy <= qy2
+           |), pages AS (SELECT DISTINCT url, page_no FROM c)
+           |SELECT p.url, p.page_no,
+           |  coalesce(string_agg(h.text, e'\\n\\n' ORDER BY h.ord), '') AS response
+           |FROM pages p LEFT JOIN hits h ON p.url = h.url AND p.page_no = h.page_no
+           |GROUP BY p.url, p.page_no ORDER BY p.url, p.page_no""".stripMargin,
       // W1 span explode: JSON parse + per-page ordinality
       "x_span_explode" ->
         s"""WITH p AS (

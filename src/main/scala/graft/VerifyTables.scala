@@ -35,7 +35,12 @@ object VerifyTables {
   /** All table names, in dependency order. */
   val names: Vector[String] = Vector(
     "northrule", "extract_pages", "extract_docs", "repair_cases",
-    "minhash_sigs", "simhash_sigs", "shingles", "doc_vectors")
+    "minhash_sigs", "simhash_sigs", "shingles", "doc_vectors",
+    "grounding_cells")
+
+  /** The grounding-mode query bbox (original space) used by both the
+    * x_extract_grounding query and the grounding_cells oracle dump. */
+  val GroundingQueryBox: (Long, Long, Long, Long) = (0L, 0L, 1280L, 200L)
 
   def root(sfDir: String): String =
     s"/tmp/graft_tables_${Version}_${InputTable.docsForSfDir(sfDir)}_$Seed"
@@ -113,6 +118,16 @@ object VerifyTables {
           .select(col("doc_id").as("id"),
             TextOps.hashedBowVector(col("text"), 64).as("vec"))
           .withColumn("sig", graft.ops.SimilarityOps.cosineLshSignature(col("vec"), 64))
+      case "grounding_cells" =>
+        // per-cell input-space centers + pre-processed query bbox for the
+        // grounding-mode pages; DuckDB replays containment + ordered join
+        import s.implicits._
+        implicit val enc: org.apache.spark.sql.Encoder[graft.core.GroundingCellRow] =
+          org.apache.spark.sql.Encoders.product[graft.core.GroundingCellRow]
+        ExtractPipeline.asPageDocs(
+          read(s, sfDir, "northrule").filter(col("url").contains("/html/")))
+          .flatMap(d => graft.kernel.ExtractKernel.groundingCellRows(d, GroundingQueryBox))
+          .toDF()
       case other => throw new IllegalArgumentException(s"unknown table $other")
     }
     df.write.mode("overwrite").parquet(p)

@@ -88,6 +88,24 @@ final case class ParsedPage(
     filtered: Boolean,
     error: String) // empty when ok; reference writes page_NNN_error.txt instead
 
+/** One join-eligible cell of a grounding-mode page, dumped for the DuckDB
+  * oracle: the kernel computes the input-space center (cx, cy) and the
+  * pre-processed query bbox (qx1..qy2) — smart_resize math DuckDB cannot
+  * replay — and DuckDB independently replays the center-containment
+  * filter + ordered text join (reference: parser.py:130-137). `ord` = -1
+  * marks the per-page anchor row (keeps zero-hit pages in the group). */
+final case class GroundingCellRow(
+    url: String,
+    page_no: Int,
+    ord: Int,
+    text: String,
+    cx: Double,
+    cy: Double,
+    qx1: Long,
+    qy1: Long,
+    qx2: Long,
+    qy2: Long)
+
 /** Assembled per-document output row. */
 final case class ParsedDoc(
     url: String,

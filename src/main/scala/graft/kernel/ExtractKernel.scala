@@ -147,6 +147,54 @@ object ExtractKernel {
     }
   }
 
+  /** Grounding-oracle dump: one row per join-eligible cell (cells carrying
+    * a `text` key — exactly [[cellTexts]]'s eligibility) with its
+    * input-space center and the page's pre-processed query bbox, plus one
+    * anchor row (ord = -1) per page so zero-hit and error pages still form
+    * an (url, page_no) group whose replayed response is "". The center and
+    * query-bbox math mirrors [[classifierResponse]]'s GroundingOcr branch
+    * term-for-term; the containment filter + ordered join is what the
+    * DuckDB oracle replays independently (parser.py:130-137). */
+  def groundingCellRows(doc: PageDoc,
+      qbox: (Long, Long, Long, Long)): Vector[GroundingCellRow] =
+    fanOut(doc).flatMap { page =>
+      val anchor = GroundingCellRow(page.url, page.page_no, -1, "",
+        Double.MaxValue, Double.MaxValue, 0L, 0L, 0L, 0L)
+      try {
+        val layoutOpt = page.payload_kind match {
+          case "pdf"  => Some(PdfLite.pageToLayout(PdfLite.parse(page.page_bytes).pages.head))
+          case "html" => Some(HtmlExtract.extract(page.page_bytes))
+          case _      => None // error rows ⇒ md == "" ⇒ anchor only
+        }
+        layoutOpt match {
+          case None => Vector(anchor)
+          case Some(layout) =>
+            val (ih, iw) = Geometry.smartResize(layout.height, layout.width)
+            val sx = iw.toDouble / layout.width
+            val sy = ih.toDouble / layout.height
+            val q = BboxScale.preProcessBboxes(
+              layout.width, layout.height,
+              Vector(Vector(JInt(qbox._1), JInt(qbox._2), JInt(qbox._3), JInt(qbox._4))),
+              iw, ih).head
+            val cellRows = layout.cells.zipWithIndex.collect {
+              case (o: JObject, ord) if o.has("text") =>
+                val JArray(b) = o.get("bbox").get
+                val cx = (BboxScale.pyFloatOf(b(0)) + BboxScale.pyFloatOf(b(2))) / 2 * sx
+                val cy = (BboxScale.pyFloatOf(b(1)) + BboxScale.pyFloatOf(b(3))) / 2 * sy
+                val text = o.get("text").get match {
+                  case JString(s) => s
+                  case v          => PyJson.pyStr(v)
+                }
+                GroundingCellRow(page.url, page.page_no, ord, text, cx, cy,
+                  q(0).toLong, q(1).toLong, q(2).toLong, q(3).toLong)
+            }
+            anchor +: cellRows
+        }
+      } catch {
+        case _: Exception => Vector(anchor)
+      }
+    }
+
   def cellTexts(cells: Vector[JValue], includeHf: Boolean): Vector[String] =
     cells.collect {
       case o: JObject if o.has("text") &&
