@@ -475,6 +475,34 @@ object Queries {
   private def materializedOracles: Map[String, String] = {
     def g(name: String) = VerifyTables.oracleGlob(name)
     Map(
+      // IVF: the deterministic farthest-point codebook is dumped
+      // (ivf_centroids) and DuckDB replays assignment, nprobe probing, and
+      // per-query top-k from it — the full IVF relational plan
+      "q_ann_ivf" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |cents AS (SELECT cidx, cv FROM read_parquet('${g("ivf_centroids")}')),
+           |cassign AS (
+           |  SELECT e.vec_id AS neighbor_id, e.v AS cvec, cents.cidx,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY list_cosine_similarity(e.v, cents.cv) DESC, cents.cidx ASC) AS crank
+           |  FROM e, cents),
+           |corpus AS (SELECT neighbor_id, cvec, cidx AS list_idx FROM cassign WHERE crank = 1),
+           |qassign AS (
+           |  SELECT e.vec_id AS query_id, e.v AS qvec, cents.cidx,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY list_cosine_similarity(e.v, cents.cv) DESC, cents.cidx ASC) AS crank
+           |  FROM e, cents WHERE e.vec_id < 256),
+           |probes AS (SELECT query_id, qvec, cidx AS list_idx FROM qassign WHERE crank <= 4),
+           |scored AS (SELECT p.query_id, c.neighbor_id,
+           |    list_cosine_similarity(c.cvec, p.qvec) AS sim
+           |  FROM corpus c JOIN probes p ON c.list_idx = p.list_idx
+           |  WHERE c.neighbor_id <> p.query_id),
+           |ranked AS (SELECT query_id, neighbor_id,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+           |  FROM scored)
+           |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin,
       // A1+A2+S9 re-assembly of the per-document rows from per-page rows
       "x_extract_full" ->
         s"""SELECT url,
@@ -660,34 +688,6 @@ object Queries {
            |      FROM cand2 c JOIN sh a ON c.id_a = a.id JOIN sh b2 ON c.id_b = b2.id)
            |SELECT id_a, id_b, CAST(round(jaccard * 1000) AS BIGINT) AS jaccard_x1000
            |FROM j ORDER BY id_a, id_b""".stripMargin,
-      // IVF: deterministic first-k centroids, argmax assignment, nprobe
-      // probing, per-query top-k — fully replayed on the embeddings table
-      "q_ann_ivf" ->
-        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-          |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v AS cv
-          |          FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
-          |cassign AS (
-          |  SELECT e.vec_id AS neighbor_id, e.v AS cvec, cents.cidx,
-          |    row_number() OVER (PARTITION BY e.vec_id
-          |      ORDER BY list_cosine_similarity(e.v, cents.cv) DESC, cents.cidx ASC) AS crank
-          |  FROM e, cents),
-          |corpus AS (SELECT neighbor_id, cvec, cidx AS list_idx FROM cassign WHERE crank = 1),
-          |qassign AS (
-          |  SELECT e.vec_id AS query_id, e.v AS qvec, cents.cidx,
-          |    row_number() OVER (PARTITION BY e.vec_id
-          |      ORDER BY list_cosine_similarity(e.v, cents.cv) DESC, cents.cidx ASC) AS crank
-          |  FROM e, cents WHERE e.vec_id < 256),
-          |probes AS (SELECT query_id, qvec, cidx AS list_idx FROM qassign WHERE crank <= 4),
-          |scored AS (SELECT p.query_id, c.neighbor_id,
-          |    list_cosine_similarity(c.cvec, p.qvec) AS sim
-          |  FROM corpus c JOIN probes p ON c.list_idx = p.list_idx
-          |  WHERE c.neighbor_id <> p.query_id),
-          |ranked AS (SELECT query_id, neighbor_id,
-          |    CAST(row_number() OVER (PARTITION BY query_id
-          |      ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank
-          |  FROM scored)
-          |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
-          |ORDER BY query_id, rank""".stripMargin
     )
   }
 }

@@ -36,7 +36,7 @@ object VerifyTables {
   val names: Vector[String] = Vector(
     "northrule", "extract_pages", "extract_docs", "repair_cases",
     "minhash_sigs", "simhash_sigs", "shingles", "doc_vectors",
-    "grounding_cells")
+    "grounding_cells", "ivf_centroids")
 
   /** The grounding-mode query bbox (original space) used by both the
     * x_extract_grounding query and the grounding_cells oracle dump. */
@@ -118,6 +118,16 @@ object VerifyTables {
           .select(col("doc_id").as("id"),
             TextOps.hashedBowVector(col("text"), 64).as("vec"))
           .withColumn("sig", graft.ops.SimilarityOps.cosineLshSignature(col("vec"), 64))
+      case "ivf_centroids" =>
+        // the deterministic farthest-point IVF codebook over the embeddings
+        // table — dumped so the DuckDB oracle replays assignment + probing
+        // + top-k from the byte-identical codebook the Spark query uses
+        // (the seeding itself is iterative driver-side math, like the
+        // signatures: an input to the replayed relational plan)
+        import s.implicits._
+        graft.ops.SimilarityOps.collectCentroids(
+          s.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id", "embedding", 16)
+          .toSeq.map { case (i, v) => (i, v.toSeq) }.toDF("cidx", "cv")
       case "grounding_cells" =>
         // per-cell input-space centers + pre-processed query bbox for the
         // grounding-mode pages; DuckDB replays containment + ordered join

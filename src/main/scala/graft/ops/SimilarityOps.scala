@@ -62,34 +62,124 @@ object SimilarityOps {
     topKPerQuery(scored, k)
   }
 
-  /** Deterministic coarse centroids: the first `k` corpus vectors by id
-    * (stable, seedless; farthest-point refinement is an extension point).
+  /** Deterministic coarse centroids: farthest-point seeding over a
+    * deterministic sample (the first `sampleSize` corpus vectors by id)
+    * refined by `lloydIters` k-means iterations on the same sample.
+    *
+    * Seeding: start from the first sample vector, then repeatedly add the
+    * sample vector with the smallest maximum cosine to the chosen set
+    * (farthest in cosine space), ties to the smaller sample index — this
+    * spreads the codebook across the data's actual clusters (the round-2
+    * first-k-by-id seed made recall hinge on the id order of the first k
+    * rows). Refinement: assign each sample vector to its max-cosine
+    * centroid (ties to the smaller index), replace each centroid with the
+    * arithmetic mean of its assigned vectors in sample order (a centroid
+    * that loses all points keeps its previous value) — FPS seeds land on
+    * cluster RIMS (outliers are the farthest points); Lloyd pulls them to
+    * the cluster cores, which is what assignment purity needs.
+    *
     * Collected to the driver — k is a small index parameter (O(√n) at
     * most), and the centroid table must be resident everywhere anyway;
-    * this is the IVF codebook, not data. */
+    * this is the IVF codebook, not data. Every step is sequential double
+    * arithmetic over a deterministically ordered sample, so the
+    * VerifyTables dump and any recomputation agree bit-for-bit. */
   def collectCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int): Array[(Int, Array[Double])] =
-    corpus.orderBy(col(idCol)).limit(k)
-      .select(col(idCol), col(vecCol))
-      .collect()
-      .zipWithIndex
-      .map { case (row, i) =>
-        val v = row.getSeq[Any](1).map {
+      k: Int, sampleSize: Int = 0, lloydIters: Int = 3): Array[(Int, Array[Double])] = {
+    val m = if (sampleSize > 0) sampleSize else math.max(4 * k, 64)
+    val sample: Array[Array[Double]] =
+      corpus.orderBy(col(idCol)).limit(m).select(col(vecCol))
+        .collect()
+        .map(_.getSeq[Any](0).map {
           case f: java.lang.Float  => f.toDouble
           case d: java.lang.Double => d.doubleValue()
           case n: java.lang.Number => n.doubleValue()
-        }.toArray
-        (i, v)
+        }.toArray)
+    if (sample.isEmpty) return Array.empty
+    val norms = sample.map(v => math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)))
+    def cos(i: Int, j: Int): Double = {
+      if (norms(i) == 0.0 || norms(j) == 0.0) return 0.0
+      val a = sample(i); val b = sample(j)
+      var dot = 0.0
+      var t = 0
+      val n = math.min(a.length, b.length)
+      while (t < n) { dot += a(t) * b(t); t += 1 }
+      dot / (norms(i) * norms(j))
+    }
+    val kk = math.min(k, sample.length)
+    val chosen = new Array[Int](kk)
+    chosen(0) = 0
+    // maxCos(i) = highest cosine from sample i to any chosen centroid;
+    // the next centroid is the sample minimizing it (farthest point)
+    val maxCos = Array.fill(sample.length)(-2.0)
+    val taken = new Array[Boolean](sample.length)
+    taken(0) = true
+    var nChosen = 1
+    while (nChosen < kk) {
+      val last = chosen(nChosen - 1)
+      var best = -1
+      var bestMax = Double.PositiveInfinity
+      var i = 0
+      while (i < sample.length) {
+        if (!taken(i)) {
+          val c = cos(i, last)
+          if (c > maxCos(i)) maxCos(i) = c
+          if (maxCos(i) < bestMax) { bestMax = maxCos(i); best = i }
+        }
+        i += 1
       }
+      chosen(nChosen) = best
+      taken(best) = true
+      nChosen += 1
+    }
+    val cents: Array[Array[Double]] = chosen.map(si => sample(si).clone())
+    var it = 0
+    while (it < lloydIters) {
+      val cnorms = cents.map(c => math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x)))
+      val sums = Array.fill(kk)(new Array[Double](cents(0).length))
+      val counts = new Array[Int](kk)
+      var i = 0
+      while (i < sample.length) {
+        val v = sample(i)
+        var bestC = 0
+        var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < kk) {
+          val cv = cents(c)
+          val n = math.min(v.length, cv.length)
+          var d = 0.0
+          var t = 0
+          while (t < n) { d += v(t) * cv(t); t += 1 }
+          val s = if (norms(i) == 0.0 || cnorms(c) == 0.0) 0.0
+                  else d / (norms(i) * cnorms(c))
+          if (s > bestSim) { bestSim = s; bestC = c }
+          c += 1
+        }
+        val dst = sums(bestC)
+        val n = math.min(v.length, dst.length)
+        var t = 0
+        while (t < n) { dst(t) += v(t); t += 1 }
+        counts(bestC) += 1
+        i += 1
+      }
+      var c = 0
+      while (c < kk) {
+        if (counts(c) > 0) {
+          val cv = cents(c)
+          var t = 0
+          while (t < cv.length) { cv(t) = sums(c)(t) / counts(c); t += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    cents.zipWithIndex.map { case (cv, ci) => (ci, cv) }
+  }
 
-  /** Probe-list expression: indices of the `top` nearest centroids to
-    * `vec`, as a pure per-row projection over the centroid codebook
-    * (array of (csim, cidx) structs → sort desc by sim, idx tiebreak →
-    * slice). ZERO extra rows, ZERO shuffle — this replaces the round-1
-    * crossJoin(centroids)+window assignment the judge flagged as a
-    * scale-killer (it multiplied the corpus ×nlist and shuffled the
-    * blow-up just to compute an argmax). */
-  private def probeListExpr(vec: Column, cents: Array[(Int, Array[Double])],
+  /** Round-2 probe-list formulation (array_sort over per-centroid structs
+    * with typedLit codebook arrays) — retained as the independent
+    * equivalence oracle for [[graft.functions.NearestCentroids]] (pinned
+    * in OpsSpec). */
+  private[ops] def probeListColumnar(vec: Column, cents: Array[(Int, Array[Double])],
       top: Int): Column = {
     val scoredStructs = array(cents.map { case (idx, cv) =>
       struct(cosine(vec, typedLit(cv.toSeq)).as("csim"), lit(idx).as("cidx"))
@@ -104,17 +194,24 @@ object SimilarityOps {
   /** IVF top-k: corpus assigned map-side to its nearest centroid; each
     * query probes only its `nprobe` nearest centroids' inverted lists.
     * The only shuffle-ish step is the broadcast of the (tiny) probe
-    * table; corpus assignment is a projection inside the scan stage. */
+    * table; corpus assignment is one native fused-loop projection
+    * ([[graft.functions.NearestCentroids]]) inside the scan stage — no
+    * extra rows, no shuffle, no per-row struct sort. Pass `centroids` to
+    * reuse a prebuilt codebook (e.g. the VerifyTables dump); by default
+    * the deterministic farthest-point codebook is computed inline. */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cents = collectCentroids(corpus, idCol, vecCol, nlist)
+      nlist: Int = 16, nprobe: Int = 4,
+      centroids: Option[Array[(Int, Array[Double])]] = None): DataFrame = {
+    val cents = centroids.getOrElse(collectCentroids(corpus, idCol, vecCol, nlist))
+    val cmat = cents.sortBy(_._1).map(_._2.toVector).toVector
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
-      .withColumn("list_idx", element_at(probeListExpr(col("cvec"), cents, 1), 1))
+      .withColumn("list_idx",
+        element_at(graft.functions.NearestCentroids(col("cvec"), cmat, 1), 1))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-      .withColumn("list_idx", explode(probeListExpr(col("qvec"), cents, nprobe)))
+      .withColumn("list_idx",
+        explode(graft.functions.NearestCentroids(col("qvec"), cmat, nprobe)))
     val scored = c.join(broadcast(q), Seq("list_idx"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("cvec"), col("qvec")))
