@@ -155,9 +155,34 @@ object InputGen {
     (sb.toString.getBytes(StandardCharsets.UTF_8), paras.result().mkString("\n\n"))
   }
 
+  /** 1-in-16 of PDF docs carry a rendered page-0 raster (PDF-lite v2) with
+    * a guaranteed Picture block — exercises the real crop-and-embed path
+    * (format_transformer.py:169-172). Rastered pages are small (108×144
+    * pts → 300×400 px at dpi 200) so raster weight stays a rounding error
+    * in generation and bench wall time. */
+  def isRastered(docId: Long): Boolean =
+    math.floorMod(mix(docId ^ 0x5eed5eedL), 16L) == 0L
+
   def pdfPayload(rng: Rng, lang: String, docId: Long): PdfLite.PdfDoc = {
     val nPages = 1 + rng.nextInt(5)
+    val rastered = isRastered(docId)
     val pages = (0 until nPages).map { p =>
+      if (rastered && p == 0) {
+        val (w, h) = (108f, 144f)
+        val (wPx, hPx) = graft.kernel.Geometry.renderedPageDims(w, h)
+        val img = graft.ops.MultimodalOps.patternImage(wPx.toInt, hPx.toInt, docId)
+        val png = graft.ops.MultimodalOps.Codec.encodePng(img)
+        val blocks = Vector(
+          PdfLite.PdfBlock(8f, 4f, w - 8f, 12f, Categories.PageHeader, s"doc$docId · p1"),
+          PdfLite.PdfBlock(8f, 16f, w - 8f, 28f, Categories.Title,
+            "# " + sentence(rng, lang, 3).dropRight(1)),
+          PdfLite.PdfBlock(20f, 34f, 88f, 96f, Categories.Picture, ""),
+          PdfLite.PdfBlock(8f, 100f, w - 8f, 112f, Categories.Caption, sentence(rng, lang, 4)),
+          PdfLite.PdfBlock(8f, h - 14f, w - 8f, h - 6f, Categories.PageFooter, s"1 / $nPages"))
+        val shuffled = blocks.sortBy(_ => mix(rng.nextLong()))
+        PdfLite.PdfPage(w, h, shuffled,
+          Some(scala.collection.immutable.ArraySeq.unsafeWrapArray(png)))
+      } else {
       // occasionally oversized page → exercises the 4500-px render clamp
       val oversized = rng.nextInt(10) == 0
       val (w, h) = if (oversized) (1700f, 2200f) else (612f, 792f)
@@ -211,6 +236,7 @@ object InputGen {
       val bs = blocks.result()
       val shuffled = bs.sortBy(b => mix(rng.nextLong()))
       PdfLite.PdfPage(w, h, shuffled)
+      }
     }.toVector
     PdfLite.PdfDoc(pages)
   }

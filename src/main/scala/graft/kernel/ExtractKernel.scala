@@ -299,7 +299,7 @@ object ExtractKernel {
         // equivalence pinned by ExtractKernelSpec). Repair-needing
         // responses (garbled payloads) still take the string path.
         val cells = classifierCells(layout, m, iw, ih)
-        finishLayoutTrusted(page, m, cells, layout.width, layout.height, iw, ih)
+        finishLayoutTrusted(page, m, cells, layout.width, layout.height, iw, ih, layout.raster)
     }
   }
 
@@ -313,14 +313,15 @@ object ExtractKernel {
       originW: Long,
       originH: Long,
       inputW: Long,
-      inputH: Long): ParsedPage = {
+      inputH: Long,
+      raster: Option[scala.collection.immutable.ArraySeq[Byte]] = None): ParsedPage = {
     try {
       val cells = BboxScale.postProcessCells(originW, originH, inputCells, inputW, inputH)
-      renderParsed(page, mode, cells, originW, originH, inputW, inputH)
+      renderParsed(page, mode, cells, originW, originH, inputW, inputH, raster)
     } catch {
       case _: BboxScale.KernelError | _: Geometry.AspectRatioError =>
         // mirror the reference fallback: repair over the serialized form
-        finishLayout(page, mode, PyJson.dumps(JArray(inputCells)), originW, originH, inputW, inputH)
+        finishLayout(page, mode, PyJson.dumps(JArray(inputCells)), originW, originH, inputW, inputH, raster)
     }
   }
 
@@ -331,13 +332,14 @@ object ExtractKernel {
       originW: Long,
       originH: Long,
       inputW: Long,
-      inputH: Long): ParsedPage = {
+      inputH: Long,
+      raster: Option[scala.collection.immutable.ArraySeq[Byte]] = None): ParsedPage = {
     val cellsJson = PyJson.dumps(JArray(cells))
     val (md, mdNohf) =
       if (mode == PromptMode.LayoutOnly) ("", "")
       else {
         // render each cell once; md and md_nohf share the segments
-        val segs = MdRender.renderSegments(cells)
+        val segs = MdRender.renderSegments(cells, raster = raster)
         (MdRender.segmentsToMd(segs, noPageHf = false), MdRender.segmentsToMd(segs, noPageHf = true))
       }
     val extracted = cellTexts(cells, includeHf = false).mkString("\n\n")
@@ -354,10 +356,11 @@ object ExtractKernel {
       originW: Long,
       originH: Long,
       inputW: Long,
-      inputH: Long): ParsedPage = {
+      inputH: Long,
+      raster: Option[scala.collection.immutable.ArraySeq[Byte]] = None): ParsedPage = {
     OutputRepair.postProcessOutput(response, originW, originH, inputW, inputH) match {
       case OutputRepair.ParsedCells(cells) =>
-        renderParsed(page, mode, cells, originW, originH, inputW, inputH)
+        renderParsed(page, mode, cells, originW, originH, inputW, inputH, raster)
       case OutputRepair.Filtered(text) =>
         // reference: raw response saved as the json artifact, cleaned text as
         // md (parser.py:184-204)

@@ -30,7 +30,13 @@ import scala.collection.mutable
 object HtmlExtract {
 
   final case class Block(category: String, text: Option[String], lines: Int)
-  final case class PageLayout(width: Long, height: Long, cells: Vector[JObject])
+  /** `raster` = the page's rendered image (PNG bytes, at width×height) when
+    * one exists — the crop source for Picture cells
+    * (format_transformer.py:169-172). HTML pages have none (no rasterizer
+    * in a DOM pipeline); PDF-lite v2 pages carry theirs through
+    * [[PdfLite.pageToLayout]]. */
+  final case class PageLayout(width: Long, height: Long, cells: Vector[JObject],
+      raster: Option[scala.collection.immutable.ArraySeq[Byte]] = None)
 
   val PageWidth = 1280L
   val Margin = 40L

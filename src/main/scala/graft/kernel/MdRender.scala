@@ -106,8 +106,9 @@ object MdRender {
     * (`md` = all joined, `md_nohf` = non-header/footer joined) — halves the
     * render work vs calling [[layoutJsonToMd]] twice, byte-identically
     * (the per-cell rendering is independent of the noPageHf flag). */
-  def renderSegments(cells: Vector[JValue], textKey: String = "text"): Vector[(String, String)] = {
-    val hfSkipped = layoutJsonToMdImpl(cells, textKey, noPageHf = false)
+  def renderSegments(cells: Vector[JValue], textKey: String = "text",
+      raster: Option[scala.collection.immutable.ArraySeq[Byte]] = None): Vector[(String, String)] = {
+    val hfSkipped = layoutJsonToMdImpl(cells, textKey, noPageHf = false, raster)
     hfSkipped
   }
 
@@ -118,13 +119,21 @@ object MdRender {
 
   /** layoutjson2md (format_transformer.py:145-180). Raises [[BboxScale.KernelError]]
     * exactly where the reference's Python would raise. */
-  def layoutJsonToMd(cells: Vector[JValue], textKey: String = "text", noPageHf: Boolean = false): String = {
-    if (!noPageHf) return segmentsToMd(layoutJsonToMdImpl(cells, textKey, noPageHf = false), noPageHf = false)
+  def layoutJsonToMd(cells: Vector[JValue], textKey: String = "text", noPageHf: Boolean = false,
+      raster: Option[scala.collection.immutable.ArraySeq[Byte]] = None): String = {
+    if (!noPageHf) return segmentsToMd(layoutJsonToMdImpl(cells, textKey, noPageHf = false, raster), noPageHf = false)
     // noPageHf skips hf cells BEFORE rendering them — preserve exactly
-    segmentsToMd(layoutJsonToMdImpl(cells, textKey, noPageHf = true), noPageHf = false)
+    segmentsToMd(layoutJsonToMdImpl(cells, textKey, noPageHf = true, raster), noPageHf = false)
   }
 
-  private def layoutJsonToMdImpl(cells: Vector[JValue], textKey: String, noPageHf: Boolean): Vector[(String, String)] = {
+  private def layoutJsonToMdImpl(cells: Vector[JValue], textKey: String, noPageHf: Boolean,
+      raster: Option[scala.collection.immutable.ArraySeq[Byte]] = None): Vector[(String, String)] = {
+    // decode the page raster at most once, and only if a Picture cell
+    // actually renders — pages without Picture cells never pay the decode
+    lazy val pageImg: Option[java.awt.image.BufferedImage] =
+      raster.flatMap { r =>
+        try Some(Raster.decode(r.toArray)) catch { case _: Exception => None }
+      }
     val items = Vector.newBuilder[(String, String)]
     cells.foreach { cellV =>
       val cell = cellV match {
@@ -147,7 +156,18 @@ object MdRender {
       val skip = noPageHf && PageHf.contains(categoryStr)
       if (!skip) {
         if (categoryStr == "Picture") {
-          items += ((categoryStr, s"![](${picturePlaceholder(x1, y1, x2, y2)})"))
+          // raster-backed page: real crop + base64 PNG embed, the
+          // reference's image.crop + PILimage_to_base64
+          // (format_transformer.py:169-172); raster-less pages (all HTML —
+          // a DOM pipeline has no rasterizer) keep the deterministic
+          // placeholder URI, same data: scheme
+          val uri = pageImg match {
+            case Some(img) =>
+              try Raster.pngDataUri(Raster.pilCrop(img, x1.toInt, y1.toInt, x2.toInt, y2.toInt))
+              catch { case _: Exception => picturePlaceholder(x1, y1, x2, y2) }
+            case None => picturePlaceholder(x1, y1, x2, y2)
+          }
+          items += ((categoryStr, s"![]($uri)"))
         } else if (categoryStr == "Formula") {
           text match {
             case JString(s) => items += ((categoryStr, formulaInMarkdown(s)))

@@ -24,6 +24,12 @@ import java.nio.charset.StandardCharsets
   *     per block: x1 f32 | y1 f32 | x2 f32 | y2 f32 (points, unordered)
   *                | categoryCode u8 (index into Categories.All) | textLen u32
   *                | utf-8 text bytes
+  *   version 2 adds, after each page's blocks: rasterLen u32 | PNG bytes
+  *     (0 = none) — the rendered page image at the page's dpi-rendered
+  *     pixel dims, the analog of the reference's `fitz_doc_to_image`
+  *     raster (doc_utils.py:20-39) that Picture cells crop from
+  *     (format_transformer.py:169-172). Raster-less docs serialize as
+  *     version 1, byte-identical to round 2.
   */
 object PdfLite {
 
@@ -31,7 +37,8 @@ object PdfLite {
 
   final case class PdfBlock(x1: Float, y1: Float, x2: Float, y2: Float,
       category: String, text: String)
-  final case class PdfPage(widthPts: Float, heightPts: Float, blocks: Vector[PdfBlock])
+  final case class PdfPage(widthPts: Float, heightPts: Float, blocks: Vector[PdfBlock],
+      raster: Option[scala.collection.immutable.ArraySeq[Byte]] = None)
   final case class PdfDoc(pages: Vector[PdfPage])
 
   final class PdfLiteError(msg: String) extends RuntimeException(msg)
@@ -40,6 +47,7 @@ object PdfLite {
     bytes.length >= 4 && bytes(0) == 'P' && bytes(1) == 'D' && bytes(2) == 'F' && bytes(3) == 'L'
 
   def serialize(doc: PdfDoc): Array[Byte] = {
+    val v2 = doc.pages.exists(_.raster.isDefined)
     val textBytes = doc.pages.map(_.blocks.map(_.text.getBytes(StandardCharsets.UTF_8)))
     var size = 4 + 1 + 2
     doc.pages.zipWithIndex.foreach { case (p, pi) =>
@@ -47,9 +55,10 @@ object PdfLite {
       p.blocks.zipWithIndex.foreach { case (_, bi) =>
         size += 16 + 1 + 4 + textBytes(pi)(bi).length
       }
+      if (v2) size += 4 + p.raster.fold(0)(_.length)
     }
     val buf = ByteBuffer.allocate(size).order(ByteOrder.BIG_ENDIAN)
-    buf.put(Magic).put(1.toByte).putShort(doc.pages.length.toShort)
+    buf.put(Magic).put((if (v2) 2 else 1).toByte).putShort(doc.pages.length.toShort)
     doc.pages.zipWithIndex.foreach { case (p, pi) =>
       buf.putFloat(p.widthPts).putFloat(p.heightPts).putShort(p.blocks.length.toShort)
       p.blocks.zipWithIndex.foreach { case (b, bi) =>
@@ -57,6 +66,12 @@ object PdfLite {
         buf.put(Categories.toCode(b.category).toByte)
         val tb = textBytes(pi)(bi)
         buf.putInt(tb.length).put(tb)
+      }
+      if (v2) p.raster match {
+        case Some(r) =>
+          buf.putInt(r.length)
+          buf.put(r.toArray)
+        case None => buf.putInt(0)
       }
     }
     buf.array()
@@ -71,7 +86,7 @@ object PdfLite {
       val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
       buf.position(4)
       val version = buf.get()
-      if (version != 1) throw new PdfLiteError(s"unsupported version $version")
+      if (version != 1 && version != 2) throw new PdfLiteError(s"unsupported version $version")
       val nPages = buf.getShort() & 0xffff
       val pages = Vector.newBuilder[PdfPage]
       var p = 0
@@ -94,7 +109,19 @@ object PdfLite {
           blocks += PdfBlock(x1, y1, x2, y2, cat, new String(tb, StandardCharsets.UTF_8))
           b += 1
         }
-        pages += PdfPage(w, h, blocks.result())
+        val raster =
+          if (version < 2) None
+          else {
+            val rlen = buf.getInt()
+            if (rlen < 0 || rlen > buf.remaining()) throw new PdfLiteError("bad raster length")
+            if (rlen == 0) None
+            else {
+              val rb = new Array[Byte](rlen)
+              buf.get(rb)
+              Some(scala.collection.immutable.ArraySeq.unsafeWrapArray(rb))
+            }
+          }
+        pages += PdfPage(w, h, blocks.result(), raster)
         p += 1
       }
       PdfDoc(pages.result())
@@ -170,6 +197,6 @@ object PdfLite {
       if (b.category != Categories.Picture) cell = cell.updated("text", JString(b.text))
       cell
     }
-    HtmlExtract.PageLayout(wPx, hPx, cells)
+    HtmlExtract.PageLayout(wPx, hPx, cells, page.raster)
   }
 }

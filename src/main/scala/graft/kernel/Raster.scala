@@ -1,0 +1,58 @@
+package graft.kernel
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+/** Minimal raster kernel for the Picture-crop embed: decode the page PNG,
+  * crop a cell bbox with PIL semantics, re-encode as a base64 PNG data URI
+  * (reference: `image.crop((x1,y1,x2,y2))` + `PILimage_to_base64`,
+  * format_transformer.py:169-172 / image_utils.py:67-71).
+  *
+  * Lives in `graft.kernel` (not `graft.ops.MultimodalOps.Codec`, its
+  * sibling) so the kernel keeps a one-way dependency on nothing above it.
+  * PNG bytes differ from PIL's encoder output by construction (different
+  * compressors); what is contract here is the URI scheme and the DECODED
+  * pixel content of the crop, which the golden spec pins.
+  */
+object Raster {
+
+  /** Decode PNG/JPEG bytes; throws on undecodable payloads (callers fall
+    * back to the placeholder URI). */
+  def decode(bytes: Array[Byte]): BufferedImage = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    if (img == null) throw new IllegalArgumentException("undecodable raster")
+    img
+  }
+
+  /** PIL `Image.crop((x1, y1, x2, y2))` semantics on an RGB view: output
+    * is (x2-x1)×(y2-y1); pixels outside the source image are black (PIL
+    * zero-fills out-of-bounds regions); degenerate boxes (x2<=x1 or
+    * y2<=y1) are rejected — post_process_cells' is_legal_bbox guarantees
+    * they never reach rendering on the trusted path. */
+  def pilCrop(img: BufferedImage, x1: Int, y1: Int, x2: Int, y2: Int): BufferedImage = {
+    require(x2 > x1 && y2 > y1, s"degenerate crop box ($x1,$y1,$x2,$y2)")
+    val w = x2 - x1
+    val h = y2 - y1
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val sx1 = math.max(x1, 0); val sy1 = math.max(y1, 0)
+    val sx2 = math.min(x2, img.getWidth); val sy2 = math.min(y2, img.getHeight)
+    var y = sy1
+    while (y < sy2) {
+      var x = sx1
+      while (x < sx2) {
+        out.setRGB(x - x1, y - y1, img.getRGB(x, y) & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** `data:image/png;base64,...` of the image (PILimage_to_base64 shape). */
+  def pngDataUri(img: BufferedImage): String = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    "data:image/png;base64," + java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+  }
+}

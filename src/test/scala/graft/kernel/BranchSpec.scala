@@ -143,6 +143,26 @@ class PdfLiteSpec extends AnyFunSuite {
     intercept[PdfLiteError](parse("nonsense".getBytes))
   }
 
+  test("v2 raster round-trip; raster-less docs stay byte-identical v1") {
+    import scala.collection.immutable.ArraySeq
+    val plain = PdfDoc(Vector(PdfPage(612f, 792f, Vector(block(54, 72, 300, 100)))))
+    val plainBytes = serialize(plain)
+    assert(plainBytes(4) == 1, "raster-less serialization must remain version 1")
+    assert(parse(plainBytes) == plain)
+
+    val png = graft.ops.MultimodalOps.Codec.encodePng(
+      graft.ops.MultimodalOps.patternImage(40, 30, 7L))
+    val mixed = PdfDoc(Vector(
+      PdfPage(612f, 792f, Vector(block(54, 72, 300, 100)),
+        Some(ArraySeq.unsafeWrapArray(png))),
+      PdfPage(612f, 792f, Vector(block(54, 72, 558, 100, Categories.Text, "p2")))))
+    val v2Bytes = serialize(mixed)
+    assert(v2Bytes(4) == 2)
+    val back = parse(v2Bytes)
+    assert(back == mixed, "v2 round-trip (incl raster bytes + raster-less page)")
+    intercept[PdfLiteError](parse(v2Bytes.take(v2Bytes.length - 10)))
+  }
+
   test("XY-cut reading order: title band, then left column, then right") {
     val title = block(54, 40, 558, 70, Categories.Title, "title")
     val l1 = block(54, 100, 290, 200, text = "L1")

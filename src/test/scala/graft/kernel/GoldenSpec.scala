@@ -121,6 +121,47 @@ class Layout2MdGoldenSpec extends AnyFunSuite {
       assert(MdRender.layoutJsonToMd(cells, noPageHf = true) == str(c, "md_nohf"), "md_nohf mismatch")
     }
   }
+
+  test("raster-backed Picture cell embeds a REAL crop (decodes to bbox dims, pixel-exact region)") {
+    import scala.collection.immutable.ArraySeq
+    val img = graft.ops.MultimodalOps.patternImage(120, 90, 11L)
+    val png = graft.ops.MultimodalOps.Codec.encodePng(img)
+    val cells = Vector(
+      JObject(
+        "bbox" -> JArray(Vector(10, 20, 70, 60).map(i => JInt(BigInt(i)))),
+        "category" -> JString("Picture")),
+      JObject(
+        "bbox" -> JArray(Vector(10, 62, 110, 80).map(i => JInt(BigInt(i)))),
+        "category" -> JString("Text"), "text" -> JString("caption")))
+    val md = MdRender.layoutJsonToMd(cells, raster = Some(ArraySeq.unsafeWrapArray(png)))
+    val Uri = "!\\[\\]\\((data:image/png;base64,[^)]+)\\)".r
+    val uri = Uri.findFirstMatchIn(md).map(_.group(1)).getOrElse(fail("no data URI in md"))
+    val cropBytes = java.util.Base64.getDecoder.decode(uri.stripPrefix("data:image/png;base64,"))
+    val crop = Raster.decode(cropBytes)
+    assert(crop.getWidth == 60 && crop.getHeight == 40, "crop dims = bbox dims")
+    // pixel-exact vs the source region (reference image.crop semantics)
+    for (y <- 0 until 40; x <- 0 until 60)
+      assert((crop.getRGB(x, y) & 0xffffff) == (img.getRGB(x + 10, y + 20) & 0xffffff),
+        s"pixel ($x,$y)")
+    // same cells WITHOUT a raster: deterministic placeholder URI, not a crop
+    val mdNoRaster = MdRender.layoutJsonToMd(cells)
+    assert(mdNoRaster.contains(MdRender.picturePlaceholder(10, 20, 70, 60)))
+  }
+
+  test("raster crop: out-of-bounds region zero-fills (PIL semantics); undecodable raster falls back to placeholder") {
+    import scala.collection.immutable.ArraySeq
+    val img = graft.ops.MultimodalOps.patternImage(50, 50, 3L)
+    val cropped = Raster.pilCrop(img, 40, 40, 60, 60)
+    assert(cropped.getWidth == 20 && cropped.getHeight == 20)
+    assert((cropped.getRGB(5, 5) & 0xffffff) == (img.getRGB(45, 45) & 0xffffff))
+    assert((cropped.getRGB(15, 15) & 0xffffff) == 0, "outside source = black")
+    val cells = Vector(JObject(
+      "bbox" -> JArray(Vector(0, 0, 10, 10).map(i => JInt(BigInt(i)))),
+      "category" -> JString("Picture")))
+    val md = MdRender.layoutJsonToMd(cells,
+      raster = Some(ArraySeq.unsafeWrapArray("not a png".getBytes)))
+    assert(md.contains(MdRender.picturePlaceholder(0, 0, 10, 10)))
+  }
 }
 
 class PostProcessGoldenSpec extends AnyFunSuite {

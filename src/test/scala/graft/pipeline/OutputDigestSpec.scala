@@ -13,9 +13,12 @@ import org.scalatest.funsuite.AnyFunSuite
 class OutputDigestSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
 
-  // seed=99, n=120; confirmed identical across three independent JVMs
-  // (sbt test JVM + two standalone consumers, byte-equal content dumps)
-  val PinnedDigest: Int = 1506097711
+  // seed=99, n=120; confirmed identical across independent JVMs (sbt run
+  // JVM + standalone consumer via graft.tools.DigestMain). r3: raster-backed
+  // Picture cells now embed REAL crops (base64 PNG of the page-raster
+  // region) instead of the placeholder URI, changing md bytes for 1-in-16
+  // PDF docs.
+  val PinnedDigest: Int = -305478833
 
   test("extraction output digest matches the pinned constant") {
     val out = ExtractPipeline.run(InputTable.generate(spark, 120L, seed = 99L))

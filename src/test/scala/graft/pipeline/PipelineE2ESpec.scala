@@ -38,8 +38,9 @@ class PipelineE2ESpec extends AnyFunSuite {
       val n = r.getAs[Long]("n_pages")
       val md = r.getAs[String]("md")
       if (n > 1) assert(md.contains("\n\n---\n\n"))
-      // page markers p1..pn appear in order in md
-      val idx = (1 to n.toInt).map(i => md.indexOf(s"p$i"))
+      // page-header markers "· p1".."· pn" appear in order in md (the ·
+      // disambiguates from arbitrary "pN" substrings inside base64 crops)
+      val idx = (1 to n.toInt).map(i => md.indexOf(s"· p$i"))
       assert(idx.forall(_ >= 0) && idx == idx.sorted, s"page order in ${r.getAs[String]("url")}")
     }
   }
