@@ -29,7 +29,7 @@ object VerifyTables {
 
   // bump whenever kernel/signature semantics change, or stale /tmp dumps
   // would be replayed (r3: doc_vectors sig went 16-bit → 64-bit native)
-  private val Version = "r3b"
+  private val Version = "r3c"
   val Seed = 42L
 
   /** All table names, in dependency order. */

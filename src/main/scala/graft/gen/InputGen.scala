@@ -100,6 +100,11 @@ object InputGen {
       case "html" =>
         val (bytes, text) = htmlPayload(rng, lang, docId)
         (bytes, text)
+      case "pdf" if isRealPdfDoc(docId) && (lang == "en" || lang == "nl") =>
+        // real `%PDF-` payload → exercises the PdfReal text-layer parser
+        // end-to-end (Latin-1-capable langs only: simple-font Tj strings
+        // cannot carry CJK/Indic text)
+        realPdfPayload(rng, lang, docId)
       case "pdf" =>
         val doc = pdfPayload(rng, lang, docId)
         (PdfLite.serialize(doc), doc.pages.flatMap(_.blocks.map(_.text)).mkString(" "))
@@ -162,6 +167,35 @@ object InputGen {
     * in generation and bench wall time. */
   def isRastered(docId: Long): Boolean =
     math.floorMod(mix(docId ^ 0x5eed5eedL), 16L) == 0L
+
+  /** 1-in-3 of (non-rastered) PDF docs are REAL `%PDF-` files written by
+    * [[PdfWrite]] — half raw streams, half FlateDecode — so the
+    * [[graft.kernel.PdfReal]] text-layer path runs at verify/bench scale
+    * (~2.4% of the corpus after the kind/lang gates), not just in unit
+    * fixtures. */
+  def isRealPdfDoc(docId: Long): Boolean =
+    !isRastered(docId) && math.floorMod(mix(docId ^ 0xbee5L), 3L) == 0L
+
+  def realPdfPayload(rng: Rng, lang: String, docId: Long): (Array[Byte], String) = {
+    val nPages = 1 + rng.nextInt(3)
+    val texts = Vector.newBuilder[String]
+    val pages = (0 until nPages).map { p =>
+      val lines = Vector.newBuilder[PdfWrite.TextLine]
+      var y = 756.0
+      val header = s"doc$docId · p${p + 1}"
+      lines += PdfWrite.TextLine(54, y, 10, header); texts += header; y -= 36
+      val title = sentence(rng, lang, 4).dropRight(1)
+      lines += PdfWrite.TextLine(54, y, 18, title); texts += title; y -= 30
+      for (_ <- 0 until (3 + rng.nextInt(5))) {
+        val t = sentence(rng, lang, 6 + rng.nextInt(8))
+        lines += PdfWrite.TextLine(54, y, 11, t); texts += t
+        y -= 14
+      }
+      PdfWrite.Page(612, 792, lines.result())
+    }.toVector
+    (PdfWrite.serialize(pages, compress = math.floorMod(docId, 2L) == 0L),
+      texts.result().mkString(" "))
+  }
 
   def pdfPayload(rng: Rng, lang: String, docId: Long): PdfLite.PdfDoc = {
     val nPages = 1 + rng.nextInt(5)

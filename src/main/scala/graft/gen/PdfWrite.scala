@@ -1,0 +1,86 @@
+package graft.gen
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import java.util.zip.Deflater
+
+/** Deterministic writer of minimal-but-well-formed REAL PDFs (header,
+  * catalog/pages tree, per-page Flate or raw content streams, xref table,
+  * trailer). Test-input generator for the [[graft.kernel.PdfReal]]
+  * text-layer parser — NOT a general PDF library. Text is written with
+  * Tf/Td/TL/T-star/Tj operators only, in WinAnsi-safe Latin-1. */
+object PdfWrite {
+
+  /** One positioned text line, PDF device coords (origin bottom-left). */
+  final case class TextLine(x: Double, y: Double, fontSize: Double, text: String)
+  final case class Page(widthPts: Double, heightPts: Double, lines: Vector[TextLine])
+
+  private def escape(s: String): String =
+    s.flatMap {
+      case '('  => "\\("
+      case ')'  => "\\)"
+      case '\\' => "\\\\"
+      case c    => c.toString
+    }
+
+  private def contentStream(p: Page): Array[Byte] = {
+    val sb = new StringBuilder
+    sb ++= "BT\n"
+    var lastFs = -1.0
+    p.lines.foreach { l =>
+      if (l.fontSize != lastFs) { sb ++= f"/F1 ${l.fontSize}%.1f Tf\n"; lastFs = l.fontSize }
+      sb ++= f"1 0 0 1 ${l.x}%.1f ${l.y}%.1f Tm\n"
+      sb ++= s"(${escape(l.text)}) Tj\n"
+    }
+    sb ++= "ET\n"
+    sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(Deflater.BEST_SPEED)
+    try {
+      d.setInput(data); d.finish()
+      val out = new ByteArrayOutputStream(data.length / 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  /** Serialize. `compress` = use /FlateDecode on the content streams
+    * (exercises the inflate path); raw streams otherwise. */
+  def serialize(pages: Vector[Page], compress: Boolean): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def beginObj(n: Int): Unit = { offsets += out.size(); w(s"$n 0 obj\n") }
+
+    // object numbering: 1 catalog, 2 pages root, 3 font,
+    // then per page i: (4+2i) page dict, (5+2i) content stream
+    val nPages = pages.length
+    w("%PDF-1.4\n%âãÏÓ\n")
+    beginObj(1); w("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    beginObj(2)
+    val kids = (0 until nPages).map(i => s"${4 + 2 * i} 0 R").mkString(" ")
+    w(s"<< /Type /Pages /Count $nPages /Kids [ $kids ] >>\nendobj\n")
+    beginObj(3); w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n")
+    pages.zipWithIndex.foreach { case (p, i) =>
+      beginObj(4 + 2 * i)
+      w(f"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 ${p.widthPts}%.1f ${p.heightPts}%.1f ]" +
+        s" /Resources << /Font << /F1 3 0 R >> >> /Contents ${5 + 2 * i} 0 R >>\nendobj\n")
+      val raw = contentStream(p)
+      val data = if (compress) deflate(raw) else raw
+      beginObj(5 + 2 * i)
+      val filter = if (compress) " /Filter /FlateDecode" else ""
+      w(s"<< /Length ${data.length}$filter >>\nstream\n")
+      out.write(data)
+      w("\nendstream\nendobj\n")
+    }
+    val xrefPos = out.size()
+    val nObjs = offsets.length + 1
+    w(s"xref\n0 $nObjs\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size $nObjs /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n")
+    out.toByteArray
+  }
+}

@@ -34,35 +34,19 @@ object ExtractKernel {
     val bytes = doc.html
     if (bytes == null || bytes.isEmpty) {
       Vector(RawPage(doc.url, 0, 1, "error", "empty payload".getBytes(StandardCharsets.UTF_8), doc.lang))
-    } else if (isRealPdf(bytes)) {
-      // A real `%PDF-` payload: full PDF parsing is out of scope for this
-      // build (the reference renders via PyMuPDF, doc_utils.py:42-60;
-      // extension dispatch parser.py:307-312). Emit a TYPED error row
-      // instead of letting the bytes fall into the garbled-repair branch
-      // and silently produce junk markdown.
-      Vector(RawPage(doc.url, 0, 1, "error",
-        "unsupported_format: real PDF payload (%PDF- magic); this build parses PDF-lite and HTML payloads"
-          .getBytes(StandardCharsets.UTF_8), doc.lang))
-    } else if (PdfLite.isPdfLite(bytes)) {
-      try {
-        val pdf = PdfLite.parse(bytes)
-        val slice =
-          if (startPageId == 0 && endPageId < 0) pdf.pages
-          else {
-            val last = pdf.pages.length - 1
-            val end = if (endPageId >= 0) math.min(endPageId, last) else last
-            pdf.pages.slice(startPageId, end + 1)
+    } else if (isRealPdf(bytes) || PdfLite.isPdfLite(bytes)) {
+      pdfDocOf(bytes) match {
+        case Left(err) =>
+          Vector(RawPage(doc.url, 0, 1, "error", err.getBytes(StandardCharsets.UTF_8), doc.lang))
+        case Right(pdf) =>
+          val slice = slicePages(pdf, startPageId, endPageId)
+          val total = slice.length
+          if (total == 0)
+            Vector(RawPage(doc.url, 0, 1, "error",
+              s"empty page range [$startPageId, $endPageId]".getBytes(StandardCharsets.UTF_8), doc.lang))
+          else slice.zipWithIndex.map { case (p, i) =>
+            RawPage(doc.url, i, total, "pdf", PdfLite.serialize(PdfLite.PdfDoc(Vector(p))), doc.lang)
           }
-        val total = slice.length
-        if (total == 0)
-          Vector(RawPage(doc.url, 0, 1, "error",
-            s"empty page range [$startPageId, $endPageId]".getBytes(StandardCharsets.UTF_8), doc.lang))
-        else slice.zipWithIndex.map { case (p, i) =>
-          RawPage(doc.url, i, total, "pdf", PdfLite.serialize(PdfLite.PdfDoc(Vector(p))), doc.lang)
-        }
-      } catch {
-        case e: PdfLite.PdfLiteError =>
-          Vector(RawPage(doc.url, 0, 1, "error", e.getMessage.getBytes(StandardCharsets.UTF_8), doc.lang))
       }
     } else if (looksLikeHtml(bytes)) {
       Vector(RawPage(doc.url, 0, 1, "html", bytes, doc.lang))
@@ -77,6 +61,37 @@ object ExtractKernel {
   def isRealPdf(bytes: Array[Byte]): Boolean =
     bytes.length >= 5 && bytes(0) == '%' && bytes(1) == 'P' &&
       bytes(2) == 'D' && bytes(3) == 'F' && bytes(4) == '-'
+
+  /** Parse a PDF payload of either flavor into the shared page model:
+    * real `%PDF-` files go through the [[PdfReal]] text-layer parser
+    * (reference parses real PDFs first-class via PyMuPDF,
+    * doc_utils.py:42-60); PDF-lite goes through [[PdfLite.parse]]. A
+    * payload outside the supported slice (encrypted, non-Flate filters,
+    * no text layer, truncated) becomes a typed error message, NOT junk
+    * for the garbled-repair branch. Caller guarantees one of the two
+    * magics matched. */
+  private def pdfDocOf(bytes: Array[Byte]): Either[String, PdfLite.PdfDoc] =
+    if (isRealPdf(bytes)) {
+      try Right(PdfReal.parse(bytes))
+      catch {
+        case e: PdfReal.PdfRealError =>
+          Left(s"unsupported_format: real PDF payload (${e.getMessage}); " +
+            "this build parses the text layer of uncompressed/Flate PDFs, PDF-lite, and HTML")
+      }
+    } else {
+      try Right(PdfLite.parse(bytes))
+      catch { case e: PdfLite.PdfLiteError => Left(e.getMessage) }
+    }
+
+  /** Inclusive [start, end] page slice; end < 0 → last page (reference
+    * `load_images_from_pdf` range semantics, doc_utils.py:42-58). */
+  private def slicePages(pdf: PdfLite.PdfDoc, startPageId: Int, endPageId: Int): Vector[PdfLite.PdfPage] =
+    if (startPageId == 0 && endPageId < 0) pdf.pages
+    else {
+      val last = pdf.pages.length - 1
+      val end = if (endPageId >= 0) math.min(endPageId, last) else last
+      pdf.pages.slice(startPageId, end + 1)
+    }
 
   def looksLikeHtml(bytes: Array[Byte]): Boolean = {
     // decode the prefix charset-aware (BOM/meta sniff) so e.g. a UTF-16
@@ -245,20 +260,15 @@ object ExtractKernel {
     val bytes = doc.html
     def viaRawPages(): Vector[ParsedPage] =
       fanOut(doc, startPageId, endPageId).map(parsePage(_, mode))
-    if (bytes == null || bytes.isEmpty || isRealPdf(bytes) || !PdfLite.isPdfLite(bytes)) {
+    if (bytes == null || bytes.isEmpty || !(isRealPdf(bytes) || PdfLite.isPdfLite(bytes))) {
       // non-PDF branches carry no redundant work — share fanOut verbatim
       viaRawPages()
     } else {
-      val pdf = try PdfLite.parse(bytes) catch {
-        case _: PdfLite.PdfLiteError => return viaRawPages() // error-row path
+      val pdf = pdfDocOf(bytes) match {
+        case Right(d) => d
+        case Left(_)  => return viaRawPages() // error-row path
       }
-      val slice =
-        if (startPageId == 0 && endPageId < 0) pdf.pages
-        else {
-          val last = pdf.pages.length - 1
-          val end = if (endPageId >= 0) math.min(endPageId, last) else last
-          pdf.pages.slice(startPageId, end + 1)
-        }
+      val slice = slicePages(pdf, startPageId, endPageId)
       if (slice.isEmpty) viaRawPages() // empty-range error row
       else slice.zipWithIndex.map { case (p, i) =>
         val rp = RawPage(doc.url, i, slice.length, "pdf", null, doc.lang)

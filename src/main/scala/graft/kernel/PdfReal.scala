@@ -1,0 +1,540 @@
+package graft.kernel
+
+import java.nio.charset.StandardCharsets
+import java.util.zip.Inflater
+
+import graft.core.Categories
+
+/** Text-layer parser for REAL `%PDF-` payloads — the slice of PDF the
+  * sandbox can support without native renderers. The reference parses real
+  * PDFs first-class through PyMuPDF (`doc_utils.py:42-60`, extension
+  * dispatch `parser.py:307-312`); this build extracts the embedded TEXT
+  * LAYER of uncompressed / FlateDecode PDFs (java.util.zip is in the JDK)
+  * and converts it into a [[PdfLite.PdfDoc]], so everything downstream —
+  * page fan-out, dpi geometry, reading order, smart-resize, md render —
+  * is the one shared pipeline. Payloads outside the slice (encrypted,
+  * non-Flate filters, no text layer) raise [[PdfRealError]] and keep the
+  * round-2 typed `unsupported_format` error row.
+  *
+  * Scope (documented, test-pinned):
+  *  - objects are discovered by scanning `N G obj … endobj` spans — no
+  *    xref dependency, so linearized / incrementally-updated / mildly
+  *    damaged files still parse (xref-STREAM-only files work too; object
+  *    streams (`/Type /ObjStm`) are not unpacked — their pages fail over
+  *    to the error row);
+  *  - text positioning tracks Tm/Td/TD/T-star/TL translation + Tf size only
+  *    (no full CTM, no font widths): bboxes are font-size estimates, which
+  *    is all the downstream bbox geometry needs (blocks, not glyphs);
+  *  - strings decode as UTF-16BE when BOM'd, else PDFDocEncoding ≈
+  *    Latin-1; no ToUnicode CMap remapping (simple fonts only);
+  *  - every extracted block is `Text` — layout-category inference from
+  *    font metrics is the classifier's job, not the loader's.
+  */
+object PdfReal {
+
+  final class PdfRealError(msg: String) extends RuntimeException(msg)
+  private def fail(msg: String): Nothing = throw new PdfRealError(msg)
+
+  // ---- object model ------------------------------------------------------
+
+  private sealed trait PVal
+  private final case class PNum(v: Double) extends PVal
+  private final case class PName(v: String) extends PVal
+  private final case class PStr(bytes: Array[Byte]) extends PVal
+  private final case class PArr(items: Vector[PVal]) extends PVal
+  private final case class PDict(m: Map[String, PVal]) extends PVal
+  private final case class PRef(num: Int) extends PVal
+  private final case class PBool(v: Boolean) extends PVal
+  private case object PNull extends PVal
+
+  private final case class PObj(dict: PVal, stream: Option[Array[Byte]])
+
+  // ---- entry -------------------------------------------------------------
+
+  /** Parse the text layer into the shared page model. Throws [[PdfRealError]]
+    * on payloads outside the supported slice. */
+  def parse(bytes: Array[Byte]): PdfLite.PdfDoc = {
+    // ISO-8859-1 is a byte↔char bijection: a cheap scanning view (JVM
+    // compact strings keep it byte-backed) that never corrupts offsets
+    val s = new String(bytes, StandardCharsets.ISO_8859_1)
+    if (encrypted(s)) fail("encrypted")
+    val objs = scanObjects(s, bytes)
+    if (objs.isEmpty) fail("no parseable objects")
+
+    def deref(v: PVal, depth: Int = 0): PVal = v match {
+      case PRef(n) if depth < 32 => objs.get(n).map(o => deref(o.dict, depth + 1)).getOrElse(PNull)
+      case other                 => other
+    }
+    def dictOf(v: PVal): Map[String, PVal] = deref(v) match {
+      case PDict(m) => m
+      case _        => Map.empty
+    }
+
+    // page tree walk from the catalog (inherits MediaBox); fall back to
+    // scan order over bare /Type /Page objects for catalog-less files
+    val catalog = objs.valuesIterator.map(_.dict).collectFirst {
+      case PDict(m) if m.get("Type").contains(PName("Catalog")) => m
+    }
+    val pageDicts: Option[Vector[Map[String, PVal]]] = catalog.flatMap(_.get("Pages")) match {
+      case Some(rootRef) =>
+        val out = Vector.newBuilder[Map[String, PVal]]
+        def walk(node: PVal, inheritedMb: Option[PVal], depth: Int): Unit = {
+          if (depth > 64) return
+          val d = dictOf(node)
+          val mb = d.get("MediaBox").orElse(inheritedMb)
+          d.get("Type") match {
+            case Some(PName("Page")) =>
+              out += (mb match { case Some(b) => d.updated("MediaBox", b); case None => d })
+            case _ =>
+              deref(d.getOrElse("Kids", PNull)) match {
+                case PArr(kids) => kids.foreach(walk(_, mb, depth + 1))
+                case _          => ()
+              }
+          }
+        }
+        walk(rootRef, None, 0)
+        Some(out.result())
+      case None => None
+    }
+    val pages: Vector[Map[String, PVal]] = pageDicts.filter(_.nonEmpty).getOrElse {
+      objs.toVector.sortBy(_._1).map(_._2.dict).collect {
+        case PDict(m) if m.get("Type").contains(PName("Page")) => m
+      }
+    }
+    if (pages.isEmpty) fail("no pages")
+
+    var anyText = false
+    val litePages = pages.map { pd =>
+      val (mbx, mby, w, h) = deref(pd.getOrElse("MediaBox", PNull)) match {
+        case PArr(Seq(a, b, c, d)) =>
+          (num(deref(a)), num(deref(b)), num(deref(c)) - num(deref(a)), num(deref(d)) - num(deref(b)))
+        case _ => (0.0, 0.0, 612.0, 792.0)
+      }
+      val content: Array[Byte] = deref(pd.getOrElse("Contents", PNull)) match {
+        case PArr(parts) =>
+          val bufs = parts.map(p => streamOf(p, objs, deref))
+          val out = new java.io.ByteArrayOutputStream()
+          bufs.foreach { b => out.write(b); out.write('\n') } // spec: streams joined as one with whitespace
+          out.toByteArray
+        // a direct stream object resolves through the PRef case of streamOf
+        case _ => streamOf(pd.getOrElse("Contents", PNull), objs, deref)
+      }
+      val runs = extractRuns(content)
+      if (runs.nonEmpty) anyText = true
+      val blocks = runsToBlocks(runs, w.toFloat, h.toFloat)
+      PdfLite.PdfPage(w.toFloat, h.toFloat,
+        blocks.map(b => b.copy(
+          x1 = b.x1 - mbx.toFloat, x2 = b.x2 - mbx.toFloat,
+          y1 = b.y1 - mby.toFloat, y2 = b.y2 - mby.toFloat)))
+    }
+    if (!anyText) fail("no extractable text layer")
+    PdfLite.PdfDoc(litePages)
+  }
+
+  private def num(v: PVal): Double = v match {
+    case PNum(d) => d
+    case _       => 0.0
+  }
+
+  /** Resolve a /Contents value to decoded stream bytes ('' when absent). */
+  private def streamOf(v: PVal, objs: Map[Int, PObj], deref: (PVal, Int) => PVal): Array[Byte] = v match {
+    case PRef(n) =>
+      objs.get(n) match {
+        case Some(PObj(dict, Some(raw))) => decodeStream(dict, raw, deref)
+        case _                           => Array.emptyByteArray
+      }
+    case _ => Array.emptyByteArray
+  }
+
+  private def decodeStream(dict: PVal, raw: Array[Byte], deref: (PVal, Int) => PVal): Array[Byte] = {
+    val d = dict match { case PDict(m) => m; case _ => Map.empty[String, PVal] }
+    val filters: Vector[String] = deref(d.getOrElse("Filter", PNull), 0) match {
+      case PName(n)    => Vector(n)
+      case PArr(items) => items.map(deref(_, 0)).collect { case PName(n) => n }
+      case _           => Vector.empty
+    }
+    deref(d.getOrElse("DecodeParms", PNull), 0) match {
+      case PDict(p) if p.get("Predictor").exists(x => num(deref(x, 0)) > 1) =>
+        fail("unsupported predictor")
+      case _ => ()
+    }
+    filters.foldLeft(raw) {
+      case (acc, "FlateDecode" | "Fl") => inflate(acc)
+      case (_, other)                  => fail(s"unsupported filter /$other")
+    }
+  }
+
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new Inflater()
+    try {
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 4))
+      val buf = new Array[Byte](8192)
+      var guard = 0
+      while (!inf.finished() && !inf.needsInput() && guard < (1 << 16)) {
+        val n = inf.inflate(buf)
+        if (n > 0) out.write(buf, 0, n) else guard += (1 << 14)
+        guard += 1
+      }
+      if (out.size() == 0) fail("flate stream did not decode")
+      out.toByteArray
+    } catch {
+      case _: java.util.zip.DataFormatException => fail("corrupt flate stream")
+    } finally inf.end()
+  }
+
+  private def encrypted(s: String): Boolean = {
+    val t = s.lastIndexOf("trailer")
+    t >= 0 && s.indexOf("/Encrypt", t) >= 0
+  }
+
+  // ---- object scan -------------------------------------------------------
+
+  private val ObjHeader = """(?s)(\d{1,9})\s+\d{1,5}\s+obj\b""".r
+
+  private def scanObjects(s: String, bytes: Array[Byte]): Map[Int, PObj] = {
+    val out = Map.newBuilder[Int, PObj]
+    ObjHeader.findAllMatchIn(s).foreach { m =>
+      try {
+        val lex = new Lexer(s, m.end)
+        val value = lex.parseValue(0)
+        lex.skipWs()
+        val stream =
+          if (lex.atKeyword("stream")) {
+            lex.pos += "stream".length
+            // data begins after CRLF or LF following the keyword
+            if (lex.pos < s.length && s.charAt(lex.pos) == '\r') lex.pos += 1
+            if (lex.pos < s.length && s.charAt(lex.pos) == '\n') lex.pos += 1
+            val start = lex.pos
+            val declared = value match {
+              case PDict(d) => d.get("Length") match {
+                case Some(PNum(n)) if n >= 0 && start + n <= s.length => Some(n.toInt)
+                case _ => None // indirect /Length → endstream search below
+              }
+              case _ => None
+            }
+            val end = declared.map(start + _)
+              .filter(e => s.startsWith("endstream", skipWsFrom(s, e)))
+              .getOrElse {
+                val e = s.indexOf("endstream", start)
+                if (e < 0) fail("unterminated stream")
+                // trim the EOL that precedes the endstream keyword
+                var t = e
+                if (t > start && s.charAt(t - 1) == '\n') t -= 1
+                if (t > start && s.charAt(t - 1) == '\r') t -= 1
+                t
+              }
+            Some(java.util.Arrays.copyOfRange(bytes, start, end))
+          } else None
+        out += (m.group(1).toInt -> PObj(value, stream))
+      } catch {
+        case _: PdfRealError => () // damaged object: skip, keep scanning
+      }
+    }
+    out.result()
+  }
+
+  private def skipWsFrom(s: String, from: Int): Int = {
+    var i = from
+    while (i < s.length && (s.charAt(i) == ' ' || s.charAt(i) == '\r' || s.charAt(i) == '\n' ||
+      s.charAt(i) == '\t' || s.charAt(i) == '\f' || s.charAt(i) == 0)) i += 1
+    i
+  }
+
+  // ---- value parser ------------------------------------------------------
+
+  private final class Lexer(val s: String, var pos: Int) {
+    def skipWs(): Unit = {
+      while (pos < s.length) {
+        val c = s.charAt(pos)
+        if (c == '%') { // comment to EOL
+          while (pos < s.length && s.charAt(pos) != '\n' && s.charAt(pos) != '\r') pos += 1
+        } else if (c == ' ' || c == '\r' || c == '\n' || c == '\t' || c == '\f' || c == 0) pos += 1
+        else return
+      }
+    }
+    def atKeyword(k: String): Boolean = s.startsWith(k, pos)
+
+    def parseValue(depth: Int): PVal = {
+      if (depth > 48) fail("value nesting too deep")
+      skipWs()
+      if (pos >= s.length) fail("eof in value")
+      val c = s.charAt(pos)
+      if (s.startsWith("<<", pos)) parseDict(depth)
+      else if (c == '<') parseHexString()
+      else if (c == '(') parseLitString()
+      else if (c == '[') parseArray(depth)
+      else if (c == '/') parseName()
+      else if (atKeyword("true")) { pos += 4; PBool(true) }
+      else if (atKeyword("false")) { pos += 5; PBool(false) }
+      else if (atKeyword("null")) { pos += 4; PNull }
+      else if (c == '+' || c == '-' || c == '.' || c.isDigit) parseNumberOrRef()
+      else fail(s"unexpected char '$c'")
+    }
+
+    private def parseDict(depth: Int): PVal = {
+      pos += 2
+      val m = Map.newBuilder[String, PVal]
+      while ({ skipWs(); !s.startsWith(">>", pos) }) {
+        if (pos >= s.length) fail("eof in dict")
+        val PName(k) = parseName(): @unchecked
+        m += (k -> parseValue(depth + 1))
+      }
+      pos += 2
+      PDict(m.result())
+    }
+
+    private def parseArray(depth: Int): PVal = {
+      pos += 1
+      val items = Vector.newBuilder[PVal]
+      while ({ skipWs(); pos < s.length && s.charAt(pos) != ']' })
+        items += parseValue(depth + 1)
+      if (pos >= s.length) fail("eof in array")
+      pos += 1
+      PArr(items.result())
+    }
+
+    private def parseName(): PVal = {
+      if (s.charAt(pos) != '/') fail("name expected")
+      pos += 1
+      val sb = new StringBuilder
+      while (pos < s.length && isRegular(s.charAt(pos))) {
+        val c = s.charAt(pos)
+        if (c == '#' && pos + 2 < s.length) {
+          val hex = s.substring(pos + 1, pos + 3)
+          try { sb.append(Integer.parseInt(hex, 16).toChar); pos += 3 }
+          catch { case _: NumberFormatException => sb.append(c); pos += 1 }
+        } else { sb.append(c); pos += 1 }
+      }
+      PName(sb.toString)
+    }
+
+    private def isRegular(c: Char): Boolean =
+      !(c == ' ' || c == '\r' || c == '\n' || c == '\t' || c == '\f' || c == 0 ||
+        c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
+        c == '{' || c == '}' || c == '/' || c == '%')
+
+    private def parseNumberOrRef(): PVal = {
+      val start = pos
+      if (s.charAt(pos) == '+' || s.charAt(pos) == '-') pos += 1
+      while (pos < s.length && (s.charAt(pos).isDigit || s.charAt(pos) == '.')) pos += 1
+      val lit = s.substring(start, pos)
+      val n = try lit.toDouble catch { case _: NumberFormatException => fail(s"bad number '$lit'") }
+      // `N G R` indirect reference lookahead (both integers)
+      if (n >= 0 && n == math.floor(n) && !lit.contains('.')) {
+        val save = pos
+        skipWs()
+        val genStart = pos
+        while (pos < s.length && s.charAt(pos).isDigit) pos += 1
+        if (pos > genStart) {
+          skipWs()
+          if (pos < s.length && s.charAt(pos) == 'R' &&
+            (pos + 1 >= s.length || !isRegular(s.charAt(pos + 1)))) {
+            pos += 1
+            return PRef(n.toInt)
+          }
+        }
+        pos = save
+      }
+      PNum(n)
+    }
+
+    private def parseLitString(): PVal = {
+      pos += 1
+      val out = new java.io.ByteArrayOutputStream()
+      var open = 1
+      while (open > 0) {
+        if (pos >= s.length) fail("eof in string")
+        val c = s.charAt(pos)
+        pos += 1
+        c match {
+          case '\\' =>
+            if (pos >= s.length) fail("eof in escape")
+            val e = s.charAt(pos); pos += 1
+            e match {
+              case 'n' => out.write('\n')
+              case 'r' => out.write('\r')
+              case 't' => out.write('\t')
+              case 'b' => out.write('\b')
+              case 'f' => out.write('\f')
+              case '(' => out.write('(')
+              case ')' => out.write(')')
+              case '\\' => out.write('\\')
+              case '\r' => if (pos < s.length && s.charAt(pos) == '\n') pos += 1 // line continuation
+              case '\n' => ()
+              case d if d >= '0' && d <= '7' =>
+                var v = d - '0'
+                var k = 0
+                while (k < 2 && pos < s.length && s.charAt(pos) >= '0' && s.charAt(pos) <= '7') {
+                  v = v * 8 + (s.charAt(pos) - '0'); pos += 1; k += 1
+                }
+                out.write(v & 0xff)
+              case other => out.write(other.toInt & 0xff)
+            }
+          case '(' => open += 1; out.write('(')
+          case ')' => open -= 1; if (open > 0) out.write(')')
+          case ch  => out.write(ch.toInt & 0xff)
+        }
+      }
+      PStr(out.toByteArray)
+    }
+
+    private def parseHexString(): PVal = {
+      pos += 1
+      val out = new java.io.ByteArrayOutputStream()
+      var hi = -1
+      var done = false
+      while (!done) {
+        if (pos >= s.length) fail("eof in hex string")
+        val c = s.charAt(pos); pos += 1
+        if (c == '>') {
+          if (hi >= 0) out.write(hi << 4) // odd count: final digit padded with 0
+          done = true
+        } else if (!c.isWhitespace) {
+          val d = Character.digit(c, 16)
+          if (d < 0) fail(s"bad hex digit '$c'")
+          if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 }
+        }
+      }
+      PStr(out.toByteArray)
+    }
+  }
+
+  // ---- content-stream text extraction ------------------------------------
+
+  private final case class Run(x: Double, y: Double, fs: Double, text: String)
+
+  /** Positioned text runs from one page's (concatenated) content stream.
+    * Position model: Tm translation + Td/TD/T-star/TL line moves; Tf size.
+    * The x-advance estimate (0.5*fs per char) only orders runs within a
+    * line; glyph metrics are out of scope. */
+  private def extractRuns(content: Array[Byte]): Vector[Run] = {
+    val s = new String(content, StandardCharsets.ISO_8859_1)
+    val lex = new Lexer(s, 0)
+    val runs = Vector.newBuilder[Run]
+    // operand stack of parsed values; operators consume from it
+    var stack = List.empty[PVal]
+    var fs = 12.0
+    var tl = 0.0
+    var lineX = 0.0; var lineY = 0.0 // line matrix translation
+    var curX = 0.0; var curY = 0.0   // current show position
+    var inText = false
+
+    def strOf(v: PVal): String = v match {
+      case PStr(b) =>
+        if (b.length >= 2 && (b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff)
+          new String(b, 2, b.length - 2, StandardCharsets.UTF_16BE)
+        else new String(b, StandardCharsets.ISO_8859_1)
+      case _ => ""
+    }
+    def show(t: String): Unit = if (inText && t.nonEmpty) {
+      runs += Run(curX, curY, fs, t)
+      curX += t.length * fs * 0.5
+    }
+    def newline(dx: Double, dy: Double): Unit = {
+      lineX += dx; lineY += dy; curX = lineX; curY = lineY
+    }
+
+    while ({ lex.skipWs(); lex.pos < s.length }) {
+      val c = s.charAt(lex.pos)
+      if (c == '/' || c == '(' || c == '<' || c == '[' || c == '+' || c == '-' || c == '.' || c.isDigit) {
+        val v = try lex.parseValue(0) catch { case _: PdfRealError => lex.pos += 1; PNull }
+        stack = v :: stack
+      } else {
+        // operator keyword: run of regular chars (includes ' and ")
+        val start = lex.pos
+        while (lex.pos < s.length && !s.charAt(lex.pos).isWhitespace &&
+          "()<>[]{}/%".indexOf(s.charAt(lex.pos)) < 0) lex.pos += 1
+        if (lex.pos == start) lex.pos += 1 // lone delimiter: skip
+        val op = s.substring(start, lex.pos)
+        def n(i: Int): Double = stack.lift(i).map(num).getOrElse(0.0)
+        op match {
+          case "BT" => inText = true; fs = math.max(fs, 1.0); lineX = 0; lineY = 0; curX = 0; curY = 0
+          case "ET" => inText = false
+          case "Tf" => fs = math.max(n(0), 1.0)
+          case "TL" => tl = n(0)
+          case "Td" => newline(n(1), n(0))
+          case "TD" => tl = -n(0); newline(n(1), n(0))
+          case "T*" => newline(0, -tl)
+          case "Tm" =>
+            // operands a b c d e f pushed in order → stack head is f
+            lineX = n(1); lineY = n(0); curX = lineX; curY = lineY
+          case "Tj" => show(strOf(stack.headOption.getOrElse(PNull)))
+          case "'"  => newline(0, -tl); show(strOf(stack.headOption.getOrElse(PNull)))
+          case "\"" => newline(0, -tl); show(strOf(stack.headOption.getOrElse(PNull)))
+          case "TJ" => stack.headOption match {
+            case Some(PArr(items)) =>
+              items.foreach {
+                case ps: PStr => show(strOf(ps))
+                case PNum(adj) if adj < -180 => show(" ") // big kern gap ≈ space
+                case _ => ()
+              }
+            case _ => ()
+          }
+          case "BI" =>
+            // inline image: raw binary follows — skip to the EI sentinel
+            val ei = s.indexOf("EI", lex.pos)
+            lex.pos = if (ei < 0) s.length else ei + 2
+          case _ => () // path/graphics/color operators: irrelevant to text
+        }
+        stack = Nil
+      }
+    }
+    runs.result()
+  }
+
+  /** Cluster runs into lines (y proximity), lines into blocks (vertical
+    * adjacency), and emit [[PdfLite.PdfBlock]]s in TOP-LEFT-origin points
+    * (PDF device space is bottom-left-up). */
+  private def runsToBlocks(runs: Vector[Run], pageW: Float, pageH: Float): Vector[PdfLite.PdfBlock] = {
+    if (runs.isEmpty) return Vector.empty
+    // group into lines: same y within 0.3·fs
+    val byLine = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[Run]]
+    runs.sortBy(r => (-r.y, r.x)).foreach { r =>
+      byLine.lastOption match {
+        case Some(line) if (line.head.y - r.y).abs <= 0.3 * math.max(line.head.fs, r.fs) =>
+          line += r
+        case _ => byLine += scala.collection.mutable.ArrayBuffer(r)
+      }
+    }
+    final case class Line(x1: Double, x2: Double, y: Double, fs: Double, text: String)
+    val lines = byLine.map { lr =>
+      val sorted = lr.sortBy(_.x)
+      val sb = new StringBuilder
+      var lastEnd = Double.NaN
+      sorted.foreach { r =>
+        if (!lastEnd.isNaN && r.x - lastEnd > 0.25 * r.fs && sb.nonEmpty && sb.last != ' ') sb += ' '
+        sb ++= r.text
+        lastEnd = r.x + r.text.length * r.fs * 0.5
+      }
+      Line(sorted.head.x, lastEnd, sorted.head.y, sorted.map(_.fs).max, sb.toString)
+    }.filter(_.text.exists(!_.isWhitespace)).toVector
+
+    // group lines into blocks by vertical adjacency (gap ≤ 1.8·fs)
+    val blocks = Vector.newBuilder[PdfLite.PdfBlock]
+    var group = Vector.empty[Line]
+    def flush(): Unit = if (group.nonEmpty) {
+      val x1 = group.map(_.x1).min
+      val x2 = math.max(group.map(_.x2).max, x1 + 1)
+      val yTop = group.map(l => l.y + l.fs * 0.8).max
+      val yBot = group.map(l => l.y - l.fs * 0.25).min
+      def clampX(v: Double) = math.min(math.max(v, 0), pageW.toDouble)
+      def clampY(v: Double) = math.min(math.max(v, 0), pageH.toDouble)
+      val bx1 = clampX(x1); val bx2 = math.max(clampX(x2), bx1 + 1)
+      val by1 = clampY(pageH - yTop); val by2 = math.max(clampY(pageH - yBot), by1 + 1)
+      blocks += PdfLite.PdfBlock(bx1.toFloat, by1.toFloat, bx2.toFloat, by2.toFloat,
+        Categories.Text, group.map(_.text).mkString("\n"))
+      group = Vector.empty
+    }
+    lines.foreach { l =>
+      group.lastOption match {
+        case Some(prev) if prev.y - l.y <= 1.8 * math.max(prev.fs, l.fs) && prev.y - l.y > 0 =>
+          group :+= l
+        case Some(_) => flush(); group = Vector(l)
+        case None    => group = Vector(l)
+      }
+    }
+    flush()
+    blocks.result()
+  }
+}

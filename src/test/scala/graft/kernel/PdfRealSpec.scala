@@ -1,0 +1,146 @@
+package graft.kernel
+
+import java.nio.charset.StandardCharsets
+
+import graft.core.{Categories, PageDoc, PromptMode}
+import graft.gen.PdfWrite
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real-PDF (`%PDF-`) text-layer parsing: the round-2 typed error row is
+  * replaced by actual content for uncompressed/Flate text PDFs
+  * (reference parses real PDFs first-class: doc_utils.py:42-60,
+  * parser.py:307-312); everything outside the slice keeps the error row. */
+class PdfRealSpec extends AnyFunSuite {
+
+  private def doc(bytes: Array[Byte], url: String = "http://t/a.pdf") =
+    PageDoc(url, java.sql.Timestamp.valueOf("2025-01-01 00:00:00"), bytes, "", "en")
+
+  private def page(lines: (Double, Double, String)*): PdfWrite.Page =
+    PdfWrite.Page(612, 792, lines.toVector.map { case (x, y, t) => PdfWrite.TextLine(x, y, 12, t) })
+
+  test("uncompressed text PDF extracts its text layer (not an error row)") {
+    val bytes = PdfWrite.serialize(Vector(page(
+      (72, 720, "The Heading Line"),
+      (72, 700, "Body text first line."),
+      (72, 686, "Body text second line."))), compress = false)
+    assert(ExtractKernel.isRealPdf(bytes))
+    val pdf = PdfReal.parse(bytes)
+    assert(pdf.pages.length == 1)
+    val text = pdf.pages.head.blocks.map(_.text).mkString("\n")
+    assert(text.contains("The Heading Line"))
+    assert(text.contains("Body text first line."))
+    assert(text.indexOf("Heading") < text.indexOf("second"), "top-down order")
+    // vertically adjacent lines (14pt apart at 12pt font) group into one block
+    val bodyBlock = pdf.pages.head.blocks.find(_.text.contains("first line"))
+    assert(bodyBlock.exists(_.text.contains("second line")), "adjacent lines share a block")
+    assert(pdf.pages.head.blocks.forall(_.category == Categories.Text))
+  }
+
+  test("FlateDecode content streams inflate via java.util.zip") {
+    val bytes = PdfWrite.serialize(Vector(page((72, 720, "compressed payload text"))), compress = true)
+    val pdf = PdfReal.parse(bytes)
+    assert(pdf.pages.head.blocks.exists(_.text.contains("compressed payload text")))
+  }
+
+  test("multi-page: page order follows the /Kids array; fanOut emits pdf pages") {
+    val bytes = PdfWrite.serialize(Vector(
+      page((72, 720, "alpha page one")),
+      page((72, 720, "beta page two")),
+      page((72, 720, "gamma page three"))), compress = true)
+    val pages = ExtractKernel.fanOut(doc(bytes))
+    assert(pages.length == 3 && pages.forall(_.payload_kind == "pdf"))
+    val parsed = pages.map(ExtractKernel.parsePage(_, PromptMode.LayoutAll))
+    assert(parsed(0).extracted_text.contains("alpha"))
+    assert(parsed(1).extracted_text.contains("beta"))
+    assert(parsed(2).extracted_text.contains("gamma"))
+    assert(parsed.forall(_.error.isEmpty))
+    // page-range pruning applies to real PDFs too
+    val sliced = ExtractKernel.fanOut(doc(bytes), 1, 1)
+    assert(sliced.length == 1 && sliced.head.total_pages == 1)
+    assert(ExtractKernel.parsePage(sliced.head, PromptMode.LayoutAll).extracted_text.contains("beta"))
+  }
+
+  test("hand-written PDF (TJ array, hex string, escapes, indirect /Length) — not writer-shaped") {
+    // content exercises: Td positioning, TJ with kern numbers, octal/paren
+    // escapes, hex string, ' operator; /Length is an indirect ref whose
+    // object appears AFTER the stream (forces the endstream-search path)
+    val content =
+      """BT
+        |/F1 14 Tf
+        |72 700 Td
+        |[ (Hel) -20 (lo) -400 (world) ] TJ
+        |0 -18 Td
+        |(paren \(escaped\) and octal \101) Tj
+        |(apostrophe line) '
+        |<48657820627974657321> Tj
+        |ET""".stripMargin.replace("\r\n", "\n")
+    val pdf =
+      s"""%PDF-1.4
+         |1 0 obj
+         |<< /Type /Catalog /Pages 2 0 R >>
+         |endobj
+         |2 0 obj
+         |<< /Type /Pages /Count 1 /Kids [3 0 R] /MediaBox [0 0 595 842] >>
+         |endobj
+         |3 0 obj
+         |<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>
+         |endobj
+         |4 0 obj
+         |<< /Length 5 0 R >>
+         |stream
+         |$content
+         |endstream
+         |endobj
+         |5 0 obj
+         |${content.length}
+         |endobj
+         |trailer
+         |<< /Size 6 /Root 1 0 R >>
+         |%%EOF
+         |""".stripMargin
+    val parsed = PdfReal.parse(pdf.getBytes(StandardCharsets.ISO_8859_1))
+    assert(parsed.pages.length == 1)
+    // MediaBox inherited from the Pages node
+    assert(parsed.pages.head.widthPts == 595f && parsed.pages.head.heightPts == 842f)
+    val text = parsed.pages.head.blocks.map(_.text).mkString("\n")
+    assert(text.contains("Hello world"), s"TJ kern-space assembly, got: $text")
+    assert(text.contains("paren (escaped) and octal A"))
+    assert(text.contains("apostrophe line"))
+    assert(text.contains("Hex bytes!"))
+  }
+
+  test("outside the slice: encrypted / unsupported filter / no text layer keep the typed error row") {
+    def errOf(bytes: Array[Byte]): String = {
+      val rows = ExtractKernel.fanOut(doc(bytes))
+      assert(rows.length == 1 && rows.head.payload_kind == "error")
+      new String(rows.head.page_bytes, StandardCharsets.UTF_8)
+    }
+    val base = new String(PdfWrite.serialize(Vector(page((72, 720, "x"))), compress = false),
+      StandardCharsets.ISO_8859_1)
+    val encrypted = base.replace("/Root 1 0 R", "/Root 1 0 R /Encrypt 9 0 R")
+    assert(errOf(encrypted.getBytes(StandardCharsets.ISO_8859_1)).contains("encrypted"))
+
+    val dctFiltered = base.replace(">>\nstream", " /Filter /DCTDecode >>\nstream")
+    assert(errOf(dctFiltered.getBytes(StandardCharsets.ISO_8859_1)).contains("unsupported filter"))
+
+    // image-only page: valid structure, no text operators anywhere
+    val noText = base.replace("BT\n", "").replace("ET\n", "")
+      .replaceAll("""(?s)/F1 [\d.]+ Tf\n""", "").replaceAll("""(?s)1 0 0 1 [\d. ]+Tm\n""", "")
+      .replaceAll("""\(.*\) Tj\n""", "")
+    assert(errOf(noText.getBytes(StandardCharsets.ISO_8859_1)).contains("no extractable text layer"))
+
+    assert(errOf("%PDF-1.4\ngarbage".getBytes(StandardCharsets.UTF_8)).contains("unsupported_format"))
+  }
+
+  test("end-to-end parseDoc: real PDF produces md with the text; fused path ≡ fanOut path") {
+    val bytes = PdfWrite.serialize(Vector(
+      page((72, 720, "fused path check"), (72, 704, "line two here")),
+      page((72, 720, "second page text"))), compress = true)
+    val fused = ExtractKernel.parseDoc(doc(bytes), PromptMode.LayoutAll)
+    val spread = ExtractKernel.fanOut(doc(bytes)).map(ExtractKernel.parsePage(_, PromptMode.LayoutAll))
+    assert(fused == spread, "fused and per-RawPage paths must agree")
+    assert(fused.head.md.contains("fused path check"))
+    assert(fused(1).md.contains("second page text"))
+    assert(fused.forall(p => p.error.isEmpty && !p.filtered))
+  }
+}

@@ -15,10 +15,10 @@ class OutputDigestSpec extends AnyFunSuite {
 
   // seed=99, n=120; confirmed identical across independent JVMs (sbt run
   // JVM + standalone consumer via graft.tools.DigestMain). r3: raster-backed
-  // Picture cells now embed REAL crops (base64 PNG of the page-raster
-  // region) instead of the placeholder URI, changing md bytes for 1-in-16
-  // PDF docs.
-  val PinnedDigest: Int = -305478833
+  // Picture cells embed REAL crops (base64 PNG of the page-raster region),
+  // and ~2.4% of docs are now REAL %PDF- payloads parsed by the PdfReal
+  // text-layer parser (this sample contains one).
+  val PinnedDigest: Int = -1136197378
 
   test("extraction output digest matches the pinned constant") {
     val out = ExtractPipeline.run(InputTable.generate(spark, 120L, seed = 99L))
