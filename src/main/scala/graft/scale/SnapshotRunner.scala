@@ -48,6 +48,8 @@ final class SnapshotRunner(
   private val dataDir = s"$outDir/data"
   private val lineageDir = s"$outDir/lineage"
   private val manifestDir: Path = Paths.get(outDir, "manifest")
+  private val bucketedDir = s"$outDir/input_bucketed"
+  private val preparedMarker: Path = Paths.get(outDir, "input_bucketed_PREPARED")
 
   final case class Commit(id: Int, buckets: Seq[Int], rows: Long, wallMs: Long)
 
@@ -76,6 +78,40 @@ final class SnapshotRunner(
       StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** One-time input bucketization: materialize the input partitioned by
+    * `bucket=pmod(xxhash64(url), nBuckets)` so each commit batch reads a
+    * PARTITION-PRUNED scan of just its buckets' files. Without this,
+    * every batch re-filters the FULL input with a hash predicate parquet
+    * cannot push down — nBuckets/bucketsPerCommit batches means that many
+    * full scans of a 100 TB input; bucketized, the total input read across
+    * all batches is exactly one pass (plus this one bucketing shuffle).
+    * The explicit `repartition(nBuckets, bucket)` makes each writer task
+    * own whole buckets — without it every task writes a sliver into every
+    * `bucket=` dir (nTasks x nBuckets small files).
+    *
+    * Idempotent and crash-safe: the `_PREPARED` marker lands via atomic
+    * rename only after the write succeeds; a crash mid-write leaves no
+    * marker and the next call rewrites from scratch. */
+  def prepareInput(spark: SparkSession, input: DataFrame): Unit = {
+    if (Files.exists(preparedMarker)) return
+    input.withColumn("bucket", Lineage.bucketOf(col("url"), nBuckets))
+      .repartition(nBuckets, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(bucketedDir)
+    Files.createDirectories(preparedMarker.getParent)
+    val tmp = preparedMarker.resolveSibling(".input_bucketed_PREPARED.tmp")
+    Files.writeString(tmp, s"""{"n_buckets": $nBuckets}""")
+    Files.move(tmp, preparedMarker, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The scan a commit batch reads when the bucketized layout exists:
+    * partition-pruned to `buckets` (visible as PartitionFilters in the
+    * plan; only those buckets' files are listed). None before
+    * [[prepareInput]] has committed its marker. */
+  def batchScan(spark: SparkSession, buckets: Seq[Int]): Option[DataFrame] =
+    if (!Files.exists(preparedMarker)) None
+    else Some(spark.read.parquet(bucketedDir)
+      .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*)))
+
   /** Process up to `maxBatches` uncommitted bucket-batches (-1 = all).
     * Returns the number of batches committed in this invocation. */
   def run(spark: SparkSession, input: DataFrame, maxBatches: Int = -1): Int = {
@@ -90,7 +126,12 @@ final class SnapshotRunner(
       val t0 = System.currentTimeMillis()
       val bucketCol = Lineage.bucketOf(col("url"), nBuckets)
       val inBatch = bucketCol.isin(buckets.map(Integer.valueOf): _*)
-      val batchInput = input.filter(inBatch)
+      // bucketized layout (prepareInput) → partition-pruned scan of just
+      // this batch's buckets; otherwise fall back to filtering the full
+      // input (correct, but a full scan per batch — fine at test scale)
+      val batchInput = batchScan(spark, buckets)
+        .map(_.drop("bucket"))
+        .getOrElse(input.filter(inBatch))
       val out = ExtractPipeline.run(batchInput, mode).withColumn("bucket", bucketCol)
       // dynamic overwrite: only the bucket=<k> partitions present in `out`
       // are replaced — a rerun of an uncommitted batch lands identically
