@@ -194,8 +194,13 @@ object PdfReal {
 
   private def scanObjects(s: String, bytes: Array[Byte]): Map[Int, PObj] = {
     val out = Map.newBuilder[Int, PObj]
+    // binary stream data can contain ASCII that happens to look like an
+    // `N G obj` header; once a real object's stream has been consumed,
+    // matches that START inside it are spurious — skip them so a fake
+    // header can never shadow a real object of the same number
+    var consumedTo = 0
     ObjHeader.findAllMatchIn(s).foreach { m =>
-      try {
+      if (m.start >= consumedTo) try {
         val lex = new Lexer(s, m.end)
         val value = lex.parseValue(0)
         lex.skipWs()
@@ -224,6 +229,7 @@ object PdfReal {
                 if (t > start && s.charAt(t - 1) == '\r') t -= 1
                 t
               }
+            consumedTo = end
             Some(java.util.Arrays.copyOfRange(bytes, start, end))
           } else None
         out += (m.group(1).toInt -> PObj(value, stream))

@@ -132,6 +132,77 @@ class PdfRealSpec extends AnyFunSuite {
     assert(errOf("%PDF-1.4\ngarbage".getBytes(StandardCharsets.UTF_8)).contains("unsupported_format"))
   }
 
+  test("obj-header-lookalike INSIDE stream data cannot shadow a real object") {
+    // the content stream's DATA contains bytes that look like a page
+    // object definition; with the declared /Length consumed, the spurious
+    // header must be skipped, not parsed as object 3
+    val content = "BT /F1 12 Tf 72 700 Td (real text) Tj ET\n" +
+      "% lookalike follows as raw data:\n3 0 obj\n<< /Type /Page /Contents 99 0 R >>\nendobj\n"
+    val pdf =
+      s"""%PDF-1.4
+         |1 0 obj
+         |<< /Type /Catalog /Pages 2 0 R >>
+         |endobj
+         |2 0 obj
+         |<< /Type /Pages /Count 1 /Kids [3 0 R] /MediaBox [0 0 612 792] >>
+         |endobj
+         |3 0 obj
+         |<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>
+         |endobj
+         |4 0 obj
+         |<< /Length ${content.length} >>
+         |stream
+         |$content
+         |endstream
+         |endobj
+         |trailer
+         |<< /Size 5 /Root 1 0 R >>
+         |%%EOF
+         |""".stripMargin
+    // the real page object 3 precedes the stream — but serialize the fake
+    // BEFORE the real one too, by putting the stream object FIRST
+    val reordered = pdf.replace(
+      s"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n4 0 obj",
+      "4 0 obj")
+      .replace("trailer",
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\ntrailer")
+    for (variant <- Seq(pdf, reordered)) {
+      val parsed = PdfReal.parse(variant.getBytes(StandardCharsets.ISO_8859_1))
+      assert(parsed.pages.length == 1, "exactly the real page")
+      assert(parsed.pages.head.blocks.exists(_.text.contains("real text")),
+        s"real page content expected, got ${parsed.pages.head.blocks.map(_.text)}")
+    }
+  }
+
+  test("property: writer→parser round-trip preserves every line's text, page count, and order") {
+    val rng = new scala.util.Random(4242)
+    for (trial <- 0 until 25) {
+      val nPages = 1 + rng.nextInt(4)
+      val pages = Vector.tabulate(nPages) { p =>
+        val n = 1 + rng.nextInt(6)
+        var y = 740.0
+        PdfWrite.Page(612, 792, Vector.tabulate(n) { i =>
+          y -= 20 + rng.nextInt(30)
+          val words = Vector.fill(2 + rng.nextInt(6))(s"w${rng.nextInt(1000)}")
+          PdfWrite.TextLine(54 + rng.nextInt(100), y, 9 + rng.nextInt(10),
+            s"t$trial-p$p-l$i " + words.mkString(" ") + (if (rng.nextBoolean()) " (x\\y)" else ""))
+        })
+      }
+      val bytes = PdfWrite.serialize(pages, compress = rng.nextBoolean())
+      val parsed = PdfReal.parse(bytes)
+      assert(parsed.pages.length == nPages, s"trial $trial page count")
+      pages.zip(parsed.pages).foreach { case (w, r) =>
+        val text = r.blocks.map(_.text).mkString("\n")
+        // escape round-trip: ( ) \ in the text survive writer+parser exactly
+        w.lines.foreach(l => assert(text.contains(l.text),
+          s"trial $trial missing line '${l.text}'"))
+        // top-down order of line markers
+        val idx = w.lines.map(l => text.indexOf(l.text.takeWhile(_ != ' ')))
+        assert(idx == idx.sorted, s"trial $trial order: $idx")
+      }
+    }
+  }
+
   test("end-to-end parseDoc: real PDF produces md with the text; fused path ≡ fanOut path") {
     val bytes = PdfWrite.serialize(Vector(
       page((72, 720, "fused path check"), (72, 704, "line two here")),
