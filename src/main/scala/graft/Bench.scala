@@ -30,6 +30,7 @@ object Bench {
     val headline = Vector(
       "x_extract_full", "x_extract_ocr", "q_page_assembly", "q_agg_pushdown",
       "q_minhash_e2e", "q_simhash_e2e", "q_ann_topk", "q_ann_ivf",
+      "q_ann_ivf_build", "q_ann_ivf_query",
       "q_sessionize", "q_broadcast_join", "q_lang_id", "q_fingerprint")
 
     val runHeadline = sys.env.getOrElse("SPARK_GRAFT_HEADLINE", "1") == "1"

@@ -218,6 +218,55 @@ object SimilarityOps {
     topKPerQuery(scored, k)
   }
 
+  /** Build a PERSISTENT IVF index: the corpus, assigned map-side to its
+    * nearest centroid, written partitioned by `list_idx`. This is the
+    * production ANN shape (build once, amortize across every query
+    * batch): [[ivfTopK]] re-derives codebook + assignment inside each
+    * call, which can never beat brute force unless the query batch
+    * outnumbers the centroids — the assignment itself costs `nlist` dot
+    * products per corpus row. With the index on disk, a query batch costs
+    * only a PARTITION-PRUNED scan of its probed lists plus
+    * `nprobe/nlist` of the scoring. At corpus scale, add a second
+    * repartition key (`pmod(hash(id), filesPerList)`) so each list dir
+    * holds executor-sized files; at test scale one file per list is
+    * right. Returns the codebook (persist it next to the index in real
+    * deployments). */
+  def buildIvfIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, indexDir: String,
+      nlist: Int = 16,
+      centroids: Option[Array[(Int, Array[Double])]] = None): Array[(Int, Array[Double])] = {
+    val cents = centroids.getOrElse(collectCentroids(corpus, idCol, vecCol, nlist))
+    val cmat = cents.sortBy(_._1).map(_._2.toVector).toVector
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .withColumn("list_idx",
+        element_at(graft.functions.NearestCentroids(col("cvec"), cmat, 1), 1))
+      .repartition(col("list_idx"))
+      .write.mode("overwrite").partitionBy("list_idx").parquet(indexDir)
+    cents
+  }
+
+  /** Query a prebuilt IVF index. The probed list ids are known BEFORE the
+    * corpus scan (queries are the small side), so they push down as an
+    * `isin` partition filter — the scan reads only the probed lists'
+    * files. Results are identical to [[ivfTopK]] run with the same
+    * codebook (pinned in OpsSpec). */
+  def queryIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      cents: Array[(Int, Array[Double])], queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val cmat = cents.sortBy(_._1).map(_._2.toVector).toVector
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("list_idx",
+        explode(graft.functions.NearestCentroids(col("qvec"), cmat, nprobe)))
+    val probed = q.select("list_idx").distinct().collect().map(_.getInt(0))
+    val c = spark.read.parquet(indexDir)
+      .filter(col("list_idx").isin(probed.map(Integer.valueOf): _*))
+    val scored = c.join(broadcast(q), Seq("list_idx"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("cvec"), col("qvec")))
+    topKPerQuery(scored, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs via banded sign-LSH: the
     * `nbits` random-hyperplane signature is split into `bands` chunks and
     * candidates come from an equi-join on (band, chunk) — identical

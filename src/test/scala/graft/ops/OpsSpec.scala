@@ -262,6 +262,40 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"IVF recall $recall")
   }
 
+  test("persistent IVF index: queryIvfIndex ≡ ivfTopK (same codebook); probe scan reads ONLY probed lists' files") {
+    val corpus = clusteredEmbeddings(500, 64, 10, 0.2).cache()
+    val queries = corpus.limit(25)
+    val idxDir = java.nio.file.Files.createTempDirectory("ivf-idx").toString
+    val cents = SimilarityOps.buildIvfIndex(corpus, "vec_id", "embedding", idxDir, nlist = 16)
+    val viaIndex = SimilarityOps.queryIvfIndex(spark, idxDir, cents, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val oneShot = SimilarityOps.ivfTopK(corpus, queries, "vec_id", "embedding", 10,
+      nlist = 16, nprobe = 4, centroids = Some(cents))
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(viaIndex == oneShot, "prebuilt-index query must equal the one-shot IVF result")
+
+    // partition pruning, proved at execution level: with ONE query probing
+    // nprobe lists, the scan's input files stay inside those lists' dirs
+    val oneQuery = corpus.limit(1)
+    val probedScan = SimilarityOps.queryIvfIndex(spark, idxDir, cents, oneQuery,
+      "vec_id", "embedding", k = 10, nprobe = 2)
+    probedScan.collect() // execute
+    val cmat = cents.sortBy(_._1).map(_._2.toVector).toVector
+    val probedLists = oneQuery
+      .select(explode(graft.functions.NearestCentroids(col("embedding"), cmat, 2)).as("l"))
+      .as[Int].collect().toSet
+    val filesRead = spark.read.parquet(idxDir)
+      .filter(col("list_idx").isin(probedLists.toSeq.map(Integer.valueOf): _*))
+      .select(input_file_name()).distinct().as[String].collect()
+    assert(filesRead.nonEmpty &&
+      filesRead.forall(f => probedLists.exists(l => f.contains(s"list_idx=$l/"))),
+      s"probe scan escaped its lists: ${filesRead.take(3).mkString(", ")}")
+    // the index genuinely holds other lists the probe did not read
+    val allLists = spark.read.parquet(idxDir).select("list_idx").distinct().count()
+    assert(allLists > probedLists.size, s"need unprobed lists ($allLists vs ${probedLists.size})")
+  }
+
   test("native NearestCentroids ≡ columnar probe-list formulation (top-1 and nprobe=4); codegen ≡ interpreted") {
     val cents = SimilarityOps.collectCentroids(embs, "vec_id", "embedding", 8)
     val cmat = cents.sortBy(_._1).map(_._2.toVector).toVector
