@@ -110,6 +110,21 @@ object DedupOps {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Re-attach per-id payload columns to a candidate pair set. The band
+    * join runs payload-free (the banded relation that moves through the
+    * window guard's shuffle and the self-join is (id, band, key) — ~24
+    * bytes/row — instead of dragging kilobyte signature/vector arrays
+    * ×bands through two shuffles); payloads are fetched here, for the far
+    * smaller surviving candidate set only, as two equi-joins on id that
+    * AQE turns into broadcasts when the candidates are small. */
+  private[ops] def attachPayloads(
+      cand: DataFrame, src: DataFrame, idCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    def side(suffix: String) = src.select(
+      col(idCol).as(s"id$suffix") +: payloadCols.map(p => col(p).as(s"$p$suffix")): _*)
+    cand.join(side("_a"), "id_a").join(side("_b"), "id_b")
+  }
+
   /** Band join + threshold over a precomputed (id, sig) signature table. */
   def minhashPairsFromSigs(
       sigs: DataFrame,
@@ -119,13 +134,16 @@ object DedupOps {
       maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // explode to (band, bandHash, id, sig) — band hash is one long, so the
-    // shuffled relation is tiny compared to the corpus
-    val banded0 = sigs.select(col("id"), col("sig"),
+    // explode to (id, band, bandHash) only — one long per band key; the
+    // 64-long signatures stay out of the band shuffle and are re-joined
+    // per surviving candidate for the Jaccard estimate
+    val banded0 = sigs.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, r)), lit(b))): _*))
         .as(Seq("band", "band_hash")))
-    val cand = guardedSelfJoin(banded0, Seq("sig"), maxBucketSize, keyCol = "band_hash")
+    val cand = attachPayloads(
+      guardedSelfJoin(banded0, Seq.empty, maxBucketSize, keyCol = "band_hash"),
+      sigs, "id", Seq("sig"))
     cand.withColumn("est_jaccard",
       aggregate(zip_with(col("sig_a"), col("sig_b"), (a, b) => when(a === b, 1).otherwise(0)),
         lit(0), (acc, x) => acc + x).cast("double") / numHashes)

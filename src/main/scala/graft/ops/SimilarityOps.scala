@@ -305,11 +305,15 @@ object SimilarityOps {
     require(nbits % bands == 0)
     val chunkBits = nbits / bands
     val mask = if (chunkBits >= 64) -1L else (1L << chunkBits) - 1
-    val banded = sigs.select(col("id"), col("vec"),
+    // band join is payload-free (id, band, chunk); the dense vectors are
+    // re-joined per surviving candidate for the cosine verify
+    val banded = sigs.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("sig"), b * chunkBits).bitwiseAND(mask)): _*))
         .as(Seq("band", "chunk")))
-    val cand = DedupOps.guardedSelfJoin(banded, Seq("vec"), maxBucketSize)
+    val cand = DedupOps.attachPayloads(
+      DedupOps.guardedSelfJoin(banded, Seq.empty, maxBucketSize),
+      sigs, "id", Seq("vec"))
     val thresholdMicros = math.round(threshold * 1e6)
     cand
       .withColumn("cos_x1e6", round(cosine(col("vec_a"), col("vec_b")) * 1e6).cast("long"))
