@@ -350,7 +350,18 @@ object Queries {
           case None    => (i, false, false, 0L)
         }
       }.toDF("case_id", "parsed", "extracted", "json_len").orderBy("case_id")
-    })
+    }),
+
+    // ---- streaming dedup-on-arrival, exercised in batch mode (same
+    //      flatMapGroupsWithState operator, trivial state): first-seen
+    //      survivor per content identity = min (warc_ts, url) per text.
+    //      DuckDB replays via row_number over PARTITION BY text (the
+    //      xxhash64 grouping key is content identity minus collisions).
+    //      Checkpointed cross-batch state is covered by StreamingDedupSpec.
+    "q_stream_dedup" -> ((s, dir) =>
+      graft.streaming.StreamingDedup.dedupStream(vt(s, dir, "northrule")).toDF()
+        .select(col("url"), col("warc_ts"), col("lang"))
+        .orderBy("url"))
   )
 
   /** Bench-only end-to-end variants. The oracled q_minhash_pairs /
@@ -584,6 +595,15 @@ object Queries {
            |SELECT json_extract_string(cell, '$$.category') AS category,
            |  CAST(count(*) AS BIGINT) AS n
            |FROM c GROUP BY category ORDER BY category""".stripMargin,
+      // streaming dedup in batch mode ≡ first row per text by (ts, url);
+      // floor(epoch) mirrors Spark's timestamp→long truncation
+      "q_stream_dedup" ->
+        s"""SELECT url, CAST(floor(epoch(warc_ts)) AS BIGINT) AS warc_ts, lang
+           |FROM read_parquet('${g("northrule")}')
+           |QUALIFY row_number() OVER (
+           |  PARTITION BY text
+           |  ORDER BY CAST(floor(epoch(warc_ts)) AS BIGINT), url) = 1
+           |ORDER BY url""".stripMargin,
       // skew-salted host stats ≡ single-phase aggregate
       "x_host_stats" ->
         s"""SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
