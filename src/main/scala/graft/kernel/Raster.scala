@@ -37,14 +37,14 @@ object Raster {
     val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     val sx1 = math.max(x1, 0); val sy1 = math.max(y1, 0)
     val sx2 = math.min(x2, img.getWidth); val sy2 = math.min(y2, img.getHeight)
-    var y = sy1
-    while (y < sy2) {
-      var x = sx1
-      while (x < sx2) {
-        out.setRGB(x - x1, y - y1, img.getRGB(x, y) & 0xffffff)
-        x += 1
-      }
-      y += 1
+    val cw = sx2 - sx1; val ch = sy2 - sy1
+    if (cw > 0 && ch > 0) {
+      // bulk row transfer (single colormodel conversion pass) — per-pixel
+      // getRGB/setRGB was the extraction hot path in thread samples
+      val px = img.getRGB(sx1, sy1, cw, ch, null, 0, cw)
+      var i = 0
+      while (i < px.length) { px(i) &= 0xffffff; i += 1 }
+      out.setRGB(sx1 - x1, sy1 - y1, cw, ch, px, 0, cw)
     }
     out
   }
