@@ -352,6 +352,25 @@ object Queries {
       }.toDF("case_id", "parsed", "extracted", "json_len").orderBy("case_id")
     }),
 
+    // ---- sequence packing: fixed-token-budget training rows, per-shard
+    //      greedy cut (close-when-exceeded); per-pack summary is the
+    //      loader-facing relation. Fully engine-replayable (id-mod
+    //      sharding, whitespace token counts, window cumsum).
+    "q_seq_pack" -> ((s, dir) =>
+      TextOps.packSummary(
+        TextOps.packSequences(t(s, dir, "documents"), "doc_id", "text",
+          tokenBudget = 2048L, nShards = 8))
+        .orderBy("shard", "pack_id")),
+
+    // ---- stratified quota sampling (pretraining mix curation): exactly
+    //      ceil(frac·n) docs per language, deterministic multiplicative-
+    //      permutation order — replayable in DuckDB with the same BIGINT
+    //      arithmetic.
+    "q_stratified_sample" -> ((s, dir) =>
+      TextOps.stratifiedSample(
+        t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang", frac = 0.25)
+        .orderBy("doc_id")),
+
     // ---- streaming dedup-on-arrival, exercised in batch mode (same
     //      flatMapGroupsWithState operator, trivial state): first-seen
     //      survivor per content identity = min (warc_ts, url) per text.
@@ -465,6 +484,26 @@ object Queries {
     "q_token_count" ->
       """SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
         |x -> x <> '')) AS BIGINT) AS n_tokens FROM documents ORDER BY doc_id""".stripMargin,
+    "q_seq_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT shard, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM d)
+        |SELECT shard, CAST(floor(cum_before / 2048.0) AS BIGINT) AS pack_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+        |FROM c GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin,
+    "q_stratified_sample" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |  ((doc_id % 1000003) * 2654435761) % 1000003 AS ord FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang ORDER BY ord, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS n FROM d)
+        |SELECT doc_id, lang FROM r WHERE rn <= ceil(n * 0.25) ORDER BY doc_id""".stripMargin,
     "q_quality" ->
       """SELECT doc_id,
         |CAST(length(text) AS BIGINT) AS n_chars_calc,

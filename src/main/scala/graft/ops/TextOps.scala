@@ -95,4 +95,63 @@ object TextOps {
       .otherwise(array_distinct(
         transform(sequence(lit(0), size(ts) - n), i => concat_ws(" ", slice(ts, i + 1, lit(n))))))
   }
+
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * rows ("sample packing"). Documents are sharded by `id % nShards`,
+    * ordered by id within the shard, and cut greedily: a document opens a
+    * new pack when the running token total before it has crossed a
+    * multiple of `tokenBudget` (`pack_id = floor(cum_before/budget)` —
+    * the close-when-exceeded greedy, so a pack can overflow by at most
+    * one document; no document is split).
+    *
+    * Scale design: the only non-map step is a window per shard over the
+    * PROJECTED (id, n_tokens) relation — text never shuffles, and shard
+    * count (thousands at corpus scale) bounds each window's sort to
+    * n/nShards 16-byte rows. A global (unsharded) packing order would be
+    * a single-task window — the per-shard formulation is what survives
+    * 100×; shard-local packing is also what training actually wants
+    * (shards are the unit of data loading).
+    *
+    * Output: one row per document — (id, shard, pack_id, n_tokens) —
+    * deterministic and engine-replayable (id-mod sharding, no hashing). */
+  def packSequences(
+      df: DataFrame, idCol: String, textCol: String,
+      tokenBudget: Long, nShards: Int = 32): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(idCol), pmod(col(idCol), lit(nShards.toLong)).as("shard"),
+        tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("pack_id",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / tokenBudget))
+  }
+
+  /** Per-pack summary of [[packSequences]]: (shard, pack_id, n_docs,
+    * pack_tokens), the relation a training-data loader consumes. */
+  def packSummary(packed: DataFrame): DataFrame =
+    packed.groupBy("shard", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
+
+  /** Stratified quota sampling for pretraining-mix curation: keep a
+    * per-stratum fraction (e.g. per language), exactly
+    * `ceil(frac · n_stratum)` rows per stratum, chosen by a deterministic
+    * pseudo-random order (id-reversal mod a prime — engine-replayable,
+    * unlike a hash, and uncorrelated with id order so the quota is not
+    * "first k by id"). Two windows over the projected (id, stratum)
+    * relation; text never shuffles. */
+  def stratifiedSample(
+      df: DataFrame, idCol: String, stratumCol: String, frac: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // ((id mod p)·K) mod p — a multiplicative permutation of Z_p; id is
+    // reduced mod p BEFORE the multiply so the product stays < 2^52 (no
+    // ANSI overflow at any id scale). Ties (ids congruent mod p) break
+    // by id.
+    val ord = pmod(pmod(col(idCol), lit(1000003L)) * lit(2654435761L), lit(1000003L))
+    val w = Window.partitionBy(stratumCol).orderBy(ord.asc, col(idCol).asc)
+    val wc = Window.partitionBy(stratumCol)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wc))
+      .filter(col("__rn") <= ceil(col("__n") * frac))
+      .drop("__rn", "__n")
+  }
 }

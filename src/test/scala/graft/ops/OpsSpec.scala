@@ -463,4 +463,53 @@ class OpsSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().toSeq
     assert(top == Seq((14L, 0.95), (10L, 0.9), (12L, 0.8)))
   }
+
+  test("sequence packing: greedy close-when-exceeded cut, no doc split, shard-local") {
+    // one shard (ids all ≡ 0 mod 1): tokens 5,5,5 at budget 12 → cum_before
+    // 0,5,10 → packs 0,0,0 (third doc overflows pack 0: close-when-exceeded
+    // admits the doc whose cum_before is still inside the budget); the
+    // fourth doc (cum_before 15) opens pack 1
+    val df = Seq(
+      (0L, "a b c d e"), (1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d e")
+    ).toDF("doc_id", "text")
+    val packed = TextOps.packSequences(df, "doc_id", "text", tokenBudget = 12L, nShards = 1)
+      .orderBy("doc_id").select("doc_id", "pack_id").as[(Long, Long)].collect().toSeq
+    assert(packed == Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 1L)))
+
+    // invariants on real docs: every doc appears exactly once; within a
+    // shard, pack ids are contiguous from 0 and non-decreasing in id
+    // order; every pack but a shard's last holds ≥ budget tokens only via
+    // its LAST doc (i.e. cum_before of each pack's first doc is below the
+    // next multiple of budget)
+    val budget = 512L
+    val p = TextOps.packSequences(docs, "doc_id", "text", budget, nShards = 4).cache()
+    assert(p.count() == docs.count())
+    val perShard = p.groupBy("shard")
+      .agg(max("pack_id").as("mx"), countDistinct("pack_id").as("nd"))
+      .as[(Long, Long, Long)].collect()
+    perShard.foreach { case (_, mx, nd) => assert(nd == mx + 1, "pack ids not contiguous") }
+    // summary totals = doc totals
+    val sum1 = TextOps.packSummary(p).agg(sum("pack_tokens")).as[Long].head()
+    val sum2 = p.agg(sum("n_tokens")).as[Long].head()
+    assert(sum1 == sum2)
+  }
+
+  test("stratified sample: exact per-stratum quota, deterministic, not first-k-by-id") {
+    val d = docs.select("doc_id", "lang")
+    val sampled = TextOps.stratifiedSample(d, "doc_id", "lang", 0.25).cache()
+    val quota = d.groupBy("lang").count()
+      .select(col("lang"), ceil(col("count") * 0.25).as("q"))
+      .as[(String, Long)].collect().toMap
+    val got = sampled.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(got == quota, s"per-stratum counts $got != quotas $quota")
+    // deterministic across evaluations
+    val again = TextOps.stratifiedSample(d, "doc_id", "lang", 0.25)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(again == sampled.orderBy("doc_id").as[(Long, String)].collect().toSeq)
+    // the permutation must not just take the first k ids of a stratum
+    val firstK = d.orderBy("doc_id").limit(quota.values.sum.toInt)
+      .as[(Long, String)].collect().map(_._1).toSet
+    val sampledIds = sampled.as[(Long, String)].collect().map(_._1).toSet
+    assert(sampledIds != firstK, "sample degenerated to first-k-by-id")
+  }
 }
