@@ -77,10 +77,20 @@ object ExtractKernel {
         case e: PdfReal.PdfRealError =>
           Left(s"unsupported_format: real PDF payload (${e.getMessage}); " +
             "this build parses the text layer of uncompressed/Flate PDFs, PDF-lite, and HTML")
+        case scala.util.control.NonFatal(e) =>
+          // I3 never-throw contract: at corpus scale every byte pattern
+          // arrives eventually, and an escaped exception fails the task
+          // 4x then kills the job — any unanticipated parser path
+          // degrades to the same typed error row (FuzzSpec)
+          Left(s"unsupported_format: real PDF parse failure (${e.getClass.getSimpleName})")
       }
     } else {
       try Right(PdfLite.parse(bytes))
-      catch { case e: PdfLite.PdfLiteError => Left(e.getMessage) }
+      catch {
+        case e: PdfLite.PdfLiteError            => Left(e.getMessage)
+        case scala.util.control.NonFatal(e)     =>
+          Left(s"pdf-lite parse failure (${e.getClass.getSimpleName})")
+      }
     }
 
   /** Inclusive [start, end] page slice; end < 0 → last page (reference
