@@ -352,6 +352,36 @@ object Queries {
       }.toDF("case_id", "parsed", "extracted", "json_len").orderBy("case_id")
     }),
 
+    // ---- URL canonicalization for crawl dedup: deterministic noisy
+    //      variants (fragments, utm params, case-folded scheme/host,
+    //      trailing slash) built from the north-rule urls IN the query —
+    //      both engines construct and canonicalize identically (RE2-safe
+    //      regex chain).
+    "q_url_canon" -> ((s, dir) => {
+      val base = vt(s, dir, "northrule").select(col("url"))
+      val noisy = base.select(col("url"),
+        when(pmod(length(col("url")), lit(4)) === 0,
+            concat(col("url"), lit("?utm_source=feed&utm_campaign=x")))
+          .when(pmod(length(col("url")), lit(4)) === 1,
+            concat(upper(substring(col("url"), 1, 8)), substring(col("url"), 9, 100000)))
+          .when(pmod(length(col("url")), lit(4)) === 2,
+            concat(col("url"), lit("/#section-2")))
+          .otherwise(concat(col("url"), lit("?a=1&utm_x=2&b=3")))
+          .as("noisy"))
+      noisy.select(col("url"), col("noisy"),
+          TextOps.canonicalUrl(col("noisy")).as("canon"))
+        .withColumn("roundtrips",
+          TextOps.canonicalUrl(col("url")) === col("canon"))
+        .orderBy("url")
+    }),
+
+    // ---- repetition quality signals (duplicate-line/token fractions,
+    //      Gopher/RefinedWeb-style filters), integral so engine-exact
+    "q_repetition" -> ((s, dir) =>
+      TextOps.repetitionFeatures(
+        t(s, dir, "documents").select("doc_id", "text"), "text")
+        .drop("text").orderBy("doc_id")),
+
     // ---- sequence packing: fixed-token-budget training rows, per-shard
     //      greedy cut (close-when-exceeded); per-pack summary is the
     //      loader-facing relation. Fully engine-replayable (id-mod
@@ -484,6 +514,13 @@ object Queries {
     "q_token_count" ->
       """SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
         |x -> x <> '')) AS BIGINT) AS n_tokens FROM documents ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      """SELECT doc_id,
+        |CAST(len(list_filter(string_split(text, chr(10)), x -> trim(x) <> '')) AS BIGINT) AS n_lines,
+        |CAST(len(list_distinct(list_filter(string_split(text, chr(10)), x -> trim(x) <> ''))) AS BIGINT) AS n_distinct_lines,
+        |CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |CAST(len(list_distinct(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))) AS BIGINT) AS n_distinct_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_seq_pack" ->
       """WITH d AS (
         |  SELECT doc_id, doc_id % 8 AS shard,
@@ -634,6 +671,39 @@ object Queries {
            |SELECT json_extract_string(cell, '$$.category') AS category,
            |  CAST(count(*) AS BIGINT) AS n
            |FROM c GROUP BY category ORDER BY category""".stripMargin,
+      // URL canonicalization: the same deterministic noisy-variant
+      // construction + the same RE2-safe regex chain, replayed verbatim
+      // on both the noisy and the original url (roundtrips check)
+      "q_url_canon" ->
+        s"""WITH base AS (SELECT url FROM read_parquet('${g("northrule")}')),
+           |n AS (SELECT url, CASE length(url) % 4
+           |  WHEN 0 THEN url || '?utm_source=feed&utm_campaign=x'
+           |  WHEN 1 THEN upper(substring(url, 1, 8)) || substring(url, 9)
+           |  WHEN 2 THEN url || '/#section-2'
+           |  ELSE url || '?a=1&utm_x=2&b=3' END AS noisy FROM base),
+           |c1 AS (SELECT url, noisy,
+           |  regexp_replace(noisy, '#.*$$', '', 'g') AS a,
+           |  regexp_replace(url,   '#.*$$', '', 'g') AS b FROM n),
+           |c2 AS (SELECT url, noisy,
+           |  regexp_replace(a, '(?:utm_[^&=#?]*|fbclid|gclid)=[^&#]*', '', 'g') AS a,
+           |  regexp_replace(b, '(?:utm_[^&=#?]*|fbclid|gclid)=[^&#]*', '', 'g') AS b FROM c1),
+           |c3 AS (SELECT url, noisy,
+           |  regexp_replace(a, '&&+', '&', 'g') AS a,
+           |  regexp_replace(b, '&&+', '&', 'g') AS b FROM c2),
+           |c4 AS (SELECT url, noisy,
+           |  regexp_replace(a, '\\?&', '?', 'g') AS a,
+           |  regexp_replace(b, '\\?&', '?', 'g') AS b FROM c3),
+           |c5 AS (SELECT url, noisy,
+           |  regexp_replace(a, '[?&]+$$', '', 'g') AS a,
+           |  regexp_replace(b, '[?&]+$$', '', 'g') AS b FROM c4),
+           |c6 AS (SELECT url, noisy,
+           |  lower(regexp_extract(a, '^[^/?#]*//[^/?#]*')) || regexp_replace(a, '^[^/?#]*//[^/?#]*', '') AS a,
+           |  lower(regexp_extract(b, '^[^/?#]*//[^/?#]*')) || regexp_replace(b, '^[^/?#]*//[^/?#]*', '') AS b FROM c5),
+           |c7 AS (SELECT url, noisy,
+           |  regexp_replace(a, '^(.*[^/])/$$', '\\1') AS a,
+           |  regexp_replace(b, '^(.*[^/])/$$', '\\1') AS b FROM c6)
+           |SELECT url, noisy, a AS canon, (b = a) AS roundtrips
+           |FROM c7 ORDER BY url""".stripMargin,
       // streaming dedup in batch mode ≡ first row per text by (ts, url);
       // floor(epoch) mirrors Spark's timestamp→long truncation
       "q_stream_dedup" ->

@@ -132,6 +132,44 @@ object TextOps {
     packed.groupBy("shard", "pack_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
 
+  /** URL canonicalization for crawl-level dedup: case-fold the
+    * scheme://host prefix, drop the fragment, drop tracking query params
+    * (`utm_*`, `fbclid`, `gclid`), normalize the leftover `?&`/`&&`/
+    * trailing `?`/`&` punctuation, strip one trailing slash off a
+    * non-root path. Pure regex Column algebra (codegen, replayable) —
+    * the crawl-dedup pre-key a training pipeline applies before content
+    * hashing (two fetches of `page?utm_source=x#frag` and `page` are the
+    * same document). */
+  def canonicalUrl(url: Column): Column = {
+    // every pattern below is RE2-safe (no lookaround, no backrefs in the
+    // pattern) so the DuckDB oracle replays it verbatim
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val noTrack = regexp_replace(noFrag, "(?:utm_[^&=#?]*|fbclid|gclid)=[^&#]*", "")
+    val tidyAmp = regexp_replace(
+      regexp_replace(regexp_replace(noTrack, "&&+", "&"), "\\?&", "?"),
+      "[?&]+$", "")
+    val loHost = concat(
+      lower(regexp_extract(tidyAmp, "^[^/?#]*//[^/?#]*", 0)),
+      regexp_replace(tidyAmp, "^[^/?#]*//[^/?#]*", ""))
+    // single trailing slash (incl. host root — "https://a.example/" and
+    // "https://a.example" canonicalize identically)
+    regexp_replace(loHost, "^(.*[^/])/$", "$1")
+  }
+
+  /** Repetition quality signals (Gopher/RefinedWeb-style duplicate-content
+    * filters), kept integral so results are engine-exact: line counts
+    * (non-blank), distinct-line counts, token counts, distinct-token
+    * counts. High duplicate-line or duplicate-token fractions mark
+    * boilerplate/spam; thresholding is the caller's policy. */
+  def repetitionFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val lines = filter(split(col(textCol), "\n"), l => trim(l) =!= "")
+    val ts = tokens(col(textCol))
+    df.withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_distinct_lines", size(array_distinct(lines)).cast("long"))
+      .withColumn("n_tokens", size(ts).cast("long"))
+      .withColumn("n_distinct_tokens", size(array_distinct(ts)).cast("long"))
+  }
+
   /** Stratified quota sampling for pretraining-mix curation: keep a
     * per-stratum fraction (e.g. per language), exactly
     * `ceil(frac · n_stratum)` rows per stratum, chosen by a deterministic

@@ -494,6 +494,22 @@ class OpsSpec extends AnyFunSuite {
     assert(sum1 == sum2)
   }
 
+  test("canonical url: fragments, tracking params, punct cleanup, case-fold, trailing slash") {
+    val cases = Seq(
+      "https://A.Example/Path#frag"                    -> "https://a.example/Path",
+      "HTTPS://HOST.x/p?utm_source=a&q=1"              -> "https://host.x/p?q=1",
+      "https://h.x/p?a=1&utm_x=2&b=3"                  -> "https://h.x/p?a=1&b=3",
+      "https://h.x/p?utm_a=1&utm_b=2"                  -> "https://h.x/p",
+      "https://h.x/p?fbclid=abc"                       -> "https://h.x/p",
+      "https://h.x/dir/"                               -> "https://h.x/dir",
+      "https://h.x/"                                   -> "https://h.x",
+      "https://h.x/p?gclid=1&keep=2#s"                 -> "https://h.x/p?keep=2",
+      "https://h.x/CaseKept/Path"                      -> "https://h.x/CaseKept/Path")
+    val got = cases.map(_._1).toDF("u")
+      .select(TextOps.canonicalUrl(col("u"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2), got.zip(cases).filter { case (g, (_, e)) => g != e }.toString)
+  }
+
   test("stratified sample: exact per-stratum quota, deterministic, not first-k-by-id") {
     val d = docs.select("doc_id", "lang")
     val sampled = TextOps.stratifiedSample(d, "doc_id", "lang", 0.25).cache()
