@@ -58,7 +58,7 @@ object PdfReal {
     // compact strings keep it byte-backed) that never corrupts offsets
     val s = new String(bytes, StandardCharsets.ISO_8859_1)
     if (encrypted(s)) fail("encrypted")
-    val objs = scanObjects(s, bytes)
+    val objs = expandObjStreams(scanObjects(s, bytes))
     if (objs.isEmpty) fail("no parseable objects")
 
     def deref(v: PVal, depth: Int = 0): PVal = v match {
@@ -238,6 +238,59 @@ object PdfReal {
       }
     }
     out.result()
+  }
+
+  /** Unpack `/Type /ObjStm` object streams (PDF 1.5+): modern producers
+    * pack most non-stream objects — catalog, page tree, font dicts —
+    * into one compressed stream, so without this the page walk finds
+    * nothing. Layout (ISO 32000 §7.5.7): the decoded stream starts with
+    * `N` pairs of integers `objnum offset` (offsets relative to /First),
+    * followed by the serialized objects; packed objects never carry
+    * streams. A top-level object with the same number wins over a packed
+    * one (incremental-update shadowing); a damaged object stream is
+    * skipped, keeping whatever parsed elsewhere. */
+  private def expandObjStreams(objs0: Map[Int, PObj]): Map[Int, PObj] = {
+    def deref0(v: PVal, depth: Int): PVal = v match {
+      case PRef(n) if depth < 32 =>
+        objs0.get(n).map(o => deref0(o.dict, depth + 1)).getOrElse(PNull)
+      case other => other
+    }
+    val packed = Map.newBuilder[Int, PObj]
+    var any = false
+    objs0.valuesIterator.foreach {
+      case PObj(dict @ PDict(d), Some(raw)) if d.get("Type").contains(PName("ObjStm")) =>
+        try {
+          val data = decodeStream(dict, raw, deref0)
+          val n = num(deref0(d.getOrElse("N", PNull), 0)).toInt
+          val first = num(deref0(d.getOrElse("First", PNull), 0)).toInt
+          if (n <= 0 || n > 100000 || first < 0 || first > data.length)
+            fail("implausible ObjStm header")
+          val text = new String(data, StandardCharsets.ISO_8859_1)
+          val hdr = new Lexer(text, 0)
+          val pairs = Vector.newBuilder[(Int, Int)]
+          var i = 0
+          var ok = true
+          while (i < n && ok) {
+            (hdr.parseValue(0), hdr.parseValue(0)) match {
+              case (PNum(on), PNum(off)) if on >= 0 && off >= 0 =>
+                pairs += ((on.toInt, off.toInt))
+              case _ => ok = false // torn header: keep the pairs parsed so far
+            }
+            i += 1
+          }
+          pairs.result().foreach { case (objNum, off) =>
+            val at = first + off
+            if (at >= 0 && at < text.length) {
+              try {
+                packed += (objNum -> PObj(new Lexer(text, at).parseValue(0), None))
+                any = true
+              } catch { case _: PdfRealError => () }
+            }
+          }
+        } catch { case _: PdfRealError => () }
+      case _ => ()
+    }
+    if (!any) objs0 else packed.result() ++ objs0
   }
 
   private def skipWsFrom(s: String, from: Int): Int = {

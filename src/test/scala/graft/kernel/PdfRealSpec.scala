@@ -203,6 +203,54 @@ class PdfRealSpec extends AnyFunSuite {
     }
   }
 
+  /** Hand-built PDF 1.5 file whose catalog/pages/page dicts live inside a
+    * `/Type /ObjStm` object stream (the modern-producer layout); only the
+    * content stream is a top-level object, as the spec requires. */
+  private def objStmPdf(compressObjStm: Boolean): Array[Byte] = {
+    def b(s: String) = s.getBytes(StandardCharsets.ISO_8859_1)
+    val packed = Seq(
+      "<< /Type /Catalog /Pages 3 0 R >>",
+      "<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+      "<< /Type /Page /Parent 3 0 R /MediaBox [0 0 612 792] /Contents 5 0 R >>")
+    val offsets = packed.scanLeft(0)(_ + _.length + 1).init
+    val header = Seq(2, 3, 4).zip(offsets).map { case (n, o) => s"$n $o" }.mkString(" ") + "\n"
+    val body = b(header + packed.mkString("\n") + "\n")
+    val first = header.length
+    val stmData = if (!compressObjStm) body else {
+      val d = new java.util.zip.Deflater()
+      d.setInput(body); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    val filter = if (compressObjStm) " /Filter /FlateDecode" else ""
+    val content = b("BT /F1 12 Tf 72 720 Td (packed object stream text) Tj ET")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(b("%PDF-1.5\n"))
+    out.write(b(s"1 0 obj << /Type /ObjStm /N 3 /First $first /Length ${stmData.length}$filter >> stream\n"))
+    out.write(stmData)
+    out.write(b("\nendstream endobj\n"))
+    out.write(b(s"5 0 obj << /Length ${content.length} >> stream\n"))
+    out.write(content)
+    out.write(b("\nendstream endobj\n%%EOF\n"))
+    out.toByteArray
+  }
+
+  test("ObjStm: catalog/page dicts packed in an object stream still parse (raw + flate)") {
+    Seq(false, true).foreach { compress =>
+      val bytes = objStmPdf(compress)
+      assert(ExtractKernel.isRealPdf(bytes))
+      val pdf = PdfReal.parse(bytes)
+      assert(pdf.pages.length == 1, s"compress=$compress")
+      assert(pdf.pages.head.blocks.exists(_.text.contains("packed object stream text")),
+        s"compress=$compress: ${pdf.pages.head.blocks.map(_.text)}")
+      // end-to-end: the kernel branch emits content, not an error row
+      val parsed = ExtractKernel.parseDoc(doc(bytes), PromptMode.LayoutAll)
+      assert(parsed.head.error.isEmpty && parsed.head.md.contains("packed object stream text"))
+    }
+  }
+
   test("end-to-end parseDoc: real PDF produces md with the text; fused path ≡ fanOut path") {
     val bytes = PdfWrite.serialize(Vector(
       page((72, 720, "fused path check"), (72, 704, "line two here")),
