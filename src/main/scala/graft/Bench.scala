@@ -23,9 +23,17 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val startNanos = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
+    // HARD wall-clock budget for the whole invocation: the round-3 driver
+    // run hit its external timeout (rc=124) mid-sweep and recorded NOTHING
+    // (`parsed: null`). A complete artifact with fewer rounds beats a
+    // truncated one with more, so every scaling round after the first
+    // checks this deadline and the JSON line is emitted no matter what.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2100").toDouble
+    def elapsedSec: Double = (System.nanoTime() - startNanos) / 1e9
 
     val headline = Vector(
       "x_extract_full", "x_extract_ocr", "q_page_assembly", "q_agg_pushdown",
@@ -57,7 +65,9 @@ object Bench {
     val nDocs = math.max(InputTable.docsForSfDir(sfDir),
       sys.env.getOrElse("SPARK_GRAFT_SCALING_DOCS", "250000").toLong)
     var scaling = Map.empty[String, Double]
-    if (runScaling) {
+    // never let a scaling failure swallow the JSON artifact — partial
+    // evidence (headline walls alone) still beats `parsed: null`
+    try if (runScaling) {
       // The north-rule metric is docs/sec over a TABLE, so materialize the
       // synthetic input to parquet once and measure the read→extract→
       // assemble job. (Measuring generate+extract in one job makes the
@@ -82,13 +92,24 @@ object Bench {
         val cmd = (Seq(javaBin) ++ addOpens ++
           Seq("-Dspark.ui.enabled=false", "-cp", cp, "graft.BenchWorker",
             threads.toString, inputPath)).toArray
-        val p = new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
-        val out = new String(p.getInputStream.readAllBytes())
-        p.waitFor()
-        val sec = out.linesIterator.collectFirst {
-          case l if l.startsWith("SECONDS=") => l.stripPrefix("SECONDS=").toDouble
-        }.getOrElse(Double.NaN)
-        System.err.println(f"[bench] local[$threads] fresh-JVM: $sec%.2fs")
+        // INHERIT the worker's stderr: an undrained pipe that fills blocks
+        // the worker forever (and then the 10-min kill wastes budget)
+        val p = new ProcessBuilder(cmd: _*)
+          .redirectError(ProcessBuilder.Redirect.INHERIT).start()
+        // a hung worker must not eat the whole budget: cap one measurement
+        // at 10 min (3 passes of the slowest level run ~3 min normally)
+        val workerResult = new java.util.concurrent.atomic.AtomicReference[Double](Double.NaN)
+        val reader = new Thread(() => {
+          val out = new String(p.getInputStream.readAllBytes())
+          out.linesIterator.collectFirst {
+            case l if l.startsWith("SECONDS=") => l.stripPrefix("SECONDS=").toDouble
+          }.foreach(v => workerResult.set(v))
+        })
+        reader.start()
+        if (!p.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)) p.destroyForcibly()
+        reader.join(10000)
+        val sec = workerResult.get()
+        System.err.println(f"[bench] local[$threads] fresh-JVM: $sec%.2fs (elapsed ${elapsedSec}%.0fs / budget ${budgetSec}%.0fs)")
         sec
       }
       // warm the OS page cache so the first-measured level isn't penalized
@@ -103,13 +124,36 @@ object Bench {
       }
       // interleaved rounds of fresh JVMs, min per level: ambient load on
       // the shared sandbox varies minute-to-minute, so consecutive
-      // measurement of one level would bias the pair ratio
-      val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROUNDS", "4").toInt
-      val levels = Seq(1, 2, 4, 8, 32)
-      val byRound: Vector[Map[Int, Double]] =
-        (0 until rounds).map(_ => levels.map(n => n -> extractAt(n)).toMap).toVector
-      val t: Map[Int, Double] =
-        levels.map(n => n -> byRound.map(_(n)).min).toMap
+      // measurement of one level would bias the pair ratio. Round 1 always
+      // runs to completion (every level needs >=1 measurement); later
+      // rounds start only if the previous round's cost fits in the
+      // remaining budget. local[2] is dropped from the default sweep
+      // (round-3 lesson: it cost ~20% of the sweep and appears in no
+      // reported pair).
+      val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROUNDS", "3").toInt
+      val levels = sys.env.getOrElse("SPARK_GRAFT_SCALING_LEVELS", "1,4,8,32")
+        .split(',').map(_.trim.toInt).toSeq
+      val byRoundBuf = Vector.newBuilder[Map[Int, Double]]
+      var lastRoundCost = 0.0
+      var r = 0
+      var stop = false
+      while (r < rounds && !stop) {
+        if (r > 0 && elapsedSec + lastRoundCost * 1.15 > budgetSec) {
+          System.err.println(f"[bench] budget guard: stopping after $r rounds (elapsed ${elapsedSec}%.0fs, last round ${lastRoundCost}%.0fs, budget ${budgetSec}%.0fs)")
+          stop = true
+        } else {
+          val t0 = elapsedSec
+          byRoundBuf += levels.map(n => n -> extractAt(n)).toMap
+          lastRoundCost = elapsedSec - t0
+          r += 1
+        }
+      }
+      val byRound = byRoundBuf.result()
+      def minLevel(n: Int): Double = {
+        val vs = byRound.map(_(n)).filterNot(_.isNaN)
+        if (vs.isEmpty) Double.NaN else vs.min
+      }
+      val t: Map[Int, Double] = levels.map(n => n -> minLevel(n)).toMap
       def eff(a: Int, b: Int): Double = (t(a) / t(b)) * (a.toDouble / b)
       def effRound(r: Map[Int, Double], a: Int, b: Int): Double =
         (r(a) / r(b)) * (a.toDouble / b)
@@ -122,13 +166,13 @@ object Bench {
       // selection). The within-round pairings (back-to-back, immune to
       // between-round load drift) are reported alongside as labeled
       // median/best — diagnostics, not the headline.
-      val within14 = byRound.map(effRound(_, 1, 4)).sorted
-      val medianWithin14 = within14(within14.length / 2)
+      val within14 = byRound.map(effRound(_, 1, 4)).filterNot(_.isNaN).sorted
+      val medianWithin14 =
+        if (within14.isEmpty) Double.NaN else within14(within14.length / 2)
       val eff14 = eff(1, 4)
-      val eff28 = eff(2, 8)
       val eff832 = eff(8, 32)
       scaling = Map(
-        "t1_sec" -> t(1), "t2_sec" -> t(2), "t4_sec" -> t(4),
+        "t1_sec" -> t(1), "t4_sec" -> t(4),
         "t8_sec" -> t(8), "t32_sec" -> t(32),
         "docs_per_sec_1" -> nDocs / t(1), "docs_per_sec_4" -> nDocs / t(4),
         "docs_per_sec_8" -> nDocs / t(8), "docs_per_sec_32" -> nDocs / t(32),
@@ -137,16 +181,22 @@ object Bench {
         // 8→32; the full curve below carries the saturation evidence)
         "scaling_efficiency" -> eff14,
         "scaling_efficiency_within_round_median" -> medianWithin14,
-        "scaling_efficiency_within_round_best" -> within14.last,
-        "scaling_efficiency_2_8" -> eff28,
+        "scaling_efficiency_within_round_best" ->
+          (if (within14.isEmpty) Double.NaN else within14.last),
         "scaling_efficiency_8_32" -> eff832,
+        "rounds_completed" -> byRound.length.toDouble,
         "n_docs" -> nDocs.toDouble)
-      writeBenchMd(sfDir, nDocs, t, byRound, eff14, medianWithin14, eff28, eff832, results)
+      writeBenchMd(sfDir, nDocs, levels, t, byRound, eff14, medianWithin14, eff832, results)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] scaling sweep failed: ${e.getMessage}")
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // NaN/Infinity are not JSON — emit null so the artifact stays parseable
+    def num(v: Double): String = if (v.isNaN || v.isInfinite) "null" else f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
-    val sc = scaling.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val sc = scaling.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(
@@ -156,34 +206,35 @@ object Bench {
   /** BENCH/BASELINE.md is regenerated ENTIRELY from this invocation's
     * measurements — no hand-written numbers (a previous revision embedded
     * a static "recorded curve" that could contradict the live table). */
-  private def writeBenchMd(sfDir: String, nDocs: Long, t: Map[Int, Double],
-      byRound: Vector[Map[Int, Double]],
-      eff14: Double, medianWithin14: Double, eff28: Double, eff832: Double,
+  private def writeBenchMd(sfDir: String, nDocs: Long, levels: Seq[Int],
+      t: Map[Int, Double], byRound: Vector[Map[Int, Double]],
+      eff14: Double, medianWithin14: Double, eff832: Double,
       results: Vector[(String, Double)]): Unit = {
     val md = new StringBuilder
     md ++= "# BENCH\n\n"
     md ++= s"Input: synthetic north-rule table, $nDocs docs, seed 42, materialized to\n"
     md ++= s"parquet once; measured job = read -> fan-out -> parse kernel -> assemble\n"
-    md ++= s"(full materialization via noop sink; min of $DefaultRoundsNote interleaved\n"
-    md ++= s"fresh-JVM passes per level; tier `$sfDir`). All numbers below are from THIS\n"
-    md ++= s"invocation's window.\n\n"
+    md ++= s"(full materialization via noop sink; min over ${byRound.length} interleaved\n"
+    md ++= s"fresh-JVM rounds per level, deadline-bounded; tier `$sfDir`). All numbers\n"
+    md ++= s"below are from THIS invocation's window.\n\n"
     md ++= "## Scaling (north rule: throughput efficiency >= 0.8 from N to 4N parallelism)\n\n"
     md ++= "| parallelism | wall (s) | docs/sec | per-core docs/sec |\n|---|---|---|---|\n"
-    Seq(1, 2, 4, 8, 32).foreach { n =>
+    levels.foreach { n =>
       md ++= f"| ${s"local[$n]"}%-9s | ${t(n)}%.2f | ${nDocs / t(n)}%.0f | ${nDocs / t(n) / n}%.0f |\n"
     }
     md ++= "\n| pair (N -> 4N cores) | T_N (s) | T_4N (s) | efficiency |\n|---|---|---|---|\n"
     md ++= f"| **1 -> 4 (uncontended — the reported pair; cross-round-min walls)** | ${t(1)}%.2f | ${t(4)}%.2f | **$eff14%.3f** |\n"
-    md ++= f"| 2 -> 8 | ${t(2)}%.2f | ${t(8)}%.2f | $eff28%.3f |\n"
     md ++= f"| 8 -> 32 (DRAM-saturated) | ${t(8)}%.2f | ${t(32)}%.2f | $eff832%.3f |\n\n"
     md ++= f"Within-round 1 -> 4 pairings (back-to-back, immune to between-round load\n"
     md ++= f"drift): median $medianWithin14%.3f, per round in the table below. The\n"
     md ++= f"REPORTED figure is the cross-round-min pair — min-of-passes is the\n"
     md ++= f"consistent estimator under the sandbox's strictly-additive ambient\n"
     md ++= f"stalls; no max-over-estimators selection.\n\n"
-    md ++= "| round | T_1 | T_2 | T_4 | T_8 | T_32 | eff 1->4 within round |\n|---|---|---|---|---|---|---|\n"
+    md ++= "| round | " + levels.map(n => s"T_$n").mkString(" | ") + " | eff 1->4 within round |\n"
+    md ++= "|---|" + levels.map(_ => "---|").mkString + "---|\n"
     byRound.zipWithIndex.foreach { case (r, i) =>
-      md ++= f"| ${i + 1} | ${r(1)}%.2f | ${r(2)}%.2f | ${r(4)}%.2f | ${r(8)}%.2f | ${r(32)}%.2f | ${(r(1) / r(4)) * 0.25}%.3f |\n"
+      md ++= f"| ${i + 1} | " + levels.map(n => f"${r(n)}%.2f").mkString(" | ") +
+        f" | ${(r(1) / r(4)) * 0.25}%.3f |\n"
     }
     md ++= "\n"
     md ++= "Why 1 -> 4 is the honest N -> 4N proxy on one box: the dataflow is map-only\n"
@@ -202,7 +253,4 @@ object Bench {
     Files.createDirectories(Paths.get("BENCH"))
     Files.writeString(Paths.get("BENCH/BASELINE.md"), md.toString)
   }
-
-  private def DefaultRoundsNote: String =
-    sys.env.getOrElse("SPARK_GRAFT_SCALING_ROUNDS", "4")
 }
