@@ -685,8 +685,8 @@ object Queries {
            |  regexp_replace(noisy, '#.*$$', '', 'g') AS a,
            |  regexp_replace(url,   '#.*$$', '', 'g') AS b FROM n),
            |c2 AS (SELECT url, noisy,
-           |  regexp_replace(a, '(?:utm_[^&=#?]*|fbclid|gclid)=[^&#]*', '', 'g') AS a,
-           |  regexp_replace(b, '(?:utm_[^&=#?]*|fbclid|gclid)=[^&#]*', '', 'g') AS b FROM c1),
+           |  regexp_replace(a, '([?&])(?:utm_[^&=#?]*|fbclid|gclid)=[^&#]*', '\\1', 'g') AS a,
+           |  regexp_replace(b, '([?&])(?:utm_[^&=#?]*|fbclid|gclid)=[^&#]*', '\\1', 'g') AS b FROM c1),
            |c3 AS (SELECT url, noisy,
            |  regexp_replace(a, '&&+', '&', 'g') AS a,
            |  regexp_replace(b, '&&+', '&', 'g') AS b FROM c2),

@@ -54,8 +54,13 @@ case class CosineLshSig(child: Expression, nbits: Int, seed: Int)
 
   /** Packed sign words per dimension: bit b of signWords(i) is 1 iff the
     * hyperplane weight w(b, i) is +1. Grown lazily to the largest vector
-    * dimension seen; the benign race on regrowth is idempotent. */
-  @transient private var signWords: Array[Long] = _
+    * dimension seen. @volatile: the expression instance is shared across
+    * executor task threads (via addReferenceObj), and value idempotence
+    * alone doesn't give safe publication — without the volatile store a
+    * second thread could observe the new array reference with stale
+    * zeroed contents. Contents are fully written before the reference
+    * store, so volatile read/write is sufficient. */
+  @transient @volatile private var signWords: Array[Long] = _
 
   private def signsUpTo(dim: Int): Array[Long] = {
     var s = signWords

@@ -23,13 +23,20 @@ object PdfWrite {
       case c    => c.toString
     }
 
+  /** Locale-pinned "%.1f": the f-interpolator uses the JVM default locale,
+    * and a comma-decimal locale (de_DE, nl_NL) would render `756,0` —
+    * invalid PDF numbers that PdfReal skips, degrading every generated doc
+    * to an error row and breaking the cross-JVM output digest. */
+  private def f1(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.1f", v: java.lang.Double)
+
   private def contentStream(p: Page): Array[Byte] = {
     val sb = new StringBuilder
     sb ++= "BT\n"
     var lastFs = -1.0
     p.lines.foreach { l =>
-      if (l.fontSize != lastFs) { sb ++= f"/F1 ${l.fontSize}%.1f Tf\n"; lastFs = l.fontSize }
-      sb ++= f"1 0 0 1 ${l.x}%.1f ${l.y}%.1f Tm\n"
+      if (l.fontSize != lastFs) { sb ++= s"/F1 ${f1(l.fontSize)} Tf\n"; lastFs = l.fontSize }
+      sb ++= s"1 0 0 1 ${f1(l.x)} ${f1(l.y)} Tm\n"
       sb ++= s"(${escape(l.text)}) Tj\n"
     }
     sb ++= "ET\n"
@@ -66,7 +73,7 @@ object PdfWrite {
     beginObj(3); w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n")
     pages.zipWithIndex.foreach { case (p, i) =>
       beginObj(4 + 2 * i)
-      w(f"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 ${p.widthPts}%.1f ${p.heightPts}%.1f ]" +
+      w(s"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 ${f1(p.widthPts)} ${f1(p.heightPts)} ]" +
         s" /Resources << /Font << /F1 3 0 R >> >> /Contents ${5 + 2 * i} 0 R >>\nendobj\n")
       val raw = contentStream(p)
       val data = if (compress) deflate(raw) else raw
@@ -79,7 +86,8 @@ object PdfWrite {
     val xrefPos = out.size()
     val nObjs = offsets.length + 1
     w(s"xref\n0 $nObjs\n0000000000 65535 f \n")
-    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    offsets.foreach(o =>
+      w(String.format(java.util.Locale.ROOT, "%010d 00000 n \n", o: java.lang.Integer)))
     w(s"trailer\n<< /Size $nObjs /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n")
     out.toByteArray
   }

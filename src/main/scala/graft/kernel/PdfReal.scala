@@ -19,9 +19,9 @@ import graft.core.Categories
   * Scope (documented, test-pinned):
   *  - objects are discovered by scanning `N G obj … endobj` spans — no
   *    xref dependency, so linearized / incrementally-updated / mildly
-  *    damaged files still parse (xref-STREAM-only files work too; object
-  *    streams (`/Type /ObjStm`) are not unpacked — their pages fail over
-  *    to the error row);
+  *    damaged files still parse; xref-STREAM-only files work, and packed
+  *    `/Type /ObjStm` object streams ARE unpacked (see
+  *    [[expandObjStreams]]) so PDF 1.5+ catalogs/page dicts resolve;
   *  - text positioning tracks Tm/Td/TD/T-star/TL translation + Tf size only
   *    (no full CTM, no font widths): bboxes are font-size estimates, which
   *    is all the downstream bbox geometry needs (blocks, not glyphs);
@@ -60,6 +60,16 @@ object PdfReal {
     if (encrypted(s)) fail("encrypted")
     val objs = expandObjStreams(scanObjects(s, bytes))
     if (objs.isEmpty) fail("no parseable objects")
+    // PDF 1.5+ xref-stream-only files have no `trailer` keyword: their
+    // trailer-equivalent is the /Type /XRef stream dict, so an /Encrypt
+    // key there must also take the typed error path (otherwise the
+    // still-encrypted strings would be emitted as garbage text blocks)
+    val xrefEncrypted = objs.valuesIterator.exists {
+      case PObj(PDict(d), _) =>
+        d.get("Type").contains(PName("XRef")) && d.contains("Encrypt")
+      case _ => false
+    }
+    if (xrefEncrypted) fail("encrypted")
 
     def deref(v: PVal, depth: Int = 0): PVal = v match {
       case PRef(n) if depth < 32 => objs.get(n).map(o => deref(o.dict, depth + 1)).getOrElse(PNull)
@@ -119,13 +129,15 @@ object PdfReal {
         // a direct stream object resolves through the PRef case of streamOf
         case _ => streamOf(pd.getOrElse("Contents", PNull), objs, deref)
       }
-      val runs = extractRuns(content)
+      // translate device-space runs into MediaBox-local space BEFORE the
+      // top-left flip: flipping as pageH - y is only correct when y is
+      // already MediaBox-relative. (Shifting the flipped blocks afterwards
+      // double-subtracted the origin and clamped in the wrong frame — a
+      // [0 100 612 892] MediaBox put every block 2*mby too low.)
+      val runs = extractRuns(content).map(r => r.copy(x = r.x - mbx, y = r.y - mby))
       if (runs.nonEmpty) anyText = true
       val blocks = runsToBlocks(runs, w.toFloat, h.toFloat)
-      PdfLite.PdfPage(w.toFloat, h.toFloat,
-        blocks.map(b => b.copy(
-          x1 = b.x1 - mbx.toFloat, x2 = b.x2 - mbx.toFloat,
-          y1 = b.y1 - mby.toFloat, y2 = b.y2 - mby.toFloat)))
+      PdfLite.PdfPage(w.toFloat, h.toFloat, blocks)
     }
     if (!anyText) fail("no extractable text layer")
     PdfLite.PdfDoc(litePages)

@@ -144,7 +144,10 @@ object TextOps {
     // every pattern below is RE2-safe (no lookaround, no backrefs in the
     // pattern) so the DuckDB oracle replays it verbatim
     val noFrag = regexp_replace(url, "#.*$", "")
-    val noTrack = regexp_replace(noFrag, "(?:utm_[^&=#?]*|fbclid|gclid)=[^&#]*", "")
+    // anchored to a param boundary ([?&] kept via $1): an unanchored
+    // pattern would also fire mid-name ("?afbclid=x" → "?a"), corrupting
+    // legitimate params whose names merely end in a tracking token
+    val noTrack = regexp_replace(noFrag, "([?&])(?:utm_[^&=#?]*|fbclid|gclid)=[^&#]*", "$1")
     val tidyAmp = regexp_replace(
       regexp_replace(regexp_replace(noTrack, "&&+", "&"), "\\?&", "?"),
       "[?&]+$", "")
@@ -170,22 +173,69 @@ object TextOps {
       .withColumn("n_distinct_tokens", size(array_distinct(ts)).cast("long"))
   }
 
-  /** Stratified quota sampling for pretraining-mix curation: keep a
-    * per-stratum fraction (e.g. per language), exactly
-    * `ceil(frac · n_stratum)` rows per stratum, chosen by a deterministic
-    * pseudo-random order (id-reversal mod a prime — engine-replayable,
-    * unlike a hash, and uncorrelated with id order so the quota is not
-    * "first k by id"). Two windows over the projected (id, stratum)
-    * relation; text never shuffles. */
+  /** The multiplicative-permutation sampling order: ((id mod p)·K) mod p,
+    * a permutation of Z_p. id is reduced mod p BEFORE the multiply so the
+    * product stays < 2^52 (no ANSI overflow at any id scale); ties (ids
+    * congruent mod p) break by id. Engine-replayable, unlike a hash, and
+    * uncorrelated with id order so the quota is not "first k by id". */
+  private val OrdPrime = 1000003L
+  private def sampleOrd(idCol: String): Column =
+    pmod(pmod(col(idCol), lit(OrdPrime)) * lit(2654435761L), lit(OrdPrime))
+
+  /** Stratified quota sampling for pretraining-mix curation: keep exactly
+    * `ceil(frac · n_stratum)` rows per stratum (e.g. per language), chosen
+    * by the deterministic pseudo-random [[sampleOrd]] order.
+    *
+    * Scale design — NO per-stratum sort of the data. A row_number window
+    * per stratum would put the dominant stratum (at web scale, English ≈
+    * half the corpus) in ONE task's sort. Instead, `ord` takes only
+    * p = 1,000,003 values, so the selection threshold is computable from a
+    * BOUNDED histogram: (1) groupBy (stratum, ord) counts — a hash
+    * aggregate, ≤ p rows per stratum AFTER aggregation; (2) a cumulative
+    * window over that histogram (≤ p tiny rows per stratum) yields, per
+    * stratum, the cutoff ord value and how many rows to take AT the
+    * cutoff; (3) the cutoffs (one row per stratum) broadcast-join back:
+    * rows with ord < cutoff pass map-side, and only the ~n/p rows tied AT
+    * the cutoff are ranked by id to fill the quota exactly. The selected
+    * set is bit-identical to the single-window formulation
+    * ([[stratifiedSampleSingleWindow]], pinned in OpsSpec). */
   def stratifiedSample(
       df: DataFrame, idCol: String, stratumCol: String, frac: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // ((id mod p)·K) mod p — a multiplicative permutation of Z_p; id is
-    // reduced mod p BEFORE the multiply so the product stays < 2^52 (no
-    // ANSI overflow at any id scale). Ties (ids congruent mod p) break
-    // by id.
-    val ord = pmod(pmod(col(idCol), lit(1000003L)) * lit(2654435761L), lit(1000003L))
-    val w = Window.partitionBy(stratumCol).orderBy(ord.asc, col(idCol).asc)
+    val withOrd = df.withColumn("__ord", sampleOrd(idCol))
+    val hist = withOrd.groupBy(col(stratumCol), col("__ord"))
+      .agg(count(lit(1)).as("__c"))
+    val wBefore = Window.partitionBy(stratumCol).orderBy("__ord")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(stratumCol)
+    val cum = hist
+      .withColumn("__before", coalesce(sum(col("__c")).over(wBefore), lit(0L)))
+      .withColumn("__k", ceil(sum(col("__c")).over(wTot) * frac).cast("long"))
+    // cutoff = the LARGEST ord whose preceding cumulative count is still
+    // below the quota; take-at-cutoff fills the remainder
+    val cuts = cum.filter(col("__before") < col("__k"))
+      .groupBy(col(stratumCol))
+      .agg(max(struct(col("__ord"), (col("__k") - col("__before")).as("__rem"))).as("__cut0"))
+      .select(col(stratumCol), col("__cut0.__ord").as("__cut"),
+        col("__cut0.__rem").as("__take"))
+    val joined = withOrd.join(broadcast(cuts), Seq(stratumCol))
+    val below = joined.filter(col("__ord") < col("__cut"))
+    val wTie = Window.partitionBy(stratumCol).orderBy(col(idCol).asc)
+    val atCut = joined.filter(col("__ord") === col("__cut"))
+      .withColumn("__rn", row_number().over(wTie))
+      .filter(col("__rn") <= col("__take"))
+      .drop("__rn")
+    below.unionByName(atCut).drop("__ord", "__cut", "__take")
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** Naive single-window formulation — one row_number sort per stratum.
+    * Correct but scale-unsafe (the dominant stratum lands in one task);
+    * retained ONLY as the bit-identity oracle for [[stratifiedSample]]. */
+  private[graft] def stratifiedSampleSingleWindow(
+      df: DataFrame, idCol: String, stratumCol: String, frac: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(stratumCol).orderBy(sampleOrd(idCol).asc, col(idCol).asc)
     val wc = Window.partitionBy(stratumCol)
     df.withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(wc))

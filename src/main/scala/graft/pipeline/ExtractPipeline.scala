@@ -142,25 +142,39 @@ object ExtractPipeline {
     }
   }
 
+  /** Raised task-side when [[assembleLocal]]'s unique-url precondition is
+    * violated: the silent failure mode (multiple output rows per url) is
+    * converted into a typed job failure telling the caller which route to
+    * take instead. */
+  final class DuplicateUrlException(url: String) extends IllegalStateException(
+    s"assembleLocal: url '$url' appears in more than one input row of this partition; " +
+      "the map-side assembly path requires unique input urls — re-run with " +
+      "uniqueUrls = false (url-hash repartition + in-partition sort) or spreadPages = true")
+
   /** Map-side assembly. PRECONDITION: all pages of a url are consecutive
     * within one partition — true for fanOut output when input urls are
     * unique (the default corpus contract, enforced upstream by exact dedup
     * or by construction), or after `repartition(url) +
     * sortWithinPartitions(url, page_no)` (the `uniqueUrls = false` path in
     * [[run]]). A url whose pages straddle partitions or arrive
-    * non-consecutively would yield one output row per run — which is why
-    * duplicate-url corpora MUST take one of the two shuffled routes.
-    * Output is column-identical to [[assemble]] including in-group
-    * tie-break order (pinned by PipelineE2ESpec, incl. planted-duplicate
-    * equivalence). */
+    * non-consecutively would otherwise silently yield one output row per
+    * run, so a per-partition guard (a seen-set over closed groups, ~1 MB
+    * per 12k-doc task) raises [[DuplicateUrlException]] when a url group
+    * REOPENS — catching same-partition duplicates, the shape a duplicate
+    * input row actually produces under the fused fan-out (cross-partition
+    * duplicates remain the caller's contract). Output is column-identical
+    * to [[assemble]] including in-group tie-break order (pinned by
+    * PipelineE2ESpec, incl. planted-duplicate equivalence). */
   def assembleLocal(pages: Dataset[ParsedPage]): DataFrame = {
     import pages.sparkSession.implicits._
     val docs = pages.mapPartitions { (iter: Iterator[ParsedPage]) =>
       val in = iter.buffered
+      val closed = new java.util.HashSet[String]()
       new Iterator[ParsedDoc] {
         def hasNext: Boolean = in.hasNext
         def next(): ParsedDoc = {
           val url = in.head.url
+          if (!closed.add(url)) throw new DuplicateUrlException(url)
           val group = Vector.newBuilder[ParsedPage]
           while (in.hasNext && in.head.url == url) group += in.next()
           val ps = group.result().sorted(pageOrdering)

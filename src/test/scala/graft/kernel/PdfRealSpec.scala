@@ -251,6 +251,67 @@ class PdfRealSpec extends AnyFunSuite {
     }
   }
 
+  test("nonzero-origin MediaBox: blocks land in MediaBox-local top-left coords") {
+    // MediaBox [0 100 612 892] — same 612×792 page, origin shifted up 100.
+    // Text at device y=850 is 42pt below the page TOP (892-850), so the
+    // top-left block must start near y≈42-12 (minus the ascent margin),
+    // NOT at 2*mby-shifted/clamped values (the pre-fix bug gave y1=-100→0).
+    val base = new String(PdfWrite.serialize(Vector(
+      PdfWrite.Page(612, 792, Vector(PdfWrite.TextLine(72, 850, 12, "shifted origin text")))),
+      compress = false), StandardCharsets.ISO_8859_1)
+    val shifted = base.replace("/MediaBox [ 0 0 612.0 792.0 ]", "/MediaBox [ 0 100 612 892 ]")
+    assert(shifted != base, "MediaBox replacement must hit")
+    val pdf = PdfReal.parse(shifted.getBytes(StandardCharsets.ISO_8859_1))
+    assert(pdf.pages.head.heightPts == 792f)
+    val blk = pdf.pages.head.blocks.find(_.text.contains("shifted origin text")).get
+    // flip of MediaBox-local y=750: top y1 = 792 - (750 + 0.8*12) = 32.4
+    assert(math.abs(blk.y1 - 32.4f) < 0.5f, s"y1=${blk.y1}")
+    assert(math.abs(blk.y2 - 45.0f) < 0.5f, s"y2=${blk.y2}")
+    // and the zero-origin rendering of the SAME geometry matches exactly:
+    // device y=750 in a [0 0 612 792] box is the same page position
+    val zero = PdfReal.parse(PdfWrite.serialize(Vector(
+      PdfWrite.Page(612, 792, Vector(PdfWrite.TextLine(72, 750, 12, "shifted origin text")))),
+      compress = false))
+    val zblk = zero.pages.head.blocks.head
+    assert(blk.y1 == zblk.y1 && blk.y2 == zblk.y2 && blk.x1 == zblk.x1,
+      s"shifted-box block $blk != zero-box block $zblk")
+  }
+
+  test("xref-stream-only PDF with /Encrypt in the XRef stream dict takes the typed encrypted path") {
+    // PDF 1.5+ shape: no `trailer` keyword anywhere; the trailer-equivalent
+    // is a /Type /XRef stream dict carrying /Encrypt
+    val pdf =
+      s"""%PDF-1.5
+         |1 0 obj
+         |<< /Type /Catalog /Pages 2 0 R >>
+         |endobj
+         |2 0 obj
+         |<< /Type /Pages /Count 1 /Kids [3 0 R] /MediaBox [0 0 612 792] >>
+         |endobj
+         |3 0 obj
+         |<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>
+         |endobj
+         |4 0 obj
+         |<< /Length 44 >>
+         |stream
+         |BT /F1 12 Tf 72 700 Td (secret text) Tj ET
+         |endstream
+         |endobj
+         |6 0 obj
+         |<< /Type /XRef /Size 7 /Root 1 0 R /Encrypt 5 0 R /W [1 2 1] /Length 0 >>
+         |stream
+         |endstream
+         |endobj
+         |startxref
+         |400
+         |%%EOF
+         |""".stripMargin
+    val ex = intercept[PdfReal.PdfRealError] {
+      PdfReal.parse(pdf.getBytes(StandardCharsets.ISO_8859_1))
+    }
+    assert(ex.getMessage.contains("encrypted"))
+  }
+
   test("end-to-end parseDoc: real PDF produces md with the text; fused path ≡ fanOut path") {
     val bytes = PdfWrite.serialize(Vector(
       page((72, 720, "fused path check"), (72, 704, "line two here")),

@@ -504,6 +504,12 @@ class OpsSpec extends AnyFunSuite {
       "https://h.x/dir/"                               -> "https://h.x/dir",
       "https://h.x/"                                   -> "https://h.x",
       "https://h.x/p?gclid=1&keep=2#s"                 -> "https://h.x/p?keep=2",
+      // tracking-token substrings mid-param-name must be left alone: the
+      // pattern is anchored to a [?&] boundary
+      "https://h.x/p?afbclid=x"                        -> "https://h.x/p?afbclid=x",
+      "https://h.x/p?a=1&mygclid=2"                    -> "https://h.x/p?a=1&mygclid=2",
+      "https://h.x/p?autm_x=1"                         -> "https://h.x/p?autm_x=1",
+      "https://h.x/p?fbclid=a&fbclid=b"                -> "https://h.x/p",
       "https://h.x/CaseKept/Path"                      -> "https://h.x/CaseKept/Path")
     val got = cases.map(_._1).toDF("u")
       .select(TextOps.canonicalUrl(col("u"))).as[String].collect().toSeq
@@ -527,5 +533,42 @@ class OpsSpec extends AnyFunSuite {
       .as[(Long, String)].collect().map(_._1).toSet
     val sampledIds = sampled.as[(Long, String)].collect().map(_._1).toSet
     assert(sampledIds != firstK, "sample degenerated to first-k-by-id")
+  }
+
+  test("stratified sample: histogram-cutoff selection ≡ single-window oracle; no full-input stratum sort") {
+    val d = docs.select("doc_id", "lang")
+    for (frac <- Seq(0.1, 0.25, 0.5, 1.0)) {
+      val fast = TextOps.stratifiedSample(d, "doc_id", "lang", frac)
+        .orderBy("doc_id").as[(Long, String)].collect().toSeq
+      val naive = TextOps.stratifiedSampleSingleWindow(d, "doc_id", "lang", frac)
+        .orderBy("doc_id").as[(Long, String)].collect().toSeq
+      assert(fast == naive, s"selection diverged from single-window oracle at frac=$frac")
+    }
+    // plan pin: the only row_number window runs over the cutoff-tie rows
+    // (child subtree filtered on __cut) — NEVER a sort of a whole stratum
+    // of the input; cumulative windows run over the bounded ord histogram
+    // (child subtree contains the groupBy aggregate).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, Window => LWindow}
+    // frac=0.3: an earlier test .cache()s the frac=0.25 query, and the
+    // cache manager would substitute an InMemoryRelation for an identical
+    // plan — hiding the Window nodes this pin inspects
+    val lp = TextOps.stratifiedSample(d, "doc_id", "lang", 0.3).queryExecution.optimizedPlan
+    val windows = lp.collect { case w: LWindow => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val isRowNumber = w.windowExpressions.exists(_.toString.toLowerCase.contains("row_number"))
+      if (isRowNumber) {
+        // Catalyst folds the __ord === __cut tie filter into the join
+        // condition — either shape proves the window sees only tie rows
+        val tieFiltered = w.collectFirst {
+          case f: Filter if f.condition.references.exists(_.name == "__cut") => f
+          case j: Join if j.condition.exists(_.references.exists(_.name == "__cut")) => j
+        }.nonEmpty
+        assert(tieFiltered, s"row_number window not restricted to cutoff ties:\n$w")
+      } else {
+        val overHistogram = w.collectFirst { case a: Aggregate => a }.nonEmpty
+        assert(overHistogram, s"cumulative window not over the bounded histogram:\n$w")
+      }
+    }
   }
 }

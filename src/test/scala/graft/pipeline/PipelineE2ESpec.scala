@@ -154,6 +154,23 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(viaAgg.select(cols: _*).except(viaLocal.select(cols: _*)).count() == 0)
   }
 
+  test("duplicate urls under uniqueUrls=true raise a typed error, not split rows") {
+    // two input rows with the same url IN THE SAME partition — the shape
+    // a duplicate row actually produces under the fused map-only path;
+    // pre-guard this silently emitted one output row per input row
+    val dup = input.limit(5)
+    val planted = input.union(dup).coalesce(1)
+    val ex = intercept[Exception] {
+      ExtractPipeline.run(planted, uniqueUrls = true).count()
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(ex).exists(c =>
+      c.isInstanceOf[ExtractPipeline.DuplicateUrlException] ||
+        Option(c.getMessage).exists(_.contains("uniqueUrls = false"))),
+      s"expected DuplicateUrlException in cause chain, got: $ex")
+  }
+
   test("page-range pruning: [start, end] inclusive, renumbered from 0") {
     val pdfs = ExtractPipeline.asPageDocs(input.filter(col("url").contains("/pdf/")))
     val all = ExtractPipeline.parsePages(pdfs).collect()
