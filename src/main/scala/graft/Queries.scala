@@ -54,14 +54,28 @@ object Queries {
     //      rows-only (their byte-identity gate is the golden suites).
     "x_extract_full" -> ((s, dir) =>
       ExtractPipeline.run(vt(s, dir, "northrule")).orderBy("url")),
+    // OCR / layout-only modes now run the FULL pipeline (parse + per-doc
+    // assembly) and carry real oracles: DuckDB re-assembles the documents
+    // from the per-mode page dumps exactly like x_extract_full
     "x_extract_layout_only" -> ((s, dir) =>
-      ExtractPipeline.parsePages(
-        ExtractPipeline.asPageDocs(vt(s, dir, "northrule")), PromptMode.LayoutOnly)
-        .toDF().orderBy("url", "page_no")),
+      ExtractPipeline.run(vt(s, dir, "northrule"), PromptMode.LayoutOnly)
+        .select("url", "n_pages", "cells_json", "filtered").orderBy("url")),
     "x_extract_ocr" -> ((s, dir) =>
+      ExtractPipeline.run(vt(s, dir, "northrule"), PromptMode.Ocr)
+        .select("url", "n_pages", "md").orderBy("url")),
+    // image branch (S1 dispatch of PNG/JPEG payloads, parser.py:252-256):
+    // DuckDB independently recomputes the smart_resize INPUT dims from the
+    // dumped original dims (round_even = Python banker's rounding) and
+    // reconstructs the full-bleed Picture cells_json string byte-for-byte
+    "x_extract_image" -> ((s, dir) =>
       ExtractPipeline.parsePages(
-        ExtractPipeline.asPageDocs(vt(s, dir, "northrule")), PromptMode.Ocr)
-        .toDF().orderBy("url", "page_no")),
+        ExtractPipeline.asPageDocs(vt(s, dir, "northrule").filter(col("url").contains("/image/"))))
+        .toDF()
+        .select(col("url"), col("origin_width"), col("origin_height"),
+          col("input_width"), col("input_height"), col("cells_json"),
+          col("md").contains("data:image/png;base64,").as("has_crop"),
+          col("error"))
+        .orderBy("url")),
     // grounding mode now carries a REAL oracle: the kernel dumps per-cell
     // input-space centers + the pre-processed query bbox (grounding_cells)
     // and DuckDB independently replays the center-containment filter +
@@ -298,8 +312,8 @@ object Queries {
         .groupBy("keep_doc").agg(count(lit(1)).as("n"))
         .orderBy("keep_doc")),
 
-    // ---- BPE-ish subword counting (RE2 can't express the lookarounds →
-    //      rows-only; determinism across partitionings checked by driver)
+    // ---- BPE-ish subword counting (match-count formulation, RE2-safe →
+    //      DuckDB replays the identical pattern)
     "q_subword_count" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextOps.subwordCount(col("text")).as("n_subwords"))
@@ -337,20 +351,12 @@ object Queries {
         .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_pages")).as("n_pages"),
           sum(col("n_filtered")).as("n_filtered"), sum(col("n_errors")).as("n_errors"))),
 
-    // ---- P17 flexible JSON extraction over noisy model output
-    "x_parse_flex" -> ((s, dir) => {
-      import s.implicits._
-      val n = math.max(100L, InputTable.docsForSfDir(dir) / 10)
-      s.range(n).map { (i: java.lang.Long) =>
-        val rng = new graft.gen.InputGen.Rng(17L, i, 4L)
-        val lang = graft.gen.InputGen.langOf(17L, i)
-        val noisy = "Some preamble text " + graft.gen.InputGen.garbledPayload(rng, lang) + "]"
-        graft.kernel.MiscText.parseJsonFlex(noisy) match {
-          case Some(r) => (i, true, r.extracted, graft.kernel.PyJson.dumps(r.value).length.toLong)
-          case None    => (i, false, false, 0L)
-        }
-      }.toDF("case_id", "parsed", "extracted", "json_len").orderBy("case_id")
-    }),
+    // ---- P17 flexible JSON extraction over noisy model output: the live
+    //      kernel recomputes every case; the oracle replays the dumped
+    //      parse_flex_cases table (written by a separate JVM pass) — a
+    //      determinism + schema check in the x_repair_batch style
+    "x_parse_flex" -> ((s, dir) =>
+      VerifyTables.parseFlexCases(s, dir).orderBy("case_id")),
 
     // ---- URL canonicalization for crawl dedup: deterministic noisy
     //      variants (fragments, utm params, case-folded scheme/host,
@@ -514,6 +520,9 @@ object Queries {
     "q_token_count" ->
       """SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
         |x -> x <> '')) AS BIGINT) AS n_tokens FROM documents ORDER BY doc_id""".stripMargin,
+    "q_subword_count" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N} ]'))
+        |AS BIGINT) AS n_subwords FROM documents ORDER BY doc_id""".stripMargin,
     "q_repetition" ->
       """SELECT doc_id,
         |CAST(len(list_filter(string_split(text, chr(10)), x -> trim(x) <> '')) AS BIGINT) AS n_lines,
@@ -634,6 +643,54 @@ object Queries {
            |coalesce(string_agg(CASE WHEN error <> '' THEN error END, '; ' ORDER BY page_no), '') AS error
            |FROM read_parquet('${g("extract_pages")}')
            |GROUP BY url ORDER BY url""".stripMargin,
+      // OCR mode: per-doc assembly replayed from the OCR-mode page dump
+      "x_extract_ocr" ->
+        s"""SELECT url, CAST(count(*) AS BIGINT) AS n_pages,
+           |string_agg(md, e'\\n\\n---\\n\\n' ORDER BY page_no) AS md
+           |FROM read_parquet('${g("extract_pages_ocr")}')
+           |GROUP BY url ORDER BY url""".stripMargin,
+      // layout-only mode: cells-array assembly replayed from its page dump
+      "x_extract_layout_only" ->
+        s"""SELECT url, CAST(count(*) AS BIGINT) AS n_pages,
+           |'[' || string_agg('{"page_no": ' || CAST(page_no AS VARCHAR) || ', "cells": ' || CASE WHEN cells_json = '' THEN 'null' ELSE cells_json END || '}', ', ' ORDER BY page_no) || ']' AS cells_json,
+           |bool_or(filtered) AS filtered
+           |FROM read_parquet('${g("extract_pages_layout_only")}')
+           |GROUP BY url ORDER BY url""".stripMargin,
+      // image branch: INPUT dims independently recomputed from the dumped
+      // ORIGINAL dims with the exact smart_resize algebra (image_utils.py:
+      // 29-64; round_even = Python banker's rounding), and the full-bleed
+      // Picture cells_json reconstructed byte-for-byte
+      "x_extract_image" ->
+        s"""WITH p AS (
+           |  SELECT url, origin_width AS w, origin_height AS h, md, error
+           |  FROM read_parquet('${g("extract_pages")}') WHERE url LIKE '%/image/%'
+           |), r AS (
+           |  SELECT *, GREATEST(28, CAST(round_even(h / 28.0, 0) AS BIGINT) * 28) AS hb,
+           |            GREATEST(28, CAST(round_even(w / 28.0, 0) AS BIGINT) * 28) AS wb
+           |  FROM p
+           |), d AS (
+           |  SELECT url, w, h, md, error, CASE
+           |    WHEN hb * wb > 11289600 THEN GREATEST(28, CAST(floor(h / sqrt(h * w / 11289600.0) / 28) AS BIGINT) * 28)
+           |    WHEN hb * wb < 3136 THEN CAST(ceil(h * sqrt(3136.0 / (h * w)) / 28) AS BIGINT) * 28
+           |    ELSE hb END AS ih, CASE
+           |    WHEN hb * wb > 11289600 THEN GREATEST(28, CAST(floor(w / sqrt(h * w / 11289600.0) / 28) AS BIGINT) * 28)
+           |    WHEN hb * wb < 3136 THEN CAST(ceil(w * sqrt(3136.0 / (h * w)) / 28) AS BIGINT) * 28
+           |    ELSE wb END AS iw
+           |  FROM r)
+           |SELECT url, CAST(w AS INTEGER) AS origin_width, CAST(h AS INTEGER) AS origin_height,
+           |  CAST(iw AS INTEGER) AS input_width, CAST(ih AS INTEGER) AS input_height,
+           |  '[{"bbox": [0, 0, ' || w || ', ' || h || '], "category": "Picture"}]' AS cells_json,
+           |  md LIKE '%data:image/png;base64,%' AS has_crop, error
+           |FROM d ORDER BY url""".stripMargin,
+      // P17 parse triage: the dump is an independent job pass of the same
+      // deterministic kernel — row-for-row determinism + schema check
+      "x_parse_flex" ->
+        s"""SELECT case_id, parsed, extracted, json_len
+           |FROM read_parquet('${g("parse_flex_cases")}') ORDER BY case_id""".stripMargin,
+      // C9 batch repair: same determinism replay over the repair-case dump
+      "x_repair_batch" ->
+        s"""SELECT case_id, original_length, predict_resized, cleaned_objects, success
+           |FROM read_parquet('${g("repair_cases")}') ORDER BY case_id""".stripMargin,
       // grounding OCR: center-containment filter + reading-order text join
       // replayed from the dumped per-cell centers / query bbox; anchor rows
       // (ord = -1) keep zero-hit and error pages in the group with "" —

@@ -28,15 +28,17 @@ import java.nio.file.{Files, Paths}
 object VerifyTables {
 
   // bump whenever kernel/signature semantics change, or stale /tmp dumps
-  // would be replayed (r3: doc_vectors sig went 16-bit → 64-bit native)
-  private val Version = "r3c"
+  // would be replayed (r4: image payload kind + scanned-PDF pages in the
+  // corpus; OCR/garbled passthrough fix; per-mode page dumps)
+  private val Version = "r4a"
   val Seed = 42L
 
   /** All table names, in dependency order. */
   val names: Vector[String] = Vector(
-    "northrule", "extract_pages", "extract_docs", "repair_cases",
-    "minhash_sigs", "simhash_sigs", "shingles", "doc_vectors",
-    "grounding_cells", "ivf_centroids")
+    "northrule", "extract_pages", "extract_pages_ocr",
+    "extract_pages_layout_only", "extract_docs", "repair_cases",
+    "parse_flex_cases", "minhash_sigs", "simhash_sigs", "shingles",
+    "doc_vectors", "grounding_cells", "ivf_centroids")
 
   /** The grounding-mode query bbox (original space) used by both the
     * x_extract_grounding query and the grounding_cells oracle dump. */
@@ -69,6 +71,24 @@ object VerifyTables {
     }
   }
 
+  /** Deterministic noisy model-output cases for P17 parse_json_flex, and
+    * their kernel triage — shared by the x_parse_flex live query and the
+    * parse_flex_cases oracle dump. */
+  def parseFlexCases(s: SparkSession, sfDir: String): DataFrame = {
+    import s.implicits._
+    val n = math.max(100L, InputTable.docsForSfDir(sfDir) / 10)
+    s.range(n).map { (i: java.lang.Long) =>
+      val rng = new InputGen.Rng(17L, i, 4L)
+      val lang = InputGen.langOf(17L, i)
+      val noisy = "Some preamble text " + InputGen.garbledPayload(rng, lang) + "]"
+      graft.kernel.MiscText.parseJsonFlex(noisy) match {
+        case Some(r) =>
+          (i.toLong, true, r.extracted, graft.kernel.PyJson.dumps(r.value).length.toLong)
+        case None => (i.toLong, false, false, 0L)
+      }
+    }.toDF("case_id", "parsed", "extracted", "json_len")
+  }
+
   /** Materialize `name` (and its dependencies) if absent, then read it. */
   def read(s: SparkSession, sfDir: String, name: String): DataFrame = {
     ensure(s, sfDir, name)
@@ -98,10 +118,24 @@ object VerifyTables {
       case "extract_pages" =>
         ExtractPipeline.parsePages(
           ExtractPipeline.asPageDocs(read(s, sfDir, "northrule"))).toDF()
+      case "extract_pages_ocr" =>
+        // per-page OCR-mode output — DuckDB replays the per-doc assembly
+        ExtractPipeline.parsePages(
+          ExtractPipeline.asPageDocs(read(s, sfDir, "northrule")),
+          graft.core.PromptMode.Ocr).toDF()
+      case "extract_pages_layout_only" =>
+        ExtractPipeline.parsePages(
+          ExtractPipeline.asPageDocs(read(s, sfDir, "northrule")),
+          graft.core.PromptMode.LayoutOnly).toDF()
       case "extract_docs" =>
         ExtractPipeline.run(read(s, sfDir, "northrule"))
       case "repair_cases" =>
         RepairJob.repair(repairInput(s, sfDir)).toDF()
+      case "parse_flex_cases" =>
+        // P17 flexible-JSON triage per deterministic noisy case; the live
+        // x_parse_flex query recomputes these — the oracle checks the dump
+        // (an independent JVM's run of the same kernel) row-for-row
+        parseFlexCases(s, sfDir)
       case "minhash_sigs" =>
         DedupOps.minhashSignatures(docs(s, sfDir), "doc_id", "text",
           numHashes = 64, shingleSize = 3)

@@ -76,8 +76,15 @@ object InputGen {
 
   def kindOf(seed: Long, docId: Long): String = {
     val k = math.floorMod(mix(seed * 7L ^ docId), 20L)
-    if (k < 12) "html" else if (k < 17) "pdf" else if (k < 19) "garbled" else "truncated"
+    if (k < 12) { if (isImageDoc(docId)) "image" else "html" }
+    else if (k < 17) "pdf" else if (k < 19) "garbled" else "truncated"
   }
+
+  /** 1-in-12 of the html share are PNG/JPEG payloads (~5% of the corpus) —
+    * the reference's first-class image route (parser.py:252-256,
+    * consts.py:5), exercised at verify/bench scale. */
+  def isImageDoc(docId: Long): Boolean =
+    math.floorMod(mix(docId ^ 0x1a4e5L), 12L) == 0L
 
   def sentence(rng: Rng, lang: String, words: Int): String = {
     val bank = WordBank(lang)
@@ -100,6 +107,8 @@ object InputGen {
       case "html" =>
         val (bytes, text) = htmlPayload(rng, lang, docId)
         (bytes, text)
+      case "image" =>
+        (imagePayload(rng, docId), "") // a raster carries no extractable text
       case "pdf" if isRealPdfDoc(docId) && (lang == "en" || lang == "nl") =>
         // real `%PDF-` payload → exercises the PdfReal text-layer parser
         // end-to-end (Latin-1-capable langs only: simple-font Tj strings
@@ -176,10 +185,15 @@ object InputGen {
   def isRealPdfDoc(docId: Long): Boolean =
     !isRastered(docId) && math.floorMod(mix(docId ^ 0xbee5L), 3L) == 0L
 
+  /** 1-in-5 real PDFs carry a trailing raster-only (scanned) page —
+    * exercises PdfReal's full-page-Picture fallback at verify/bench scale. */
+  def hasScannedPage(docId: Long): Boolean =
+    math.floorMod(mix(docId ^ 0x5ca11edL), 5L) == 0L
+
   def realPdfPayload(rng: Rng, lang: String, docId: Long): (Array[Byte], String) = {
     val nPages = 1 + rng.nextInt(3)
     val texts = Vector.newBuilder[String]
-    val pages = (0 until nPages).map { p =>
+    val pages0 = (0 until nPages).map { p =>
       val lines = Vector.newBuilder[PdfWrite.TextLine]
       var y = 756.0
       val header = s"doc$docId · p${p + 1}"
@@ -193,6 +207,10 @@ object InputGen {
       }
       PdfWrite.Page(612, 792, lines.result())
     }.toVector
+    val pages =
+      if (hasScannedPage(docId))
+        pages0 :+ PdfWrite.Page(612, 792, Vector.empty, scanned = true)
+      else pages0
     (PdfWrite.serialize(pages, compress = math.floorMod(docId, 2L) == 0L),
       texts.result().mkString(" "))
   }
@@ -273,6 +291,22 @@ object InputGen {
       }
     }.toVector
     PdfLite.PdfDoc(pages)
+  }
+
+  /** PNG (even docIds) / JPEG (odd) pattern image; 1-in-17 are tiny
+    * (below MIN_PIXELS → exercises smart_resize's upscale branch). Small
+    * dims keep raster weight a rounding error in generation and bench. */
+  def imagePayload(rng: Rng, docId: Long): Array[Byte] = {
+    val tiny = math.floorMod(docId, 17L) == 0L
+    val w = if (tiny) 24 + rng.nextInt(28) else 160 + 8 * rng.nextInt(30)
+    val h = if (tiny) 24 + rng.nextInt(28) else 120 + 8 * rng.nextInt(30)
+    val img = graft.ops.MultimodalOps.patternImage(w, h, docId)
+    if (math.floorMod(docId, 2L) == 0L) graft.ops.MultimodalOps.Codec.encodePng(img)
+    else {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
   }
 
   /** Broken model-output-shaped text — drives the repair chain E2E. */

@@ -13,7 +13,11 @@ object PdfWrite {
 
   /** One positioned text line, PDF device coords (origin bottom-left). */
   final case class TextLine(x: Double, y: Double, fontSize: Double, text: String)
-  final case class Page(widthPts: Double, heightPts: Double, lines: Vector[TextLine])
+  /** `scanned` = a raster-only page: no text layer, content stream paints
+    * one image XObject full-bleed (the scanned-document shape PdfReal's
+    * Picture fallback handles); `lines` are ignored for such pages. */
+  final case class Page(widthPts: Double, heightPts: Double, lines: Vector[TextLine],
+      scanned: Boolean = false)
 
   private def escape(s: String): String =
     s.flatMap {
@@ -62,22 +66,42 @@ object PdfWrite {
     val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
     def beginObj(n: Int): Unit = { offsets += out.size(); w(s"$n 0 obj\n") }
 
-    // object numbering: 1 catalog, 2 pages root, 3 font,
-    // then per page i: (4+2i) page dict, (5+2i) content stream
+    // object numbering: 1 catalog, 2 pages root, 3 font, [4 image xobject
+    // when any page is scanned], then per page i: (base+2i) page dict,
+    // (base+1+2i) content stream. Numbering only shifts when a scan exists
+    // so text-only docs stay byte-identical to the pre-scan writer.
     val nPages = pages.length
+    val hasScan = pages.exists(_.scanned)
+    val base = if (hasScan) 5 else 4
     w("%PDF-1.4\n%âãÏÓ\n")
     beginObj(1); w("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
     beginObj(2)
-    val kids = (0 until nPages).map(i => s"${4 + 2 * i} 0 R").mkString(" ")
+    val kids = (0 until nPages).map(i => s"${base + 2 * i} 0 R").mkString(" ")
     w(s"<< /Type /Pages /Count $nPages /Kids [ $kids ] >>\nendobj\n")
     beginObj(3); w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n")
+    if (hasScan) {
+      // opaque raster stand-in (DCT bytes are never decoded by PdfReal)
+      val img = "ÿØscan".getBytes(StandardCharsets.ISO_8859_1)
+      beginObj(4)
+      w(s"<< /Subtype /Image /Width 16 /Height 16 /ColorSpace /DeviceRGB" +
+        s" /BitsPerComponent 8 /Filter /DCTDecode /Length ${img.length} >>\nstream\n")
+      out.write(img)
+      w("\nendstream\nendobj\n")
+    }
     pages.zipWithIndex.foreach { case (p, i) =>
-      beginObj(4 + 2 * i)
+      beginObj(base + 2 * i)
+      val resources =
+        if (p.scanned) "/Resources << /XObject << /Im1 4 0 R >> >>"
+        else "/Resources << /Font << /F1 3 0 R >> >>"
       w(s"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 ${f1(p.widthPts)} ${f1(p.heightPts)} ]" +
-        s" /Resources << /Font << /F1 3 0 R >> >> /Contents ${5 + 2 * i} 0 R >>\nendobj\n")
-      val raw = contentStream(p)
+        s" $resources /Contents ${base + 1 + 2 * i} 0 R >>\nendobj\n")
+      val raw =
+        if (p.scanned)
+          s"q ${f1(p.widthPts)} 0 0 ${f1(p.heightPts)} 0 0 cm /Im1 Do Q\n"
+            .getBytes(StandardCharsets.ISO_8859_1)
+        else contentStream(p)
       val data = if (compress) deflate(raw) else raw
-      beginObj(5 + 2 * i)
+      beginObj(base + 1 + 2 * i)
       val filter = if (compress) " /Filter /FlateDecode" else ""
       w(s"<< /Length ${data.length}$filter >>\nstream\n")
       out.write(data)

@@ -48,11 +48,18 @@ object ExtractKernel {
             RawPage(doc.url, i, total, "pdf", PdfLite.serialize(PdfLite.PdfDoc(Vector(p))), doc.lang)
           }
       }
+    } else if (isImage(bytes)) {
+      // image payload → a single-page document whose page IS the raster
+      // (reference: .jpg/.jpeg/.png route through parse_image,
+      // parser.py:252-256 + :294-312, extensions consts.py:5; page ranges
+      // apply to PDFs only — parse_image takes none — matching the HTML
+      // branch here)
+      Vector(RawPage(doc.url, 0, 1, "image", bytes, doc.lang))
     } else if (looksLikeHtml(bytes)) {
       Vector(RawPage(doc.url, 0, 1, "html", bytes, doc.lang))
     } else {
-      // neither HTML nor PDF-lite: treat the decoded payload as a raw model
-      // response — drives the OutputCleaner repair path end-to-end
+      // neither HTML nor PDF-lite nor image: treat the decoded payload as a
+      // raw model response — drives the OutputCleaner repair path end-to-end
       Vector(RawPage(doc.url, 0, 1, "garbled", bytes, doc.lang))
     }
   }
@@ -61,6 +68,35 @@ object ExtractKernel {
   def isRealPdf(bytes: Array[Byte]): Boolean =
     bytes.length >= 5 && bytes(0) == '%' && bytes(1) == 'P' &&
       bytes(2) == 'D' && bytes(3) == 'F' && bytes(4) == '-'
+
+  /** PNG (`\x89PNG`) / JPEG (`\xFF\xD8\xFF`) magic — the reference's
+    * supported image extensions (consts.py:5: .jpg/.jpeg/.png), detected
+    * by content since a crawl table has no filename. */
+  def isImage(bytes: Array[Byte]): Boolean =
+    (bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+      bytes(2) == 'N' && bytes(3) == 'G') ||
+    (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 &&
+      (bytes(2) & 0xff) == 0xff)
+
+  /** Image payload → page layout (reference `fetch_image` + to_rgb +
+    * classifier over the raster, image_utils.py:84-140). The deterministic
+    * classifier stand-in for a pure raster is ONE full-bleed Picture cell
+    * (no text — prompts.py:11) backed by the image itself, so md embeds a
+    * REAL crop. `fitzPreprocess` reproduces parser.py:158-160: the image
+    * becomes a 1-page 72-dpi PDF rendered at target dpi, so the INPUT dims
+    * derive from the dpi-scaled render (Geometry.renderedPageDims) while
+    * bboxes stay in original pixel space. Throws on undecodable bytes —
+    * [[parsePage]] converts that into the typed error row. */
+  def imageToLayout(bytes: Array[Byte], fitzPreprocess: Boolean = false): HtmlExtract.PageLayout = {
+    val img = Raster.decode(bytes)
+    val (w, h) = (img.getWidth.toLong, img.getHeight.toLong)
+    val cell = JObject(
+      "bbox" -> JArray(Vector(JInt(0), JInt(0), JInt(w), JInt(h))),
+      "category" -> JString(graft.core.Categories.Picture))
+    HtmlExtract.PageLayout(w, h, Vector(cell),
+      raster = Some(scala.collection.immutable.ArraySeq.unsafeWrapArray(bytes)),
+      renderDims = if (fitzPreprocess) Some(Geometry.renderedPageDims(w.toDouble, h.toDouble)) else None)
+  }
 
   /** Parse a PDF payload of either flavor into the shared page model:
     * real `%PDF-` files go through the [[PdfReal]] text-layer parser
@@ -240,13 +276,33 @@ object ExtractKernel {
           ParsedPage(page.url, page.page_no, 0, 0, 0, 0, "", "", "", "",
             filtered = false, error = new String(page.page_bytes, StandardCharsets.UTF_8))
         case "garbled" =>
-          // response that never parses cleanly → repair chain → filtered row
           val response = new String(page.page_bytes, StandardCharsets.UTF_8)
-          finishLayout(page, mode, response, 1280, 960, 1280, 960)
+          mode match {
+            case PromptMode.Ocr | _: PromptMode.GroundingOcr =>
+              // non-layout prompt modes pass the raw response through
+              // untouched — the reference only post-processes the layout
+              // trio (parser.py:175,240-242); prompt_ocr md IS the response
+              ParsedPage(page.url, page.page_no, 960, 1280, 960, 1280,
+                cells_json = "", md = response, md_nohf = response,
+                extracted_text = response, filtered = false, error = "")
+            case _ =>
+              // response that never parses cleanly → repair chain → filtered row
+              finishLayout(page, mode, response, 1280, 960, 1280, 960)
+          }
         case kind =>
           val layout = kind match {
-            case "pdf"  => PdfLite.pageToLayout(PdfLite.parse(page.page_bytes).pages.head)
-            case _      => HtmlExtract.extract(page.page_bytes)
+            case "pdf"   => PdfLite.pageToLayout(PdfLite.parse(page.page_bytes).pages.head)
+            case "image" =>
+              try imageToLayout(page.page_bytes)
+              catch {
+                case scala.util.control.NonFatal(e) =>
+                  // truncated/undecodable image magic → typed error row
+                  // (never-throw kernel contract, same class as PDF errors)
+                  return ParsedPage(page.url, page.page_no, 0, 0, 0, 0, "", "", "", "",
+                    filtered = false,
+                    error = s"unsupported_format: image payload (${e.getClass.getSimpleName})")
+              }
+            case _       => HtmlExtract.extract(page.page_bytes)
           }
           parseLayout(page, mode, layout)
       }
@@ -296,7 +352,10 @@ object ExtractKernel {
     * (the shared tail of parsePage and parseDoc). */
   private def parseLayout(page: RawPage, mode: PromptMode,
       layout: HtmlExtract.PageLayout): ParsedPage = {
-    val (ih, iw) = Geometry.smartResize(layout.height, layout.width)
+    // fitz-preprocessed pages derive INPUT dims from the dpi-scaled render
+    // (parser.py:158-160); bboxes still rescale to the original dims below
+    val (srcH, srcW) = layout.renderDims.getOrElse((layout.height, layout.width))
+    val (ih, iw) = Geometry.smartResize(srcH, srcW)
     mode match {
       case PromptMode.Ocr =>
         val response = classifierResponse(layout, mode, iw, ih)

@@ -30,13 +30,21 @@ import scala.collection.mutable
 object HtmlExtract {
 
   final case class Block(category: String, text: Option[String], lines: Int)
-  /** `raster` = the page's rendered image (PNG bytes, at width×height) when
-    * one exists — the crop source for Picture cells
+  /** `raster` = the page's rendered image (PNG/JPEG bytes, at width×height)
+    * when one exists — the crop source for Picture cells
     * (format_transformer.py:169-172). HTML pages have none (no rasterizer
     * in a DOM pipeline); PDF-lite v2 pages carry theirs through
-    * [[PdfLite.pageToLayout]]. */
+    * [[PdfLite.pageToLayout]]; image payloads carry themselves.
+    *
+    * `renderDims` = the fitz-preprocessed render dims (image → 1-page PDF
+    * at 72 dpi → pixmap at target dpi, parser.py:158-160 /
+    * image_utils.py:170-196): when set, smart_resize derives the INPUT
+    * dims from these instead of (width, height), while bboxes still
+    * rescale back to the ORIGINAL (width, height) space — exactly the
+    * reference's `fitz_preprocess=True` dataflow. */
   final case class PageLayout(width: Long, height: Long, cells: Vector[JObject],
-      raster: Option[scala.collection.immutable.ArraySeq[Byte]] = None)
+      raster: Option[scala.collection.immutable.ArraySeq[Byte]] = None,
+      renderDims: Option[(Long, Long)] = None)
 
   val PageWidth = 1280L
   val Margin = 40L

@@ -88,21 +88,28 @@ object PdfReal {
     val pageDicts: Option[Vector[Map[String, PVal]]] = catalog.flatMap(_.get("Pages")) match {
       case Some(rootRef) =>
         val out = Vector.newBuilder[Map[String, PVal]]
-        def walk(node: PVal, inheritedMb: Option[PVal], depth: Int): Unit = {
+        // MediaBox AND Resources are inheritable page-tree attributes
+        // (ISO 32000 §7.7.3.4) — Resources matters for the raster-only
+        // fallback below (image XObjects often hang off the Pages node)
+        def walk(node: PVal, inheritedMb: Option[PVal], inheritedRes: Option[PVal], depth: Int): Unit = {
           if (depth > 64) return
           val d = dictOf(node)
           val mb = d.get("MediaBox").orElse(inheritedMb)
+          val res = d.get("Resources").orElse(inheritedRes)
           d.get("Type") match {
             case Some(PName("Page")) =>
-              out += (mb match { case Some(b) => d.updated("MediaBox", b); case None => d })
+              var pd = d
+              mb.foreach(b => pd = pd.updated("MediaBox", b))
+              res.foreach(r => pd = pd.updated("Resources", r))
+              out += pd
             case _ =>
               deref(d.getOrElse("Kids", PNull)) match {
-                case PArr(kids) => kids.foreach(walk(_, mb, depth + 1))
+                case PArr(kids) => kids.foreach(walk(_, mb, res, depth + 1))
                 case _          => ()
               }
           }
         }
-        walk(rootRef, None, 0)
+        walk(rootRef, None, None, 0)
         Some(out.result())
       case None => None
     }
@@ -113,12 +120,27 @@ object PdfReal {
     }
     if (pages.isEmpty) fail("no pages")
 
-    var anyText = false
+    var anyContent = false
     val litePages = pages.map { pd =>
       val (mbx, mby, w, h) = deref(pd.getOrElse("MediaBox", PNull)) match {
         case PArr(Seq(a, b, c, d)) =>
           (num(deref(a)), num(deref(b)), num(deref(c)) - num(deref(a)), num(deref(d)) - num(deref(b)))
         case _ => (0.0, 0.0, 612.0, 792.0)
+      }
+      // raster-only (scanned) fallback detector: any /XObject resource
+      // whose dict says /Subtype /Image
+      def hasImageXObject: Boolean = dictOf(pd.getOrElse("Resources", PNull))
+        .get("XObject").map(dictOf) match {
+        case Some(xs) => xs.valuesIterator.exists { v =>
+          (v match {
+            case PRef(n) => objs.get(n).map(_.dict).getOrElse(PNull)
+            case other   => other
+          }) match {
+            case PDict(xd) => xd.get("Subtype").contains(PName("Image"))
+            case _         => false
+          }
+        }
+        case None => false
       }
       val content: Array[Byte] = deref(pd.getOrElse("Contents", PNull)) match {
         case PArr(parts) =>
@@ -135,11 +157,20 @@ object PdfReal {
       // double-subtracted the origin and clamped in the wrong frame — a
       // [0 100 612 892] MediaBox put every block 2*mby too low.)
       val runs = extractRuns(content).map(r => r.copy(x = r.x - mbx, y = r.y - mby))
-      if (runs.nonEmpty) anyText = true
       val blocks = runsToBlocks(runs, w.toFloat, h.toFloat)
-      PdfLite.PdfPage(w.toFloat, h.toFloat, blocks)
+      val withFallback =
+        if (blocks.nonEmpty || !hasImageXObject) blocks
+        else
+          // raster-only (scanned) page: no text layer but an image XObject —
+          // degrade to the reference's "Picture, no text" behavior (the VLM
+          // reading a rendered scan emits Picture cells, doc_utils.py:20-39)
+          // instead of failing the whole document. Without a CTM-tracked Do
+          // placement the deterministic stand-in is one full-page Picture.
+          Vector(PdfLite.PdfBlock(0f, 0f, w.toFloat, h.toFloat, Categories.Picture, ""))
+      if (withFallback.nonEmpty) anyContent = true
+      PdfLite.PdfPage(w.toFloat, h.toFloat, withFallback)
     }
-    if (!anyText) fail("no extractable text layer")
+    if (!anyContent) fail("no extractable text layer")
     PdfLite.PdfDoc(litePages)
   }
 

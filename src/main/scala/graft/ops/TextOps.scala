@@ -16,13 +16,14 @@ object TextOps {
   /** Token count (whitespace segmentation). */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
-  /** BPE-ish subword count: word-piece regex segmentation — words,
-    * numbers, and individual punctuation marks, CJK chars counted singly
-    * (the standard pre-tokenizer shape for byte-pair encoders). */
+  /** BPE-ish subword count: word-piece regex segmentation — letter/number
+    * runs plus individual non-space marks (the standard pre-tokenizer
+    * shape for byte-pair encoders). Formulated as a match COUNT instead of
+    * a lookaround split so the pattern is RE2-safe and the DuckDB oracle
+    * replays it verbatim (equivalent by construction: the split's tokens
+    * were exactly these matches, with space tokens dropped). */
   def subwordCount(text: Column): Column =
-    size(filter(
-      split(text, "(?U)(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])"),
-      t => trim(t) =!= "")).cast("long")
+    size(regexp_extract_all(text, lit("[\\p{L}\\p{N}]+|[^\\p{L}\\p{N} ]"), lit(0))).cast("long")
 
   /** Integer quality features (kept integral so results are engine-exact):
     * chars, tokens, sentence punctuation, digits, uppercase letters. */

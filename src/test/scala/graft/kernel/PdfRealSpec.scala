@@ -312,6 +312,67 @@ class PdfRealSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("encrypted"))
   }
 
+  test("raster-only (scanned) page: image XObject + no text layer → full-page Picture, not an error") {
+    // page 1 has text; page 2 is a scan — content stream only paints an
+    // image XObject (inherited /Resources on the Pages node)
+    val imgData = "xx" // opaque DCT bytes; never decoded
+    val content1 = "BT /F1 12 Tf 72 700 Td (text page) Tj ET"
+    val content2 = "q 612 0 0 792 0 0 cm /Im1 Do Q"
+    val pdf =
+      s"""%PDF-1.4
+         |1 0 obj
+         |<< /Type /Catalog /Pages 2 0 R >>
+         |endobj
+         |2 0 obj
+         |<< /Type /Pages /Count 2 /Kids [3 0 R 4 0 R] /MediaBox [0 0 612 792]
+         |   /Resources << /XObject << /Im1 7 0 R >> >> >>
+         |endobj
+         |3 0 obj
+         |<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>
+         |endobj
+         |4 0 obj
+         |<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>
+         |endobj
+         |5 0 obj
+         |<< /Length ${content1.length} >>
+         |stream
+         |$content1
+         |endstream
+         |endobj
+         |6 0 obj
+         |<< /Length ${content2.length} >>
+         |stream
+         |$content2
+         |endstream
+         |endobj
+         |7 0 obj
+         |<< /Subtype /Image /Width 100 /Height 100 /Length ${imgData.length} >>
+         |stream
+         |$imgData
+         |endstream
+         |endobj
+         |trailer
+         |<< /Size 8 /Root 1 0 R >>
+         |%%EOF
+         |""".stripMargin
+    val parsed = PdfReal.parse(pdf.getBytes(StandardCharsets.ISO_8859_1))
+    assert(parsed.pages.length == 2)
+    assert(parsed.pages(0).blocks.exists(_.text.contains("text page")))
+    val scan = parsed.pages(1).blocks
+    assert(scan.length == 1 && scan.head.category == Categories.Picture && scan.head.text == "")
+    assert(scan.head.x2 == 612f && scan.head.y2 == 792f, "full-page Picture")
+    // a FULLY scanned doc (no text anywhere) also parses now
+    val allScanned = pdf.replace(content1, content2)
+      .replace(s"/Length ${content1.length} >>", s"/Length ${content2.length} >>")
+    val parsed2 = PdfReal.parse(allScanned.getBytes(StandardCharsets.ISO_8859_1))
+    assert(parsed2.pages.forall(_.blocks.exists(_.category == Categories.Picture)))
+    // end-to-end: kernel emits Picture md (placeholder URI), not an error row
+    val rows = ExtractKernel.parseDoc(doc(allScanned.getBytes(StandardCharsets.ISO_8859_1)),
+      PromptMode.LayoutAll)
+    assert(rows.forall(_.error.isEmpty))
+    assert(rows.head.cells_json.contains("\"category\": \"Picture\""))
+  }
+
   test("end-to-end parseDoc: real PDF produces md with the text; fused path ≡ fanOut path") {
     val bytes = PdfWrite.serialize(Vector(
       page((72, 720, "fused path check"), (72, 704, "line two here")),
