@@ -73,7 +73,7 @@ object Queries {
         .toDF()
         .select(col("url"), col("origin_width"), col("origin_height"),
           col("input_width"), col("input_height"), col("cells_json"),
-          col("md").contains("data:image/png;base64,").as("has_crop"),
+          length(col("md")).cast("long").as("md_len"),
           col("error"))
         .orderBy("url")),
     // grounding mode now carries a REAL oracle: the kernel dumps per-cell
@@ -680,7 +680,7 @@ object Queries {
            |SELECT url, CAST(w AS INTEGER) AS origin_width, CAST(h AS INTEGER) AS origin_height,
            |  CAST(iw AS INTEGER) AS input_width, CAST(ih AS INTEGER) AS input_height,
            |  '[{"bbox": [0, 0, ' || w || ', ' || h || '], "category": "Picture"}]' AS cells_json,
-           |  md LIKE '%data:image/png;base64,%' AS has_crop, error
+           |  CAST(length(md) AS BIGINT) AS md_len, error
            |FROM d ORDER BY url""".stripMargin,
       // P17 parse triage: the dump is an independent job pass of the same
       // deterministic kernel — row-for-row determinism + schema check

@@ -88,8 +88,15 @@ object ExtractKernel {
     * bboxes stay in original pixel space. Throws on undecodable bytes —
     * [[parsePage]] converts that into the typed error row. */
   def imageToLayout(bytes: Array[Byte], fitzPreprocess: Boolean = false): HtmlExtract.PageLayout = {
-    val img = Raster.decode(bytes)
-    val (w, h) = (img.getWidth.toLong, img.getHeight.toLong)
+    // header-only dims probe (hot path: no pixel decode); formats the
+    // sniffer doesn't cover fall back to the full decode, and a payload
+    // neither understands throws → typed error row
+    val (w, h) = Raster.headerInfo(bytes) match {
+      case Some((wi, hi, _)) => (wi.toLong, hi.toLong)
+      case None =>
+        val img = Raster.decode(bytes)
+        (img.getWidth.toLong, img.getHeight.toLong)
+    }
     val cell = JObject(
       "bbox" -> JArray(Vector(JInt(0), JInt(0), JInt(w), JInt(h))),
       "category" -> JString(graft.core.Categories.Picture))

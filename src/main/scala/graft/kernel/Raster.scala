@@ -17,6 +17,41 @@ import javax.imageio.ImageIO
   */
 object Raster {
 
+  /** (width, height, opaque) from the PNG IHDR / JPEG SOF header WITHOUT
+    * decoding pixel data — the hot-path dims probe for image payloads
+    * (a full ImageIO decode per image doc was ~8× kernel wall). `opaque` =
+    * the format cannot carry alpha (JPEG always; PNG color types 0/2):
+    * only such images take the embed-source-bytes fast path, because the
+    * reference flattens RGBA onto white via to_rgb (image_utils.py:74-80)
+    * and an alpha-preserving byte-reuse would diverge. */
+  def headerInfo(bytes: Array[Byte]): Option[(Int, Int, Boolean)] = {
+    def be32(i: Int): Int =
+      ((bytes(i) & 0xff) << 24) | ((bytes(i + 1) & 0xff) << 16) |
+        ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+    def be16(i: Int): Int = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+    if (bytes.length >= 26 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+      bytes(2) == 'N' && bytes(3) == 'G' && bytes(12) == 'I' && bytes(13) == 'H' &&
+      bytes(14) == 'D' && bytes(15) == 'R') {
+      val w = be32(16); val h = be32(20)
+      val colorType = bytes(25) & 0xff
+      if (w > 0 && h > 0) Some((w, h, colorType == 0 || colorType == 2)) else None
+    } else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
+      // scan JPEG segments for a start-of-frame marker (C0–CF minus C4/C8/CC)
+      var i = 2
+      while (i + 9 < bytes.length && (bytes(i) & 0xff) == 0xff) {
+        val marker = bytes(i + 1) & 0xff
+        if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          val h = be16(i + 5); val w = be16(i + 7)
+          return if (w > 0 && h > 0) Some((w, h, true)) else None
+        }
+        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) i += 2 // no-payload markers
+        else if (marker == 0x01) i += 2
+        else i += 2 + be16(i + 2)
+      }
+      None
+    } else None
+  }
+
   /** Decode PNG/JPEG bytes; throws on undecodable payloads (callers fall
     * back to the placeholder URI). */
   def decode(bytes: Array[Byte]): BufferedImage = {

@@ -57,7 +57,8 @@ class ImageBranchSpec extends AnyFunSuite {
     val parsed = ExtractKernel.parsePage(pages.head, PromptMode.LayoutAll)
     assert(parsed.error.isEmpty)
     assert(parsed.cells_json == """[{"bbox": [0, 0, 280, 210], "category": "Picture"}]""")
-    assert(parsed.md.contains("data:image/png;base64,"))
+    // full-bleed fast path reuses the source container: jpeg in, jpeg embed
+    assert(parsed.md.contains("data:image/jpeg;base64,"))
   }
 
   test("tiny image upscales through smart_resize's min_pixels branch") {

@@ -19,9 +19,10 @@ class OutputDigestSpec extends AnyFunSuite {
   // and ~2.4% of docs are REAL %PDF- payloads parsed by the PdfReal
   // text-layer parser. r4 (deliberate corpus+kernel change): ~5% of docs
   // are now PNG/JPEG image payloads routed through the S1 image branch
-  // (full-bleed Picture cell, real crop embed), and 1-in-5 real PDFs carry
-  // a trailing raster-only scanned page (full-page Picture fallback).
-  val PinnedDigest: Int = -2070275758
+  // (full-bleed Picture cell embeds the SOURCE bytes — pixel-identical,
+  // container-preserving fast path), and 1-in-5 real PDFs carry a trailing
+  // raster-only scanned page (full-page Picture fallback).
+  val PinnedDigest: Int = -1680057860
 
   test("extraction output digest matches the pinned constant") {
     val out = ExtractPipeline.run(InputTable.generate(spark, 120L, seed = 99L))
