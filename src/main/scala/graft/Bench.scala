@@ -73,7 +73,7 @@ object Bench {
       // assemble job. (Measuring generate+extract in one job makes the
       // generator the bottleneck — thread dumps showed InputGen.paragraph
       // dominating — and says nothing about extraction scaling.)
-      val inputPath = s"/tmp/graft_bench_input_${nDocs}_42"
+      val inputPath = s"/tmp/graft_bench_input_${InputTable.corpusVersion}_${nDocs}_42"
       if (!java.nio.file.Files.exists(Paths.get(inputPath, "_SUCCESS"))) {
         val s = ExtractPipeline.newSession("local[32]", 64)
         s.sparkContext.setLogLevel("WARN")

@@ -17,6 +17,11 @@ import java.nio.charset.StandardCharsets
   */
 object InputGen {
 
+  /** Bump when the generated corpus changes shape/content — cache keys for
+    * materialized inputs (graft.Bench) include it so a round never
+    * benchmarks a stale corpus. (r4: image payload kind, scanned PDFs.) */
+  val CorpusVersion = "r4b"
+
   /** splitmix64 — stateless, avalanche-complete. */
   def mix(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
@@ -222,7 +227,7 @@ object InputGen {
       if (rastered && p == 0) {
         val (w, h) = (108f, 144f)
         val (wPx, hPx) = graft.kernel.Geometry.renderedPageDims(w, h)
-        val img = graft.ops.MultimodalOps.patternImage(wPx.toInt, hPx.toInt, docId)
+        val img = corpusImage(wPx.toInt, hPx.toInt, docId)
         val png = graft.ops.MultimodalOps.Codec.encodePng(img)
         val blocks = Vector(
           PdfLite.PdfBlock(8f, 4f, w - 8f, 12f, Categories.PageHeader, s"doc$docId · p1"),
@@ -293,14 +298,38 @@ object InputGen {
     PdfLite.PdfDoc(pages)
   }
 
-  /** PNG (even docIds) / JPEG (odd) pattern image; 1-in-17 are tiny
-    * (below MIN_PIXELS → exercises smart_resize's upscale branch). Small
-    * dims keep raster weight a rounding error in generation and bench. */
+  /** Deterministic COMPRESSIBLE image (gradients + 16-px hash-colored
+    * blocks — the shape of a real web graphic). NOT
+    * `MultimodalOps.patternImage`: that one carries per-pixel hash noise,
+    * which is incompressible — at corpus scale each payload was ~200 KB
+    * and its base64 embed (duplicated into md and md_nohf) tripled the
+    * extraction wall. Block content keeps payloads at a few KB. */
+  def corpusImage(w: Int, h: Int, seed: Long): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val mixv = mix(seed ^ ((x >> 4).toLong << 20) ^ (y >> 4).toLong)
+        val r = (x * 255 / math.max(1, w - 1)) & 0xff
+        val g = (y * 255 / math.max(1, h - 1)) & 0xff
+        val b = (mixv & 0xff).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** PNG (even docIds) / JPEG (odd) image payload; 1-in-17 are tiny
+    * (below MIN_PIXELS → exercises smart_resize's upscale branch). Block
+    * content keeps raster weight a rounding error in generation and bench. */
   def imagePayload(rng: Rng, docId: Long): Array[Byte] = {
     val tiny = math.floorMod(docId, 17L) == 0L
     val w = if (tiny) 24 + rng.nextInt(28) else 160 + 8 * rng.nextInt(30)
     val h = if (tiny) 24 + rng.nextInt(28) else 120 + 8 * rng.nextInt(30)
-    val img = graft.ops.MultimodalOps.patternImage(w, h, docId)
+    val img = corpusImage(w, h, docId)
     if (math.floorMod(docId, 2L) == 0L) graft.ops.MultimodalOps.Codec.encodePng(img)
     else {
       val bos = new java.io.ByteArrayOutputStream()

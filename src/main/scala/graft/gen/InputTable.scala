@@ -7,6 +7,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * shuffle and no driver-side data. */
 object InputTable {
 
+  /** See [[InputGen.CorpusVersion]]. */
+  def corpusVersion: String = InputGen.CorpusVersion
+
   def generate(spark: SparkSession, nDocs: Long, seed: Long = 42L,
       numPartitions: Int = 0): DataFrame =
     generateRange(spark, 0L, nDocs, seed, numPartitions)

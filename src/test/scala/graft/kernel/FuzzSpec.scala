@@ -48,7 +48,9 @@ class FuzzSpec extends AnyFunSuite {
     val seeds: Seq[Array[Byte]] =
       (0L until 64L).map(i => InputGen.generate(42L, i).html) ++
       (0L until 512L).filter(i => InputGen.isRealPdfDoc(i)).take(16)
-        .map(i => InputGen.generate(42L, i).html)
+        .map(i => InputGen.generate(42L, i).html) ++
+      (0L until 1024L).filter(i => InputGen.kindOf(42L, i) == "image").take(16)
+        .map(i => InputGen.generate(42L, i).html) // PNG/JPEG image branch (r4)
     var checked = 0
     seeds.zipWithIndex.foreach { case (payload, si) =>
       val rng = new InputGen.Rng(9L, si.toLong, 7L)

@@ -22,7 +22,9 @@ class OutputDigestSpec extends AnyFunSuite {
   // (full-bleed Picture cell embeds the SOURCE bytes — pixel-identical,
   // container-preserving fast path), and 1-in-5 real PDFs carry a trailing
   // raster-only scanned page (full-page Picture fallback).
-  val PinnedDigest: Int = -1680057860
+  // (corpus images are block-pattern compressible — the earlier per-pixel
+  // noise images were ~200 KB each and their md embeds 3×'d the wall)
+  val PinnedDigest: Int = -1864579204
 
   test("extraction output digest matches the pinned constant") {
     val out = ExtractPipeline.run(InputTable.generate(spark, 120L, seed = 99L))
