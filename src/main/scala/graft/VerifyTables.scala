@@ -30,7 +30,7 @@ object VerifyTables {
   // bump whenever kernel/signature semantics change, or stale /tmp dumps
   // would be replayed (r4: image payload kind + scanned-PDF pages in the
   // corpus; OCR/garbled passthrough fix; per-mode page dumps)
-  private val Version = "r4b"
+  private val Version = "r4c"
   val Seed = 42L
 
   /** All table names, in dependency order. */

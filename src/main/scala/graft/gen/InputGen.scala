@@ -20,7 +20,7 @@ object InputGen {
   /** Bump when the generated corpus changes shape/content — cache keys for
     * materialized inputs (graft.Bench) include it so a round never
     * benchmarks a stale corpus. (r4: image payload kind, scanned PDFs.) */
-  val CorpusVersion = "r4b"
+  val CorpusVersion = "r4c"
 
   /** splitmix64 — stateless, avalanche-complete. */
   def mix(z0: Long): Long = {
@@ -310,9 +310,15 @@ object InputGen {
     while (y < h) {
       var x = 0
       while (x < w) {
-        val mixv = mix(seed ^ ((x >> 4).toLong << 20) ^ (y >> 4).toLong)
-        val r = (x * 255 / math.max(1, w - 1)) & 0xff
-        val g = (y * 255 / math.max(1, h - 1)) & 0xff
+        // FULLY block-constant color (coarse gradient + hash hue per 16-px
+        // block): ImageIO's PNG writer applies no scanline filter, so any
+        // per-PIXEL gradient defeats deflate (~90 KB/image measured) —
+        // 16-byte runs repeated over 16 rows compress to a few KB
+        val bx = x >> 4
+        val by = y >> 4
+        val mixv = mix(seed ^ (bx.toLong << 20) ^ by.toLong)
+        val r = (bx * 255 / math.max(1, ((w - 1) >> 4))) & 0xff
+        val g = (by * 255 / math.max(1, ((h - 1) >> 4))) & 0xff
         val b = (mixv & 0xff).toInt
         img.setRGB(x, y, (r << 16) | (g << 8) | b)
         x += 1
