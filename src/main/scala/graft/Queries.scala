@@ -295,16 +295,16 @@ object Queries {
     }),
 
     // ---- multimodal columns: feature extraction + frame sampling
-    "x_media_features" -> ((s, dir) => {
-      val n = math.max(100L, InputTable.docsForSfDir(dir) / 10)
-      MultimodalOps.extractFeatures(MultimodalOps.syntheticMedia(s, n))
-        .toDF().drop("feature").orderBy("media_id")
-    }),
-    "x_frame_sample" -> ((s, dir) => {
-      val n = math.max(100L, InputTable.docsForSfDir(dir) / 10)
-      MultimodalOps.sampleFrames(MultimodalOps.syntheticMedia(s, n), everyMs = 1000L)
-        .toDF().drop("frame_payload").orderBy("media_id", "frame_no")
-    }),
+    //      (oracled as a determinism replay: VerifyTables dumps the same
+    //      kernel's output in a separate pass, DuckDB compares row-for-row)
+    "x_media_features" -> ((s, dir) =>
+      MultimodalOps.extractFeatures(
+          MultimodalOps.syntheticMedia(s, VerifyTables.mediaDocs(dir)))
+        .toDF().drop("feature").orderBy("media_id")),
+    "x_frame_sample" -> ((s, dir) =>
+      MultimodalOps.sampleFrames(
+          MultimodalOps.syntheticMedia(s, VerifyTables.mediaDocs(dir)), everyMs = 1000L)
+        .toDF().drop("frame_payload").orderBy("media_id", "frame_no")),
 
     // ---- quality gate (SQL-expressible → oracle)
     "q_quality_gate" -> ((s, dir) =>
@@ -407,6 +407,18 @@ object Queries {
         t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang", frac = 0.25)
         .orderBy("doc_id")),
 
+    // ---- benchmark decontamination: corpus docs sharing any token 3-gram
+    //      with the (deterministic) held-out "benchmark" slice — broadcast
+    //      semi-join plan, zero corpus shuffles
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.decontaminate(
+          docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 97 === 0), "text", n = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ---- streaming dedup-on-arrival, exercised in batch mode (same
     //      flatMapGroupsWithState operator, trivial state): first-seen
     //      survivor per content identity = min (warc_ts, url) per text.
@@ -419,11 +431,15 @@ object Queries {
         .orderBy("url"))
   )
 
-  /** Bench-only end-to-end variants. The oracled q_minhash_pairs /
-    * q_simhash_pairs read pre-materialized signature tables (so DuckDB
-    * can replay the band join); these variants compute the FULL operator
-    * — tokenize → signatures → band join — which is what the throughput
-    * bench must time. Not registered with the correctness driver. */
+  /** End-to-end variants. The q_minhash_pairs / q_simhash_pairs queries
+    * read pre-materialized signature tables (so DuckDB can replay the band
+    * join); these variants compute the FULL operator — tokenize →
+    * signatures → band join — which is what the throughput bench must
+    * time. Since r4 they are ALSO registered with the correctness driver:
+    * the in-flight signatures are byte-identical to the dumped sig tables
+    * (same deterministic function), so the *_pairs replay SQL oracles the
+    * e2e results too, and the IVF build/query split replays from the
+    * dumped codebook. */
   private val ivfCodebookCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Array[Double])]]()
 
@@ -448,7 +464,10 @@ object Queries {
       val idxDir = ivfIndexDirFor(dir)
       val cents = SimilarityOps.buildIvfIndex(embs, "vec_id", "embedding", idxDir, nlist = 16)
       ivfCodebookCache.put(idxDir, cents)
-      s.read.parquet(idxDir).select("neighbor_id")
+      // (list_idx, neighbor_id) membership — the oracle replays the
+      // nearest-centroid assignment from the dumped codebook
+      s.read.parquet(idxDir)
+        .select(col("list_idx").cast("int").as("list_idx"), col("neighbor_id"))
     }),
     "q_ann_ivf_query" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
@@ -543,6 +562,22 @@ object Queries {
         |SELECT shard, CAST(floor(cum_before / 2048.0) AS BIGINT) AS pack_id,
         |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
         |FROM c GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin,
+    "q_decontaminate" ->
+      """WITH tok AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_distinct(list_transform(range(0, len(toks) - 2),
+        |    i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))) END AS shs
+        |  FROM tok),
+        |bench AS (SELECT DISTINCT unnest(shs) AS s FROM sh WHERE doc_id % 97 = 0),
+        |corpus AS (SELECT doc_id, unnest(shs) AS s FROM sh WHERE doc_id % 97 <> 0),
+        |hits AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM corpus c JOIN bench b ON c.s = b.s GROUP BY c.doc_id)
+        |SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  coalesce(h.n_hits, 0) >= 1 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+        |LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q_stratified_sample" ->
       """WITH d AS (SELECT doc_id, lang,
         |  ((doc_id % 1000003) * 2654435761) % 1000003 AS ord FROM documents),
@@ -602,35 +637,61 @@ object Queries {
     * time — see [[VerifyTables.oracleGlob]]). */
   private def materializedOracles: Map[String, String] = {
     def g(name: String) = VerifyTables.oracleGlob(name)
+    // IVF: the deterministic farthest-point codebook is dumped
+    // (ivf_centroids) and DuckDB replays assignment, nprobe probing, and
+    // per-query top-k from it — the full IVF relational plan. Shared by
+    // q_ann_ivf (one-shot build+query) and q_ann_ivf_query (prebuilt
+    // index): both return the same top-k table by construction, so the
+    // same replay oracles both.
+    val ivfTopKSql =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cents AS (SELECT cidx, cv FROM read_parquet('${g("ivf_centroids")}')),
+         |cassign AS (
+         |  SELECT e.vec_id AS neighbor_id, e.v AS cvec, cents.cidx,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_cosine_similarity(e.v, cents.cv) DESC, cents.cidx ASC) AS crank
+         |  FROM e, cents),
+         |corpus AS (SELECT neighbor_id, cvec, cidx AS list_idx FROM cassign WHERE crank = 1),
+         |qassign AS (
+         |  SELECT e.vec_id AS query_id, e.v AS qvec, cents.cidx,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_cosine_similarity(e.v, cents.cv) DESC, cents.cidx ASC) AS crank
+         |  FROM e, cents WHERE e.vec_id < 256),
+         |probes AS (SELECT query_id, qvec, cidx AS list_idx FROM qassign WHERE crank <= 4),
+         |scored AS (SELECT p.query_id, c.neighbor_id,
+         |    list_cosine_similarity(c.cvec, p.qvec) AS sim
+         |  FROM corpus c JOIN probes p ON c.list_idx = p.list_idx
+         |  WHERE c.neighbor_id <> p.query_id),
+         |ranked AS (SELECT query_id, neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
     Map(
-      // IVF: the deterministic farthest-point codebook is dumped
-      // (ivf_centroids) and DuckDB replays assignment, nprobe probing, and
-      // per-query top-k from it — the full IVF relational plan
-      "q_ann_ivf" ->
+      "q_ann_ivf" -> ivfTopKSql,
+      "q_ann_ivf_query" -> ivfTopKSql,
+      // index membership: nearest-centroid assignment of every corpus
+      // vector, replayed from the dumped codebook
+      "q_ann_ivf_build" ->
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
            |cents AS (SELECT cidx, cv FROM read_parquet('${g("ivf_centroids")}')),
            |cassign AS (
-           |  SELECT e.vec_id AS neighbor_id, e.v AS cvec, cents.cidx,
+           |  SELECT e.vec_id AS neighbor_id, cents.cidx,
            |    row_number() OVER (PARTITION BY e.vec_id
            |      ORDER BY list_cosine_similarity(e.v, cents.cv) DESC, cents.cidx ASC) AS crank
-           |  FROM e, cents),
-           |corpus AS (SELECT neighbor_id, cvec, cidx AS list_idx FROM cassign WHERE crank = 1),
-           |qassign AS (
-           |  SELECT e.vec_id AS query_id, e.v AS qvec, cents.cidx,
-           |    row_number() OVER (PARTITION BY e.vec_id
-           |      ORDER BY list_cosine_similarity(e.v, cents.cv) DESC, cents.cidx ASC) AS crank
-           |  FROM e, cents WHERE e.vec_id < 256),
-           |probes AS (SELECT query_id, qvec, cidx AS list_idx FROM qassign WHERE crank <= 4),
-           |scored AS (SELECT p.query_id, c.neighbor_id,
-           |    list_cosine_similarity(c.cvec, p.qvec) AS sim
-           |  FROM corpus c JOIN probes p ON c.list_idx = p.list_idx
-           |  WHERE c.neighbor_id <> p.query_id),
-           |ranked AS (SELECT query_id, neighbor_id,
-           |    CAST(row_number() OVER (PARTITION BY query_id
-           |      ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank
-           |  FROM scored)
-           |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
-           |ORDER BY query_id, rank""".stripMargin,
+           |  FROM e, cents)
+           |SELECT CAST(cidx AS INTEGER) AS list_idx, neighbor_id
+           |FROM cassign WHERE crank = 1 ORDER BY list_idx, neighbor_id""".stripMargin,
+      // determinism replays: an independent pass of the same media kernel,
+      // dumped by VerifyTables — row-for-row + schema check (decode
+      // correctness is pinned by the codec round-trip suites)
+      "x_media_features" ->
+        s"""SELECT media_id, mime, width, height, payload_hash, error
+           |FROM read_parquet('${g("media_features")}') ORDER BY media_id""".stripMargin,
+      "x_frame_sample" ->
+        s"""SELECT media_id, frame_no, ts_ms, frame_width, frame_height
+           |FROM read_parquet('${g("frame_samples")}') ORDER BY media_id, frame_no""".stripMargin,
       // A1+A2+S9 re-assembly of the per-document rows from per-page rows
       "x_extract_full" ->
         s"""SELECT url,
@@ -874,6 +935,37 @@ object Queries {
            |ORDER BY id_a, id_b""".stripMargin,
       // SimHash chunk join + popcount Hamming verification
       "q_simhash_pairs" ->
+        s"""WITH s AS (SELECT id, sig FROM read_parquet('${g("simhash_sigs")}')),
+           |b AS (SELECT id, sig, band, (sig >> (band*16)) & 65535 AS chunk
+           |      FROM s, range(0, 4) t(band)
+           |      QUALIFY count(*) OVER (PARTITION BY band, chunk) <= 1000),
+           |cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+           |           l.sig AS sig_a, r.sig AS sig_b
+           |         FROM b l JOIN b r ON l.band = r.band AND l.chunk = r.chunk
+           |           AND l.id < r.id)
+           |SELECT id_a, id_b,
+           |  CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+           |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+           |ORDER BY id_a, id_b""".stripMargin,
+      // end-to-end variants (text → signatures → band join → verify): the
+      // in-flight signatures are byte-identical to the dumped sig tables
+      // (same deterministic function, pinned by the native-expression
+      // specs), so DuckDB replays the full downstream relational plan from
+      // the dumps — same pair set as the *_pairs oracles, e2e projection
+      "q_minhash_e2e" ->
+        s"""WITH s AS (SELECT id, sig FROM read_parquet('${g("minhash_sigs")}')),
+           |b AS (SELECT id, sig, band,
+           |        list_slice(sig, band*4 + 1, band*4 + 4) AS chunk
+           |      FROM s, range(0, 16) t(band)
+           |      QUALIFY count(*) OVER (PARTITION BY band, chunk) <= 1000),
+           |cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+           |           l.sig AS sig_a, r.sig AS sig_b
+           |         FROM b l JOIN b r ON l.band = r.band AND l.chunk = r.chunk
+           |           AND l.id < r.id)
+           |SELECT id_a, id_b FROM cand
+           |WHERE CAST(len(list_filter(range(1, 65), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 64 >= 0.5
+           |ORDER BY id_a, id_b""".stripMargin,
+      "q_simhash_e2e" ->
         s"""WITH s AS (SELECT id, sig FROM read_parquet('${g("simhash_sigs")}')),
            |b AS (SELECT id, sig, band, (sig >> (band*16)) & 65535 AS chunk
            |      FROM s, range(0, 4) t(band)

@@ -23,7 +23,8 @@ object SparkEntry {
     ExtractPipeline.run(input)
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.all ++ Queries.benchExtras
 
   def oracleSql: Map[String, String] = Queries.oracles
 }

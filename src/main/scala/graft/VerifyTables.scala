@@ -29,8 +29,9 @@ object VerifyTables {
 
   // bump whenever kernel/signature semantics change, or stale /tmp dumps
   // would be replayed (r4: image payload kind + scanned-PDF pages in the
-  // corpus; OCR/garbled passthrough fix; per-mode page dumps)
-  private val Version = "r4c"
+  // corpus; OCR/garbled passthrough fix; per-mode page dumps; media
+  // determinism dumps)
+  private val Version = "r4d"
   val Seed = 42L
 
   /** All table names, in dependency order. */
@@ -38,7 +39,8 @@ object VerifyTables {
     "northrule", "extract_pages", "extract_pages_ocr",
     "extract_pages_layout_only", "extract_docs", "repair_cases",
     "parse_flex_cases", "minhash_sigs", "simhash_sigs", "shingles",
-    "doc_vectors", "grounding_cells", "ivf_centroids")
+    "doc_vectors", "grounding_cells", "ivf_centroids",
+    "media_features", "frame_samples")
 
   /** The grounding-mode query bbox (original space) used by both the
     * x_extract_grounding query and the grounding_cells oracle dump. */
@@ -172,6 +174,19 @@ object VerifyTables {
           read(s, sfDir, "northrule").filter(col("url").contains("/html/")))
           .flatMap(d => graft.kernel.ExtractKernel.groundingCellRows(d, GroundingQueryBox))
           .toDF()
+      case "media_features" =>
+        // determinism dump for x_media_features: the same deterministic
+        // codec kernel over the same synthetic media, materialized in a
+        // separate pass — the oracle checks the live query row-for-row
+        // (same evidential class as parse_flex_cases; decode correctness
+        // itself is pinned by the round-trip pixel tests in sbt test)
+        graft.ops.MultimodalOps.extractFeatures(
+          graft.ops.MultimodalOps.syntheticMedia(s, mediaDocs(sfDir)))
+          .toDF().drop("feature")
+      case "frame_samples" =>
+        graft.ops.MultimodalOps.sampleFrames(
+          graft.ops.MultimodalOps.syntheticMedia(s, mediaDocs(sfDir)), everyMs = 1000L)
+          .toDF().drop("frame_payload")
       case other => throw new IllegalArgumentException(s"unknown table $other")
     }
     df.write.mode("overwrite").parquet(p)
@@ -179,4 +194,9 @@ object VerifyTables {
 
   private def docs(s: SparkSession, sfDir: String): DataFrame =
     s.read.parquet(s"$sfDir/documents.parquet")
+
+  /** Media-corpus size for a tier — MUST match the x_media_features /
+    * x_frame_sample queries so the dump and the live result align. */
+  def mediaDocs(sfDir: String): Long =
+    math.max(100L, InputTable.docsForSfDir(sfDir) / 10)
 }

@@ -97,6 +97,36 @@ object TextOps {
         transform(sequence(lit(0), size(ts) - n), i => concat_ws(" ", slice(ts, i + 1, lit(n))))))
   }
 
+  /** Benchmark decontamination: flag corpus documents that share any token
+    * n-gram with a benchmark/eval set — the n-gram-overlap check a training
+    * corpus runs before release (the GPT-3 appendix-C / PaLM style sweep).
+    * Output: one row per corpus document, (id, n_hits, contaminated) where
+    * n_hits counts the document's DISTINCT shingles found in the benchmark
+    * shingle set.
+    *
+    * Plan shape at 10^12 docs: eval sets are tiny (thousands of docs), so
+    * the benchmark's distinct shingles BROADCAST; the corpus side is a
+    * map-only explode → broadcast LEFT SEMI join (the corpus never
+    * shuffles), and only the surviving (id, hit) rows — the contaminated
+    * sliver — reach the per-id count, whose partial aggregation is
+    * map-side. The zero-hit majority re-enters via a second broadcast
+    * join of the (small) hit table against the projected corpus ids:
+    * end-to-end zero wide shuffles of corpus data. */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 3): DataFrame = {
+    val benchSh = bench
+      .select(explode(shingles(col(benchTextCol), n)).as("sh")).distinct()
+    val hits = corpus
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+      .join(broadcast(benchSh), Seq("sh"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+    corpus.select(col(idCol).as("id"))
+      .join(broadcast(hits), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) >= 1).as("contaminated"))
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget training
     * rows ("sample packing"). Documents are sharded by `id % nShards`,
     * ordered by id within the shard, and cut greedily: a document opens a

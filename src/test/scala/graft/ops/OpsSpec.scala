@@ -571,4 +571,33 @@ class OpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("decontamination: planted n-gram overlap caught, clean docs zero, broadcast plan") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),       // shares 3-gram with bench
+      (2L, "zeta eta theta iota kappa"),            // clean
+      (3L, "the quick brown fox jumps over"),       // exact copy of a bench doc
+      (4L, "tiny"),                                 // < n tokens, clean
+      (5L, "")                                      // empty
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over"),
+      (101L, "prefix words alpha beta gamma")
+    ).toDF("doc_id", "text")
+    val r = TextOps.decontaminate(corpus, "doc_id", "text", bench, "text", n = 3)
+      .orderBy("id").collect()
+    assert(r.length == 5)
+    val byId = r.map(x => x.getLong(0) -> (x.getLong(1), x.getBoolean(2))).toMap
+    assert(byId(1L) == ((1L, true)))   // "alpha beta gamma" only
+    assert(byId(2L) == ((0L, false)))
+    assert(byId(3L)._1 == 4L && byId(3L)._2) // 4 distinct 3-grams, all hit
+    assert(byId(4L) == ((0L, false)))
+    // empty text's single shingle is "" — bench's shingles are all non-empty
+    assert(byId(5L) == ((0L, false)))
+    // scale pin: both joins broadcast — the corpus side never shuffles
+    val phys = TextOps.decontaminate(corpus, "doc_id", "text", bench, "text", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin") || phys.contains("BroadcastNestedLoopJoin"))
+    assert(!phys.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$phys")
+  }
 }
