@@ -247,6 +247,18 @@ object Queries {
       DedupOps.simhashPairsFromSigs(vt(s, dir, "simhash_sigs"), maxHamming = 3)
         .orderBy("id_a", "id_b")),
 
+    // ---- dedup: pairs → clusters → keep-one (connected components over
+    //      the simhash candidate pairs; DuckDB replays with a recursive
+    //      reachability CTE)
+    "q_dedup_clusters" -> ((s, dir) => {
+      val pairs = DedupOps.simhashPairsFromSigs(vt(s, dir, "simhash_sigs"), maxHamming = 3)
+      DedupOps.connectedComponents(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id", pairs)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("keep", col("doc_id") === col("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
     // ---- dedup: embedding-cosine near-dup via banded sign-LSH over the
     //      hashed-BoW document vectors (dumped with their signatures;
     //      DuckDB replays band join + cosine-threshold verify; cosine
@@ -947,6 +959,33 @@ object Queries {
            |  CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
            |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
            |ORDER BY id_a, id_b""".stripMargin,
+      // pairs → clusters: DuckDB recomputes the simhash candidate pairs,
+      // then derives each node's component as min-reachable-id via a
+      // recursive reachability CTE (components are near-dup clusters —
+      // tiny — so full reachability enumeration is cheap in the oracle)
+      "q_dedup_clusters" ->
+        s"""WITH RECURSIVE s AS (SELECT id, sig FROM read_parquet('${g("simhash_sigs")}')),
+           |b AS (SELECT id, sig, band, (sig >> (band*16)) & 65535 AS chunk
+           |      FROM s, range(0, 4) t(band)
+           |      QUALIFY count(*) OVER (PARTITION BY band, chunk) <= 1000),
+           |cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+           |           l.sig AS sig_a, r.sig AS sig_b
+           |         FROM b l JOIN b r ON l.band = r.band AND l.chunk = r.chunk
+           |           AND l.id < r.id),
+           |e AS (SELECT id_a, id_b FROM cand
+           |      WHERE bit_count(xor(sig_a, sig_b)) <= 3),
+           |sym AS (SELECT id_a AS x, id_b AS y FROM e
+           |        UNION SELECT id_b, id_a FROM e),
+           |reach AS (
+           |  SELECT x, x AS r FROM (SELECT DISTINCT x FROM sym)
+           |  UNION
+           |  SELECT sym.x, reach.r FROM sym JOIN reach ON reach.x = sym.y),
+           |lab AS (SELECT x, min(r) AS cluster_id FROM reach GROUP BY x)
+           |SELECT d.doc_id,
+           |  CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+           |  coalesce(l.cluster_id, d.doc_id) = d.doc_id AS keep
+           |FROM documents d LEFT JOIN lab l ON d.doc_id = l.x
+           |ORDER BY d.doc_id""".stripMargin,
       // end-to-end variants (text → signatures → band join → verify): the
       // in-flight signatures are byte-identical to the dumped sig tables
       // (same deterministic function, pinned by the native-expression

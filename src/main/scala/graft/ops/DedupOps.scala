@@ -243,4 +243,52 @@ object DedupOps {
     * a builtin exists, review item "What's wrong #5"). */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Connected components over near-dup candidate pairs — the final stage
+    * of a corpus dedup pipeline (pairs → clusters → keep one per cluster).
+    * Returns one row per vertex: (id, cluster_id) where cluster_id is the
+    * MINIMUM id reachable through the pair graph (so `id === cluster_id`
+    * selects the canonical keeper).
+    *
+    * Scale design: the iteration runs over the EDGE SUBGRAPH only — at
+    * web scale the pair set is a sliver of the corpus (near-dup clusters),
+    * so the per-iteration join + min-agg shuffles only nodes that appear
+    * in some pair; the untouched majority joins back once at the end as
+    * its own singleton cluster via a final left join (map-side after AQE
+    * broadcasts the small label table). Min-label propagation converges in
+    * O(diameter) rounds — dup clusters are shallow (pairs come from a
+    * similarity threshold, so components are near-cliques), hence the
+    * early-exit convergence check each round instead of a fixed count.
+    * Each round persists its label table and unpersists the previous one
+    * to keep lineage and memory bounded. */
+  def connectedComponents(
+      vertices: DataFrame, idCol: String, edges: DataFrame,
+      srcCol: String = "id_a", dstCol: String = "id_b",
+      maxIter: Int = 25): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).cast("long").as("x"), col(dstCol).cast("long").as("y"))
+      .union(edges.select(col(dstCol).cast("long").as("x"), col(srcCol).cast("long").as("y")))
+    var labels = sym.select("x").distinct()
+      .withColumn("label", col("x")).persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaNeighbor = sym
+        .join(labels.select(col("x").as("y"), col("label")), Seq("y"))
+        .select("x", "label")
+      val next = labels.select("x", "label").union(viaNeighbor)
+        .groupBy("x").agg(min("label").as("label")).persist()
+      val changed = next
+        .join(labels.withColumnRenamed("label", "__old"), Seq("x"))
+        .filter(col("label") =!= col("__old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0L
+      i += 1
+    }
+    val out = vertices.select(col(idCol).cast("long").as("id"))
+      .join(labels.withColumnRenamed("x", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("cluster_id"))
+    out
+  }
 }

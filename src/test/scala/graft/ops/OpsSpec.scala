@@ -572,6 +572,23 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components: chains, cycles, singletons; min-id labels; early convergence") {
+    // component A: chain 10-11-12-13 (diameter 3 → needs >1 propagation
+    // round, exercises the loop); component B: triangle 20-21-22 (cycle);
+    // component C: pair 30-31; 40,41 are edge-free singletons
+    val edges = Seq((11L, 10L), (11L, 12L), (12L, 13L),
+      (20L, 21L), (21L, 22L), (22L, 20L), (31L, 30L)).toDF("id_a", "id_b")
+    val verts = Seq(10L, 11L, 12L, 13L, 20L, 21L, 22L, 30L, 31L, 40L, 41L).toDF("id")
+    val r = DedupOps.connectedComponents(verts, "id", edges).orderBy("id").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L, 31L -> 30L,
+      40L -> 40L, 41L -> 41L))
+    // keep-one: exactly one keeper (the min id) per component
+    val keepers = r.filter { case (id, c) => id == c }.keySet
+    assert(keepers == Set(10L, 20L, 30L, 40L, 41L))
+  }
+
   test("decontamination: planted n-gram overlap caught, clean docs zero, broadcast plan") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon"),       // shares 3-gram with bench
