@@ -17,6 +17,15 @@ import javax.imageio.ImageIO
   */
 object Raster {
 
+  // ImageIO's default scratch cache is FILE-backed: every read/write over
+  // a stream stages through a temp file on disk (FileCacheImageInput/
+  // OutputStream). In-memory payloads gain nothing from that and pay a
+  // file create+write+delete per Picture crop — executor thread samples
+  // put the raster path at ~24% of extraction kernel time. Memory staging
+  // is byte-identical output, just without the syscalls. (JVM-global;
+  // MultimodalOps.Codec sets it too — either may class-load first.)
+  ImageIO.setUseCache(false)
+
   /** (width, height, opaque) from the PNG IHDR / JPEG SOF header WITHOUT
     * decoding pixel data — the hot-path dims probe for image payloads
     * (a full ImageIO decode per image doc was ~8× kernel wall). `opaque` =

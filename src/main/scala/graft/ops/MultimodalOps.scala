@@ -49,6 +49,11 @@ object MultimodalOps {
     * raster math, no wall-clock or RNG. */
   object Codec {
 
+    // in-memory scratch staging for ImageIO streams (default is a temp
+    // FILE per read/write) — byte-identical output, no per-call syscalls;
+    // see the same init in graft.kernel.Raster
+    ImageIO.setUseCache(false)
+
     def encodePng(img: BufferedImage): Array[Byte] = {
       val bos = new ByteArrayOutputStream()
       ImageIO.write(img, "png", bos)
