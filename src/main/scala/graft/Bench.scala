@@ -37,18 +37,37 @@ object Bench {
 
     val headline = Vector(
       "x_extract_full", "x_extract_ocr", "q_page_assembly", "q_agg_pushdown",
-      "q_minhash_e2e", "q_simhash_e2e", "q_ann_topk", "q_ann_ivf",
-      "q_ann_ivf_build", "q_ann_ivf_query",
+      "q_minhash_e2e", "q_simhash_e2e", "q_dedup_clusters", "q_decontaminate",
+      "q_ann_topk", "q_ann_ivf", "q_ann_ivf_build", "q_ann_ivf_query",
       "q_sessionize", "q_broadcast_join", "q_lang_id", "q_fingerprint")
 
     val runHeadline = sys.env.getOrElse("SPARK_GRAFT_HEADLINE", "1") == "1"
+    // per-query cap: the scaling budget guard cannot help if one headline
+    // query wedges (the round-3 artifact died to an external timeout with
+    // nothing recorded) — a capped query logs -2 and the sweep still runs
+    val queryCapSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_CAP_SEC", "180").toLong
     val results = if (!runHeadline) Vector.empty[(String, Double)] else {
       val spark = ExtractPipeline.newSession(s"local[$cpus]", cpus.toInt * 2)
       spark.sparkContext.setLogLevel("WARN")
       val r = headline.flatMap { name =>
         (Queries.all ++ Queries.benchExtras).get(name).map { fn =>
-          val sec = try timeSec(fn(spark, sfDir).count())
-          catch { case _: Throwable => -1.0 }
+          // one throwaway executor per query: a driver-side wedge (no
+          // cancellable Spark job) must not block the NEXT query's slot
+          val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+          val task = pool.submit(new java.util.concurrent.Callable[Double] {
+            def call(): Double = timeSec(fn(spark, sfDir).count())
+          })
+          val sec =
+            try task.get(queryCapSec, java.util.concurrent.TimeUnit.SECONDS)
+            catch {
+              case _: java.util.concurrent.TimeoutException =>
+                System.err.println(s"[bench] $name exceeded ${queryCapSec}s cap — cancelling")
+                spark.sparkContext.cancelAllJobs()
+                try task.get(30, java.util.concurrent.TimeUnit.SECONDS) catch { case _: Throwable => () }
+                -2.0
+              case _: Throwable => -1.0
+            }
+          pool.shutdownNow()
           name -> sec
         }
       }

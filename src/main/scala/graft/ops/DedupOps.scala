@@ -252,15 +252,29 @@ object DedupOps {
     *
     * Scale design: the iteration runs over the EDGE SUBGRAPH only — at
     * web scale the pair set is a sliver of the corpus (near-dup clusters),
-    * so the per-iteration join + min-agg shuffles only nodes that appear
-    * in some pair; the untouched majority joins back once at the end as
-    * its own singleton cluster via a final left join (map-side after AQE
-    * broadcasts the small label table). Min-label propagation converges in
-    * O(diameter) rounds — dup clusters are shallow (pairs come from a
-    * similarity threshold, so components are near-cliques), hence the
-    * early-exit convergence check each round instead of a fixed count.
-    * Each round persists its label table and unpersists the previous one
-    * to keep lineage and memory bounded. */
+    * so the per-round joins shuffle only nodes that appear in some pair;
+    * the untouched majority joins back once at the end as its own
+    * singleton cluster via a final left join (map-side after AQE
+    * broadcasts the small label table). The symmetrized edge list is
+    * persisted ONCE (recomputing the upstream band join every round was a
+    * measured 10×-wall bug at sf0.1), and each round combines neighbor-min
+    * propagation with POINTER JUMPING — `label(label(x))` is always
+    * resolvable because the label table is keyed by every subgraph node —
+    * so chains collapse in O(log diameter) rounds, not O(diameter)
+    * (near-dup families chain: A~B~C… diameters of 20+ were observed on
+    * the synthetic corpus at sf0.1). Early-exit convergence check per
+    * round.
+    *
+    * Each round's label table is EAGERLY localCheckpoint'ed, not persisted:
+    * persist caches row data but leaves the LOGICAL plan intact, and this
+    * loop references the previous round's table three times — Catalyst
+    * re-analyzes a plan tree growing ~4× per round (measured: the sf0.1
+    * run wedged the driver in the optimizer, not in any Spark job).
+    * localCheckpoint truncates the plan to the materialized RDD, keeping
+    * per-round planning O(1); executor-local checkpoint blocks are the
+    * documented non-reliable variant — an iterative refinement loop can
+    * simply restart on executor loss (GraphFrames' CC makes the same
+    * call), and the superseded blocks are GC'd by the ContextCleaner. */
   def connectedComponents(
       vertices: DataFrame, idCol: String, edges: DataFrame,
       srcCol: String = "id_a", dstCol: String = "id_b",
@@ -268,24 +282,28 @@ object DedupOps {
     val sym = edges
       .select(col(srcCol).cast("long").as("x"), col(dstCol).cast("long").as("y"))
       .union(edges.select(col(dstCol).cast("long").as("x"), col(srcCol).cast("long").as("y")))
+      .persist()
     var labels = sym.select("x").distinct()
-      .withColumn("label", col("x")).persist()
+      .withColumn("label", col("x")).localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val viaNeighbor = sym
         .join(labels.select(col("x").as("y"), col("label")), Seq("y"))
         .select("x", "label")
-      val next = labels.select("x", "label").union(viaNeighbor)
-        .groupBy("x").agg(min("label").as("label")).persist()
+      val viaParent = labels.toDF("x0", "lab0")
+        .join(labels.select(col("x").as("lab0"), col("label")), Seq("lab0"))
+        .select(col("x0").as("x"), col("label"))
+      val next = labels.select("x", "label").union(viaNeighbor).union(viaParent)
+        .groupBy("x").agg(min("label").as("label")).localCheckpoint(true)
       val changed = next
         .join(labels.withColumnRenamed("label", "__old"), Seq("x"))
         .filter(col("label") =!= col("__old")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0L
       i += 1
     }
+    sym.unpersist()
     val out = vertices.select(col(idCol).cast("long").as("id"))
       .join(labels.withColumnRenamed("x", "id"), Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("cluster_id"))

@@ -573,17 +573,22 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("connected components: chains, cycles, singletons; min-id labels; early convergence") {
-    // component A: chain 10-11-12-13 (diameter 3 → needs >1 propagation
-    // round, exercises the loop); component B: triangle 20-21-22 (cycle);
-    // component C: pair 30-31; 40,41 are edge-free singletons
-    val edges = Seq((11L, 10L), (11L, 12L), (12L, 13L),
-      (20L, 21L), (21L, 22L), (22L, 20L), (31L, 30L)).toDF("id_a", "id_b")
-    val verts = Seq(10L, 11L, 12L, 13L, 20L, 21L, 22L, 30L, 31L, 40L, 41L).toDF("id")
-    val r = DedupOps.connectedComponents(verts, "id", edges).orderBy("id").collect()
+    // component A: 9-node path 18-17-…-10 ordered so the min id sits at
+    // one END of the chain (diameter 8 — plain neighbor-min needs 8
+    // rounds; pointer jumping must collapse it in ~log rounds well under
+    // maxIter); component B: triangle 20-21-22 (cycle); component C:
+    // pair 30-31; 40,41 are edge-free singletons
+    val chain = (10L until 18L).map(i => (i + 1, i))
+    val edges = (chain ++ Seq((20L, 21L), (21L, 22L), (22L, 20L), (31L, 30L)))
+      .toDF("id_a", "id_b")
+    val verts = ((10L to 18L) ++ Seq(20L, 21L, 22L, 30L, 31L, 40L, 41L)).toDF("id")
+    val r = DedupOps.connectedComponents(verts, "id", edges, maxIter = 6)
+      .orderBy("id").collect()
       .map(x => x.getLong(0) -> x.getLong(1)).toMap
-    assert(r == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
-      20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L, 31L -> 30L,
-      40L -> 40L, 41L -> 41L))
+    val expected = (10L to 18L).map(_ -> 10L).toMap ++
+      Map(20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L, 31L -> 30L,
+        40L -> 40L, 41L -> 41L)
+    assert(r == expected)
     // keep-one: exactly one keeper (the min id) per component
     val keepers = r.filter { case (id, c) => id == c }.keySet
     assert(keepers == Set(10L, 20L, 30L, 40L, 41L))
