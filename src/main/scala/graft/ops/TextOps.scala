@@ -109,9 +109,12 @@ object TextOps {
     * map-only explode → broadcast LEFT SEMI join (the corpus never
     * shuffles), and only the surviving (id, hit) rows — the contaminated
     * sliver — reach the per-id count, whose partial aggregation is
-    * map-side. The zero-hit majority re-enters via a second broadcast
-    * join of the (small) hit table against the projected corpus ids:
-    * end-to-end zero wide shuffles of corpus data. */
+    * map-side. The zero-hit majority re-enters via a second join of the
+    * hit table against the projected corpus ids — UNHINTED: hits is
+    * normally tiny (AQE broadcasts it), but a template-heavy corpus can
+    * contaminate without bound, and a forced broadcast of an unbounded
+    * table is an OOM; worst case this degrades to an id-only shuffle
+    * (8 B/row), never a corpus-payload shuffle. */
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String, n: Int = 3): DataFrame = {
     val benchSh = bench
@@ -121,7 +124,7 @@ object TextOps {
       .join(broadcast(benchSh), Seq("sh"), "left_semi")
       .groupBy("id").agg(count(lit(1)).as("n_hits"))
     corpus.select(col(idCol).as("id"))
-      .join(broadcast(hits), Seq("id"), "left")
+      .join(hits, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) >= 1).as("contaminated"))

@@ -616,9 +616,12 @@ class OpsSpec extends AnyFunSuite {
     assert(byId(4L) == ((0L, false)))
     // empty text's single shingle is "" — bench's shingles are all non-empty
     assert(byId(5L) == ((0L, false)))
-    // scale pin: both joins broadcast — the corpus side never shuffles
-    val phys = TextOps.decontaminate(corpus, "doc_id", "text", bench, "text", n = 3)
-      .queryExecution.executedPlan.toString
+    // scale pin on the FINAL adaptive plan (the hits join is unhinted —
+    // AQE picks broadcast for a small hit table): the semi join
+    // broadcasts and the corpus payload never takes a sort-merge shuffle
+    val q = TextOps.decontaminate(corpus, "doc_id", "text", bench, "text", n = 3)
+    q.collect()
+    val phys = q.queryExecution.executedPlan.toString
     assert(phys.contains("BroadcastHashJoin") || phys.contains("BroadcastNestedLoopJoin"))
     assert(!phys.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$phys")
   }
