@@ -52,8 +52,12 @@ object Bench {
       val r = headline.flatMap { name =>
         (Queries.all ++ Queries.benchExtras).get(name).map { fn =>
           // one throwaway executor per query: a driver-side wedge (no
-          // cancellable Spark job) must not block the NEXT query's slot
-          val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+          // cancellable Spark job) must not block the NEXT query's slot.
+          // DAEMON threads: a wedged thread that survives shutdownNow()
+          // must not block JVM exit — that would turn the cap's own
+          // escape hatch back into the rc=124 no-artifact failure mode
+          val pool = java.util.concurrent.Executors.newSingleThreadExecutor(
+            (r: Runnable) => { val t = new Thread(r, "bench-query"); t.setDaemon(true); t })
           val task = pool.submit(new java.util.concurrent.Callable[Double] {
             def call(): Double = timeSec(fn(spark, sfDir).count())
           })
