@@ -927,51 +927,28 @@ object Queries {
            |  CAST(round(list_cosine_similarity(va, vb) * 1000000) AS BIGINT) AS cos_x1e6
            |FROM cand WHERE round(list_cosine_similarity(va, vb) * 1000000) >= 950000
            |ORDER BY id_a, id_b""".stripMargin,
-      // MinHash LSH band join replayed via chunk equality (band-hash
-      // equality ⟺ chunk equality) + match-count threshold
-      "q_minhash_pairs" ->
-        s"""WITH s AS (SELECT id, sig FROM read_parquet('${g("minhash_sigs")}')),
-           |b AS (SELECT id, sig, band,
-           |        list_slice(sig, band*4 + 1, band*4 + 4) AS chunk
-           |      FROM s, range(0, 16) t(band)
-           |      QUALIFY count(*) OVER (PARTITION BY band, chunk) <= 1000),
-           |cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b,
-           |           l.sig AS sig_a, r.sig AS sig_b
-           |         FROM b l JOIN b r ON l.band = r.band AND l.chunk = r.chunk
-           |           AND l.id < r.id),
+      // Shared band-join CTE bodies (no WITH keyword — callers prepend
+      // WITH / WITH RECURSIVE): ONE definition per signature family so
+      // the band count, hot-bucket cap, and tie-break can never drift
+      // between the pairs / e2e / clustering replays (the same reason
+      // guardedSelfJoin is shared on the Spark side).
+      "q_minhash_pairs" -> s"""WITH $minhashCandCte,
            |m AS (SELECT id_a, id_b,
            |        len(list_filter(range(1, 65), i -> sig_a[i] = sig_b[i])) AS matches
            |      FROM cand)
            |SELECT id_a, id_b, CAST(matches AS BIGINT) AS matches64 FROM m
            |WHERE CAST(matches AS DOUBLE) / 64 >= 0.5
            |ORDER BY id_a, id_b""".stripMargin,
-      // SimHash chunk join + popcount Hamming verification
-      "q_simhash_pairs" ->
-        s"""WITH s AS (SELECT id, sig FROM read_parquet('${g("simhash_sigs")}')),
-           |b AS (SELECT id, sig, band, (sig >> (band*16)) & 65535 AS chunk
-           |      FROM s, range(0, 4) t(band)
-           |      QUALIFY count(*) OVER (PARTITION BY band, chunk) <= 1000),
-           |cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b,
-           |           l.sig AS sig_a, r.sig AS sig_b
-           |         FROM b l JOIN b r ON l.band = r.band AND l.chunk = r.chunk
-           |           AND l.id < r.id)
-           |SELECT id_a, id_b,
-           |  CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
-           |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
-           |ORDER BY id_a, id_b""".stripMargin,
+      // SimHash chunk join + popcount Hamming verification; the e2e
+      // variant computes signatures in-flight but they are byte-identical
+      // to the dump, so ONE replay oracles both
+      "q_simhash_pairs" -> simhashPairsSql,
+      "q_simhash_e2e" -> simhashPairsSql,
       // pairs → clusters: DuckDB recomputes the simhash candidate pairs,
       // then derives each node's component as min-reachable-id via a
       // recursive reachability CTE (components are near-dup clusters —
       // tiny — so full reachability enumeration is cheap in the oracle)
-      "q_dedup_clusters" ->
-        s"""WITH RECURSIVE s AS (SELECT id, sig FROM read_parquet('${g("simhash_sigs")}')),
-           |b AS (SELECT id, sig, band, (sig >> (band*16)) & 65535 AS chunk
-           |      FROM s, range(0, 4) t(band)
-           |      QUALIFY count(*) OVER (PARTITION BY band, chunk) <= 1000),
-           |cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b,
-           |           l.sig AS sig_a, r.sig AS sig_b
-           |         FROM b l JOIN b r ON l.band = r.band AND l.chunk = r.chunk
-           |           AND l.id < r.id),
+      "q_dedup_clusters" -> s"""WITH RECURSIVE $simhashCandCte,
            |e AS (SELECT id_a, id_b FROM cand
            |      WHERE bit_count(xor(sig_a, sig_b)) <= 3),
            |sym AS (SELECT id_a AS x, id_b AS y FROM e
@@ -986,48 +963,16 @@ object Queries {
            |  coalesce(l.cluster_id, d.doc_id) = d.doc_id AS keep
            |FROM documents d LEFT JOIN lab l ON d.doc_id = l.x
            |ORDER BY d.doc_id""".stripMargin,
-      // end-to-end variants (text → signatures → band join → verify): the
-      // in-flight signatures are byte-identical to the dumped sig tables
+      // end-to-end minhash (text → signatures → band join → verify): the
+      // in-flight signatures are byte-identical to the dumped sig table
       // (same deterministic function, pinned by the native-expression
-      // specs), so DuckDB replays the full downstream relational plan from
-      // the dumps — same pair set as the *_pairs oracles, e2e projection
-      "q_minhash_e2e" ->
-        s"""WITH s AS (SELECT id, sig FROM read_parquet('${g("minhash_sigs")}')),
-           |b AS (SELECT id, sig, band,
-           |        list_slice(sig, band*4 + 1, band*4 + 4) AS chunk
-           |      FROM s, range(0, 16) t(band)
-           |      QUALIFY count(*) OVER (PARTITION BY band, chunk) <= 1000),
-           |cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b,
-           |           l.sig AS sig_a, r.sig AS sig_b
-           |         FROM b l JOIN b r ON l.band = r.band AND l.chunk = r.chunk
-           |           AND l.id < r.id)
+      // specs) — same pair set as q_minhash_pairs, e2e projection
+      "q_minhash_e2e" -> s"""WITH $minhashCandCte
            |SELECT id_a, id_b FROM cand
            |WHERE CAST(len(list_filter(range(1, 65), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 64 >= 0.5
            |ORDER BY id_a, id_b""".stripMargin,
-      "q_simhash_e2e" ->
-        s"""WITH s AS (SELECT id, sig FROM read_parquet('${g("simhash_sigs")}')),
-           |b AS (SELECT id, sig, band, (sig >> (band*16)) & 65535 AS chunk
-           |      FROM s, range(0, 4) t(band)
-           |      QUALIFY count(*) OVER (PARTITION BY band, chunk) <= 1000),
-           |cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b,
-           |           l.sig AS sig_a, r.sig AS sig_b
-           |         FROM b l JOIN b r ON l.band = r.band AND l.chunk = r.chunk
-           |           AND l.id < r.id)
-           |SELECT id_a, id_b,
-           |  CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
-           |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
-           |ORDER BY id_a, id_b""".stripMargin,
       // candidate generation + exact set Jaccard, both replayed
-      "q_ngram_verify" ->
-        s"""WITH s AS (SELECT id, sig FROM read_parquet('${g("minhash_sigs")}')),
-           |b AS (SELECT id, sig, band,
-           |        list_slice(sig, band*4 + 1, band*4 + 4) AS chunk
-           |      FROM s, range(0, 16) t(band)
-           |      QUALIFY count(*) OVER (PARTITION BY band, chunk) <= 1000),
-           |cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b,
-           |           l.sig AS sig_a, r.sig AS sig_b
-           |         FROM b l JOIN b r ON l.band = r.band AND l.chunk = r.chunk
-           |           AND l.id < r.id),
+      "q_ngram_verify" -> s"""WITH $minhashCandCte,
            |cand2 AS (SELECT id_a, id_b FROM cand
            |  WHERE CAST(len(list_filter(range(1, 65), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 64 >= 0.3),
            |sh AS (SELECT id, sh FROM read_parquet('${g("shingles")}')),
@@ -1039,4 +984,36 @@ object Queries {
            |FROM j ORDER BY id_a, id_b""".stripMargin,
     )
   }
+
+  /** MinHash band-join replay (band-hash equality ⟺ chunk equality):
+    * explode 16 bands of 4 sig slots, hot-bucket cap 1000, dedup'd
+    * ordered candidate pairs. CTE body only — prepend WITH. */
+  private def minhashCandCte: String =
+    s"""s AS (SELECT id, sig FROM read_parquet('${VerifyTables.oracleGlob("minhash_sigs")}')),
+       |b AS (SELECT id, sig, band,
+       |        list_slice(sig, band*4 + 1, band*4 + 4) AS chunk
+       |      FROM s, range(0, 16) t(band)
+       |      QUALIFY count(*) OVER (PARTITION BY band, chunk) <= 1000),
+       |cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+       |           l.sig AS sig_a, r.sig AS sig_b
+       |         FROM b l JOIN b r ON l.band = r.band AND l.chunk = r.chunk
+       |           AND l.id < r.id)""".stripMargin
+
+  /** SimHash 16-bit-chunk pigeonhole join replay, same shape. */
+  private def simhashCandCte: String =
+    s"""s AS (SELECT id, sig FROM read_parquet('${VerifyTables.oracleGlob("simhash_sigs")}')),
+       |b AS (SELECT id, sig, band, (sig >> (band*16)) & 65535 AS chunk
+       |      FROM s, range(0, 4) t(band)
+       |      QUALIFY count(*) OVER (PARTITION BY band, chunk) <= 1000),
+       |cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+       |           l.sig AS sig_a, r.sig AS sig_b
+       |         FROM b l JOIN b r ON l.band = r.band AND l.chunk = r.chunk
+       |           AND l.id < r.id)""".stripMargin
+
+  private def simhashPairsSql: String =
+    s"""WITH $simhashCandCte
+       |SELECT id_a, id_b,
+       |  CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
 }

@@ -303,6 +303,11 @@ object DedupOps {
       converged = changed == 0L
       i += 1
     }
+    if (!converged)
+      // iteration-capped labels are NOT component minima; keep-one dedup
+      // on them would silently keep extra docs — make the cap visible
+      System.err.println(s"[connectedComponents] maxIter=$maxIter exhausted " +
+        "before convergence — labels may not be component minima")
     sym.unpersist()
     val out = vertices.select(col(idCol).cast("long").as("id"))
       .join(labels.withColumnRenamed("x", "id"), Seq("id"), "left")

@@ -105,23 +105,25 @@ object TextOps {
     * shingle set.
     *
     * Plan shape at 10^12 docs: eval sets are tiny (thousands of docs), so
-    * the benchmark's distinct shingles BROADCAST; the corpus side is a
-    * map-only explode → broadcast LEFT SEMI join (the corpus never
-    * shuffles), and only the surviving (id, hit) rows — the contaminated
+    * AQE broadcasts the benchmark's distinct shingles and the corpus side
+    * is a map-only explode → broadcast LEFT SEMI join (the corpus never
+    * shuffles); only the surviving (id, hit) rows — the contaminated
     * sliver — reach the per-id count, whose partial aggregation is
-    * map-side. The zero-hit majority re-enters via a second join of the
-    * hit table against the projected corpus ids — UNHINTED: hits is
-    * normally tiny (AQE broadcasts it), but a template-heavy corpus can
-    * contaminate without bound, and a forced broadcast of an unbounded
-    * table is an OOM; worst case this degrades to an id-only shuffle
-    * (8 B/row), never a corpus-payload shuffle. */
+    * map-side. BOTH joins are unhinted: a forced broadcast() of a
+    * caller-supplied table is an OOM the moment someone feeds a
+    * corpus-sized "benchmark" (or a template-heavy corpus contaminates
+    * without bound) — worst case the unhinted plan degrades to a shuffle
+    * of (shingle, id) / (id) projections, never to an executor OOM, and
+    * the corpus payload columns never shuffle either way. The
+    * tiny-bench broadcast shape is pinned on the final adaptive plan in
+    * OpsSpec. */
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String, n: Int = 3): DataFrame = {
     val benchSh = bench
       .select(explode(shingles(col(benchTextCol), n)).as("sh")).distinct()
     val hits = corpus
       .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
-      .join(broadcast(benchSh), Seq("sh"), "left_semi")
+      .join(benchSh, Seq("sh"), "left_semi")
       .groupBy("id").agg(count(lit(1)).as("n_hits"))
     corpus.select(col(idCol).as("id"))
       .join(hits, Seq("id"), "left")

@@ -233,6 +233,12 @@ object ExtractPipeline {
     * threshold left default. At cluster scale these become
     * spark.sql.shuffle.partitions=auto / advisory sizes. */
   def newSession(master: String, shufflePartitions: Int): SparkSession = {
+    // JVM-global, set at the guaranteed-earliest point every driver path
+    // passes through (the Raster/Codec object initializers also set it,
+    // but e.g. InputGen's JPEG writes during bench input materialization
+    // can run before either class loads): ImageIO's default scratch cache
+    // stages every stream read/write through a temp FILE on disk.
+    javax.imageio.ImageIO.setUseCache(false)
     SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
