@@ -370,6 +370,26 @@ object Queries {
     "x_parse_flex" -> ((s, dir) =>
       VerifyTables.parseFlexCases(s, dir).orderBy("case_id")),
 
+    // ---- PII redaction: emails / IPv4 / phone numbers → typed
+    //      placeholders. Deterministic PII is APPENDED to every document
+    //      in the query itself (both engines build the same augmented
+    //      text), so each row exercises all three patterns and the oracle
+    //      compares the fully-redacted strings, not just zero-hit rows.
+    "q_pii_redact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val aug = docs.select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or call +1 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit("-99 from 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".7 today")).as("text"))
+      TextOps.redactPii(aug, "text")
+        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+          col("text_redacted"))
+        .orderBy("doc_id")
+    }),
+
     // ---- URL canonicalization for crawl dedup: deterministic noisy
     //      variants (fragments, utm params, case-folded scheme/host,
     //      trailing slash) built from the north-rule urls IN the query —
@@ -801,6 +821,25 @@ object Queries {
            |SELECT json_extract_string(cell, '$$.category') AS category,
            |  CAST(count(*) AS BIGINT) AS n
            |FROM c GROUP BY category ORDER BY category""".stripMargin,
+      // PII redaction: the same augmented text construction + the SAME
+      // pattern constants (TextOps.PiiPatterns, interpolated verbatim) —
+      // DuckDB replays count + replace per class in the same order
+      "q_pii_redact" ->
+        s"""WITH aug AS (SELECT doc_id,
+           |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or call +1 555-' ||
+           |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-99 from 10.0.' ||
+           |  CAST(doc_id % 256 AS VARCHAR) || '.7 today' AS text FROM documents),
+           |e AS (SELECT doc_id, text,
+           |  CAST(len(regexp_extract_all(text, '${TextOps.PiiPatterns.Email}')) AS BIGINT) AS n_emails,
+           |  regexp_replace(text, '${TextOps.PiiPatterns.Email}', '<EMAIL>', 'g') AS t1 FROM aug),
+           |i AS (SELECT doc_id, n_emails,
+           |  CAST(len(regexp_extract_all(t1, '${TextOps.PiiPatterns.Ip}')) AS BIGINT) AS n_ips,
+           |  regexp_replace(t1, '${TextOps.PiiPatterns.Ip}', '<IP>', 'g') AS t2 FROM e),
+           |p AS (SELECT doc_id, n_emails, n_ips,
+           |  CAST(len(regexp_extract_all(t2, '${TextOps.PiiPatterns.Phone}')) AS BIGINT) AS n_phones,
+           |  regexp_replace(t2, '${TextOps.PiiPatterns.Phone}', '<PHONE>', 'g') AS text_redacted FROM i)
+           |SELECT doc_id, n_emails, n_ips, n_phones, text_redacted FROM p
+           |ORDER BY doc_id""".stripMargin,
       // URL canonicalization: the same deterministic noisy-variant
       // construction + the same RE2-safe regex chain, replayed verbatim
       // on both the noisy and the original url (roundtrips check)

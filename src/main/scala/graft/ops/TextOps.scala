@@ -195,6 +195,30 @@ object TextOps {
     regexp_replace(loHost, "^(.*[^/])/$", "$1")
   }
 
+  /** PII redaction — the scrub pass a web corpus runs before training
+    * (emails, IPv4 literals, international-format phone numbers →
+    * typed placeholders). Pure regex Column algebra: map-only, codegen,
+    * every pattern RE2-safe (no lookaround/backrefs) so the DuckDB
+    * oracle replays the chain verbatim. Patterns are deliberately
+    * conservative — leftmost-greedy shapes where RE2's leftmost-first
+    * and java.util.regex agree — and applied email → ip → phone so a
+    * narrower class is never half-eaten by a broader one. Returns
+    * (…, <textCol>_redacted, n_emails, n_ips, n_phones). */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    import PiiPatterns.{Email => email, Ip => ip, Phone => phone}
+    val t = col(textCol)
+    // counts taken on the SAME intermediate each class is redacted from,
+    // so n_* always equals the number of placeholders actually inserted
+    // (an email whose local part looks like a phone must not be counted
+    // twice)
+    val afterEmail = regexp_replace(t, email, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, ip, "<IP>")
+    df.withColumn("n_emails", size(regexp_extract_all(t, lit(email), lit(0))).cast("long"))
+      .withColumn("n_ips", size(regexp_extract_all(afterEmail, lit(ip), lit(0))).cast("long"))
+      .withColumn("n_phones", size(regexp_extract_all(afterIp, lit(phone), lit(0))).cast("long"))
+      .withColumn(s"${textCol}_redacted", regexp_replace(afterIp, phone, "<PHONE>"))
+  }
+
   /** Repetition quality signals (Gopher/RefinedWeb-style duplicate-content
     * filters), kept integral so results are engine-exact: line counts
     * (non-blank), distinct-line counts, token counts, distinct-token
@@ -277,5 +301,19 @@ object TextOps {
       .withColumn("__n", count(lit(1)).over(wc))
       .filter(col("__rn") <= ceil(col("__n") * frac))
       .drop("__rn", "__n")
+  }
+
+  /** The PII patterns, shared VERBATIM by [[TextOps.redactPii]] (java.util
+    * .regex) and the q_pii_redact DuckDB oracle (RE2): every construct is
+    * in the common subset of the two engines (character classes, bounded
+    * quantifiers, \b, non-capturing groups — no lookaround, no backrefs),
+    * so one definition drives both sides and they cannot drift. */
+  object PiiPatterns {
+    val Email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val Ip = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    // "+" or word-boundary "00" prefix, then 8-14 digits with optional
+    // single separators. The left \b guards only the 00 branch: "+" is a
+    // non-word char, so a \b BEFORE it would never match after a space.
+    val Phone = "(?:\\+|\\b00)[0-9](?:[ .-]?[0-9]){7,13}\\b"
   }
 }

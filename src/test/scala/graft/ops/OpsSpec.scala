@@ -594,6 +594,30 @@ class OpsSpec extends AnyFunSuite {
     assert(keepers == Set(10L, 20L, 30L, 40L, 41L))
   }
 
+  test("PII redaction: emails, IPv4, phones; counts match placements; clean text untouched") {
+    val rows = Seq(
+      (1L, "mail me at jane.doe+spam@sub.example.org thanks"),
+      (2L, "server at 192.168.001.255 and 10.0.0.1 responded"),
+      (3L, "call +44 20 7946 0958 or 0015551234567 now"),
+      (4L, "no pii here, just words and 1234 plain numbers"),
+      (5L, "version 1.2.3 is not an ip; neither is 1.2.3.4.5 fully"),
+      (6L, "00123456789012@example.com is an email, not a phone")
+    ).toDF("doc_id", "text")
+    val r = TextOps.redactPii(rows, "text").orderBy("doc_id").collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("n_emails"),
+        x.getAs[Long]("n_ips"), x.getAs[Long]("n_phones"),
+        x.getAs[String]("text_redacted"))).toList
+    assert(r(0) == ((1L, 1L, 0L, 0L, "mail me at <EMAIL> thanks")))
+    assert(r(1) == ((2L, 0L, 2L, 0L, "server at <IP> and <IP> responded")))
+    assert(r(2) == ((3L, 0L, 0L, 2L, "call <PHONE> or <PHONE> now")))
+    assert(r(3) == ((4L, 0L, 0L, 0L, "no pii here, just words and 1234 plain numbers")))
+    // 1.2.3.4.5: the \b-anchored IP pattern matches its leading 1.2.3.4
+    assert(r(4)._3 == 1L)
+    // the local part LOOKS like a 00-prefixed phone, but email redacts
+    // first and the counts are taken per intermediate — no double count
+    assert(r(5) == ((6L, 1L, 0L, 0L, "<EMAIL> is an email, not a phone")))
+  }
+
   test("decontamination: planted n-gram overlap caught, clean docs zero, broadcast plan") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon"),       // shares 3-gram with bench
