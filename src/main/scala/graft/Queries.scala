@@ -370,6 +370,15 @@ object Queries {
     "x_parse_flex" -> ((s, dir) =>
       VerifyTables.parseFlexCases(s, dir).orderBy("case_id")),
 
+    // ---- fixed-window chunking: long docs → 64-token training windows
+    //      with 16-token overlap (small window so the synthetic docs
+    //      genuinely multi-chunk); integral arithmetic → engine-exact
+    "q_chunk_docs" -> ((s, dir) =>
+      TextOps.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+          maxTokens = 64, overlap = 16)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "chunk_no")),
+
     // ---- PII redaction: emails / IPv4 / phone numbers → typed
     //      placeholders. Deterministic PII is APPENDED to every document
     //      in the query itself (both engines build the same augmented
@@ -821,6 +830,19 @@ object Queries {
            |SELECT json_extract_string(cell, '$$.category') AS category,
            |  CAST(count(*) AS BIGINT) AS n
            |FROM c GROUP BY category ORDER BY category""".stripMargin,
+      // chunking: same tokens, same integer chunk-count/slice arithmetic
+      "q_chunk_docs" ->
+        """WITH tok AS (SELECT doc_id,
+          |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+          |  FROM documents),
+          |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM tok
+          |      WHERE len(toks) > 0),
+          |c AS (SELECT doc_id, n, toks,
+          |  unnest(range(0, (greatest(n - 16, 1) + 47) // 48)) AS chunk_no FROM d)
+          |SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no,
+          |  CAST(least(64, n - chunk_no*48) AS BIGINT) AS n_chunk_tokens,
+          |  array_to_string(list_slice(toks, chunk_no*48 + 1, chunk_no*48 + 64), ' ') AS chunk_text
+          |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
       // PII redaction: the same augmented text construction + the SAME
       // pattern constants (TextOps.PiiPatterns, interpolated verbatim) —
       // DuckDB replays count + replace per class in the same order

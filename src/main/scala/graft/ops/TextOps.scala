@@ -195,6 +195,31 @@ object TextOps {
     regexp_replace(loHost, "^(.*[^/])/$", "$1")
   }
 
+  /** Fixed-window document chunking — split long documents into
+    * `maxTokens`-token training windows with `overlap` tokens carried
+    * between consecutive chunks (the prep stage BEFORE sequence packing;
+    * see [[packSequences]]). One output row per chunk: (id, chunk_no,
+    * n_chunk_tokens, chunk_text). Zero-token documents emit no chunks.
+    * All-integral chunk arithmetic (`ceil(max(n-overlap,1)/stride)` via
+    * integer division) so the DuckDB replay is engine-exact; map-only
+    * explode — no shuffle, scales embarrassingly. */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int = 512, overlap: Int = 64): DataFrame = {
+    require(overlap >= 0 && overlap < maxTokens, "need 0 <= overlap < maxTokens")
+    val stride = maxTokens - overlap
+    val nch = (greatest(col("__n") - lit(overlap), lit(1)) + lit(stride - 1)) / lit(stride)
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("__ts"))
+      .withColumn("__n", size(col("__ts")).cast("long"))
+      .filter(col("__n") > 0)
+      .withColumn("chunk_no", explode(sequence(lit(0L), nch.cast("long") - 1)))
+      .select(col("id"), col("chunk_no"),
+        least(lit(maxTokens.toLong), col("__n") - col("chunk_no") * stride)
+          .as("n_chunk_tokens"),
+        concat_ws(" ",
+          slice(col("__ts"), (col("chunk_no") * stride + 1).cast("int"), lit(maxTokens)))
+          .as("chunk_text"))
+  }
+
   /** PII redaction — the scrub pass a web corpus runs before training
     * (emails, IPv4 literals, international-format phone numbers →
     * typed placeholders). Pure regex Column algebra: map-only, codegen,

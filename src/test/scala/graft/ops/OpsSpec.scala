@@ -594,6 +594,30 @@ class OpsSpec extends AnyFunSuite {
     assert(keepers == Set(10L, 20L, 30L, 40L, 41L))
   }
 
+  test("chunkTokens: window/overlap boundaries, short docs, empty docs") {
+    def doc(id: Long, n: Int) = (id, (1 to n).map(i => s"t$i").mkString(" "))
+    val rows = Seq(doc(1L, 10),   // n=10 = maxTokens → exactly 1 chunk
+      doc(2L, 11),                // one past → 2 chunks, 2nd has ov+1 tokens
+      doc(3L, 3),                 // n <= overlap → still 1 chunk
+      doc(4L, 25),                // 3 full-ish chunks (stride 8: starts 0,8,16)
+      (5L, "   ")                 // zero tokens → no rows
+    ).toDF("doc_id", "text")
+    val r = TextOps.chunkTokens(rows, "doc_id", "text", maxTokens = 10, overlap = 2)
+      .orderBy("id", "chunk_no").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+    val byId = r.groupBy(_._1)
+    assert(byId(1L).length == 1 && byId(1L).head._3 == 10L)
+    assert(byId(2L).length == 2)
+    assert(byId(2L)(1)._4 == "t9 t10 t11")        // starts at stride=8 → tokens 9..11
+    assert(byId(2L)(1)._3 == 3L)
+    assert(byId(3L) === Array((3L, 0L, 3L, "t1 t2 t3")))
+    assert(byId(4L).length == 3 && byId(4L)(2)._4.startsWith("t17 "))
+    assert(!byId.contains(5L))
+    // overlap invariant: consecutive chunks share exactly `overlap` tokens
+    val c2 = byId(2L).map(_._4.split(" ").toVector)
+    assert(c2(0).takeRight(2) == c2(1).take(2))
+  }
+
   test("PII redaction: emails, IPv4, phones; counts match placements; clean text untouched") {
     val rows = Seq(
       (1L, "mail me at jane.doe+spam@sub.example.org thanks"),
