@@ -379,6 +379,31 @@ object Queries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id", "chunk_no")),
 
+    // ---- CCNet-style line dedup: strip lines frequent across docs.
+    //      The synthetic docs are single-line, so the query builds a
+    //      deterministic multi-line corpus IN the query (same pattern as
+    //      q_pii_redact): unique content prefix + universal cookie banner
+    //      (case/padding variant every 3rd doc → exercises key
+    //      normalization) + a 1-in-7 newsletter line (frequent → removed)
+    //      + a 3-doc promo line (below minDocs=10 → kept) + a blank line
+    //      on even docs (frequent → removed under the uniform rule).
+    "q_line_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val aug = docs.select(col("doc_id"),
+        array_join(filter(array(
+          substring(col("text"), 1, 80),
+          when(col("doc_id") % 3 === 0,
+              lit("  COOKIE NOTICE: ACCEPT ALL COOKIES "))
+            .otherwise(lit("cookie notice: accept all cookies")),
+          when(col("doc_id") % 7 === 0, lit("subscribe to our newsletter")),
+          when(col("doc_id") % 200 === 3, lit("limited promo: free shipping")),
+          when(col("doc_id") % 2 === 0, lit(""))
+        ), x => x.isNotNull), "\n").as("text"))
+      TextOps.stripBoilerplateLines(aug, "doc_id", "text", minDocs = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ---- PII redaction: emails / IPv4 / phone numbers → typed
     //      placeholders. Deterministic PII is APPENDED to every document
     //      in the query itself (both engines build the same augmented
@@ -843,6 +868,34 @@ object Queries {
           |  CAST(least(64, n - chunk_no*48) AS BIGINT) AS n_chunk_tokens,
           |  array_to_string(list_slice(toks, chunk_no*48 + 1, chunk_no*48 + 64), ' ') AS chunk_text
           |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
+      // line dedup: same augmented multi-line construction; DuckDB keys
+      // lines by the normalized TEXT where Spark keys by xxhash64 of it
+      // (same replay trick as q_stream_dedup — collisions negligible)
+      "q_line_dedup" ->
+        """WITH aug AS (SELECT doc_id, array_to_string(list_filter([
+          |    substr(text, 1, 80),
+          |    CASE WHEN doc_id % 3 = 0 THEN '  COOKIE NOTICE: ACCEPT ALL COOKIES '
+          |         ELSE 'cookie notice: accept all cookies' END,
+          |    CASE WHEN doc_id % 7 = 0 THEN 'subscribe to our newsletter' END,
+          |    CASE WHEN doc_id % 200 = 3 THEN 'limited promo: free shipping' END,
+          |    CASE WHEN doc_id % 2 = 0 THEN '' END
+          |  ], x -> x IS NOT NULL), chr(10)) AS text FROM documents),
+          |l AS (SELECT doc_id,
+          |    generate_subscripts(string_split(text, chr(10)), 1) - 1 AS line_no,
+          |    unnest(string_split(text, chr(10))) AS line FROM aug),
+          |k AS (SELECT doc_id, line_no, line, lower(trim(line)) AS key FROM l),
+          |freq AS (SELECT key FROM (SELECT key, count(DISTINCT doc_id) AS n
+          |                          FROM k GROUP BY key) WHERE n >= 10),
+          |kept AS (SELECT * FROM k WHERE key NOT IN (SELECT key FROM freq)),
+          |a AS (SELECT doc_id, count(*) AS n_kept,
+          |        string_agg(line, chr(10) ORDER BY line_no) AS clean_text
+          |      FROM kept GROUP BY doc_id),
+          |t AS (SELECT doc_id, count(*) AS n FROM l GROUP BY doc_id)
+          |SELECT t.doc_id,
+          |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_lines_kept,
+          |  CAST(t.n - coalesce(a.n_kept, 0) AS BIGINT) AS n_lines_removed,
+          |  coalesce(a.clean_text, '') AS clean_text
+          |FROM t LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin,
       // PII redaction: the same augmented text construction + the SAME
       // pattern constants (TextOps.PiiPatterns, interpolated verbatim) —
       // DuckDB replays count + replace per class in the same order

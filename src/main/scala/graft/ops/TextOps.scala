@@ -220,6 +220,50 @@ object TextOps {
           .as("chunk_text"))
   }
 
+  /** CCNet-style line-level boilerplate removal — strip lines whose
+    * normalized form (`lower(trim(line))`) occurs in at least `minDocs`
+    * DISTINCT documents (cookie banners, nav menus, footers: the
+    * highest-volume noise in a web-crawl corpus after exact dedup).
+    * Uniform rule — a line is removed iff its key is corpus-frequent;
+    * blank lines participate like any other key. Returns one row per
+    * input doc: (id, n_lines_kept, n_lines_removed, clean_text), with
+    * clean_text = kept lines re-joined in original order ("" when every
+    * line was boilerplate).
+    *
+    * Scale shape: the frequent-key set is computed payload-free — lines
+    * are keyed by `xxhash64` so only (key:16B, id) pairs travel through
+    * the distinct + count shuffles, never line text; the distinct-then-
+    * count formulation gets map-side partial dedup on both hops. The
+    * frequent set (boilerplate is a tiny fraction of distinct lines) is
+    * joined back `left_anti` — unbounded in principle, so AQE decides
+    * broadcast rather than a forced hint. The one text-carrying shuffle
+    * is the per-doc reassembly of KEPT lines, the same cost class as
+    * multi-page md assembly (A1/A2). */
+  def stripBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 10): DataFrame = {
+    require(minDocs >= 2, "minDocs < 2 would strip every line")
+    val lines = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+    val keyed = lines.withColumn("k", xxhash64(lower(trim(col("line")))))
+    val frequent = keyed.select("k", "id").distinct()
+      .groupBy("k").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("k")
+    val kept = keyed.join(frequent, Seq("k"), "left_anti")
+    val assembled = kept.groupBy("id").agg(
+      count(lit(1)).as("n_lines_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("line_no"), col("line")))),
+        s => s.getField("line")), "\n").as("clean_text"))
+    lines.groupBy("id").agg(count(lit(1)).as("__n_lines"))
+      .join(assembled, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        (col("__n_lines") - coalesce(col("n_lines_kept"), lit(0L)))
+          .as("n_lines_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** PII redaction — the scrub pass a web corpus runs before training
     * (emails, IPv4 literals, international-format phone numbers →
     * typed placeholders). Pure regex Column algebra: map-only, codegen,

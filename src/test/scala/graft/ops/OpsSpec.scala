@@ -618,6 +618,24 @@ class OpsSpec extends AnyFunSuite {
     assert(c2(0).takeRight(2) == c2(1).take(2))
   }
 
+  test("stripBoilerplateLines: frequency threshold, key normalization, blanks, all-removed docs, order") {
+    val rows = Seq(
+      (1L, "alpha one\ncookie banner\n\nomega one"),
+      (2L, "  COOKIE BANNER \nbeta two\n\nshared pair"),
+      (3L, "cookie banner\n"),                  // banner + blank → all removed
+      (4L, "shared pair\ngamma four")           // "shared pair" in only 2 docs < minDocs
+    ).toDF("doc_id", "text")
+    val r = TextOps.stripBoilerplateLines(rows, "doc_id", "text", minDocs = 3)
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+    // "cookie banner" (normalized) in docs 1,2,3 → removed; blank line in
+    // docs 1,2,3 → removed under the uniform rule; "shared pair" in 2 docs → kept
+    assert(r(0) == ((1L, 2L, 2L, "alpha one\nomega one")))
+    assert(r(1) == ((2L, 2L, 2L, "beta two\nshared pair")))
+    assert(r(2) == ((3L, 0L, 2L, "")))          // every line boilerplate → "" not a dropped row
+    assert(r(3) == ((4L, 2L, 0L, "shared pair\ngamma four")))
+  }
+
   test("PII redaction: emails, IPv4, phones; counts match placements; clean text untouched") {
     val rows = Seq(
       (1L, "mail me at jane.doe+spam@sub.example.org thanks"),
