@@ -267,6 +267,14 @@ object Queries {
       SimilarityOps.embeddingDupPairsFromSigs(vt(s, dir, "doc_vectors"), threshold = 0.95)
         .orderBy("id_a", "id_b")),
 
+    // ---- quality-classifier inference: linear (fastText-style) scoring
+    //      over the dumped hashed-BoW vectors with shared integer weight
+    //      constants — all-integral logit, engine-exact keep decision
+    "q_bow_classifier" -> ((s, dir) =>
+      TextOps.scoreLinearBow(vt(s, dir, "doc_vectors"), "id", "vec")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // ---- fingerprinting (rows-only; determinism gate in OpsSpec)
     "q_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -378,6 +386,41 @@ object Queries {
           maxTokens = 64, overlap = 16)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id", "chunk_no")),
+
+    // ---- composed corpus pipeline (flagship composition check): the
+    //      ops chain the way a real pretraining-prep job runs them —
+    //      quality gate → PII redaction → exact dedup → token count —
+    //      each stage the REAL operator, the whole chain replayed as one
+    //      DuckDB CTE ladder. Deterministic augmentation: sentence
+    //      punctuation + planted PII per doc (the raw synthetic docs have
+    //      no sentence structure — the gate would drop everything), and a
+    //      constant text every 50th doc so the dedup stage genuinely
+    //      collapses a duplicate family.
+    "q_corpus_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val aug = docs.select(col("doc_id"),
+        when(col("doc_id") % 50 === 7,
+            lit("Breaking news everyone. Contact editor@example.com now. The end."))
+          .otherwise(concat(col("text"), lit(". Contact user"),
+            col("doc_id").cast("string"), lit("@example.com now. The end.")))
+          .as("text"))
+      val gated = TextOps.qualityGate(aug, "text")
+        .filter(col("keep_doc")).select("doc_id", "text")
+      val red = TextOps.redactPii(gated, "text")
+        .select(col("doc_id"), col("text_redacted").as("text"))
+      val deduped = DedupOps.exactDedup(red, "doc_id", "text")
+      deduped.select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          col("text").as("text_clean"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- distinctive terms (integral TF-IDF family): per-doc top-3 by
+    //      tf*1e6 DIV df — integer scoring so no libm ln crosses engines
+    "q_tfidf_terms" -> ((s, dir) =>
+      TextOps.distinctiveTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "rank")),
 
     // ---- CCNet-style line dedup: strip lines frequent across docs.
     //      The synthetic docs are single-line, so the query builds a
@@ -868,6 +911,46 @@ object Queries {
           |  CAST(least(64, n - chunk_no*48) AS BIGINT) AS n_chunk_tokens,
           |  array_to_string(list_slice(toks, chunk_no*48 + 1, chunk_no*48 + 64), ' ') AS chunk_text
           |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
+      // composed pipeline: the same four stage replays chained — gate
+      // predicate, PII chain (shared pattern constants), min-per-text
+      // dedup, token count
+      "q_corpus_pipeline" ->
+        s"""WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 50 = 7
+           |    THEN 'Breaking news everyone. Contact editor@example.com now. The end.'
+           |    ELSE text || '. Contact user' || CAST(doc_id AS VARCHAR) || '@example.com now. The end.'
+           |  END AS text FROM documents),
+           |f AS (SELECT doc_id, text,
+           |  CAST(length(text) AS BIGINT) AS n_chars,
+           |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+           |  CAST(length(regexp_replace(text, '[^.!?。]', '', 'g')) AS BIGINT) AS n_sent,
+           |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_dig
+           |  FROM aug),
+           |gate AS (SELECT doc_id, text FROM f
+           |  WHERE n_chars >= 20 AND n_tokens >= 5 AND n_sent >= 1 AND n_dig * 3 < n_chars),
+           |e AS (SELECT doc_id, regexp_replace(text, '${TextOps.PiiPatterns.Email}', '<EMAIL>', 'g') AS t1 FROM gate),
+           |i AS (SELECT doc_id, regexp_replace(t1, '${TextOps.PiiPatterns.Ip}', '<IP>', 'g') AS t2 FROM e),
+           |p AS (SELECT doc_id, regexp_replace(t2, '${TextOps.PiiPatterns.Phone}', '<PHONE>', 'g') AS text FROM i),
+           |d AS (SELECT min(doc_id) AS doc_id FROM p GROUP BY text)
+           |SELECT p.doc_id,
+           |  CAST(len(list_filter(regexp_split_to_array(trim(p.text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+           |  p.text AS text_clean
+           |FROM p JOIN d USING (doc_id) ORDER BY p.doc_id""".stripMargin,
+      // distinctive terms: same tokenization as q_token_count, integer
+      // score arithmetic, same (score DESC, term ASC) tie-break
+      "q_tfidf_terms" ->
+        """WITH tok AS (SELECT doc_id,
+          |    unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+          |                       x -> x <> '')) AS term FROM documents),
+          |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          |       FROM tok GROUP BY doc_id, term),
+          |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+          |s AS (SELECT doc_id, term, tf, df, (tf * 1000000) // df AS score
+          |      FROM tf JOIN d USING (term)),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+          |        ORDER BY score DESC, term ASC) AS rank FROM s)
+          |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df,
+          |  CAST(score AS BIGINT) AS score
+          |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
       // line dedup: same augmented multi-line construction; DuckDB keys
       // lines by the normalized TEXT where Spark keys by xxhash64 of it
       // (same replay trick as q_stream_dedup — collisions negligible)
@@ -1041,6 +1124,17 @@ object Queries {
            |  CAST(round(list_cosine_similarity(va, vb) * 1000000) AS BIGINT) AS cos_x1e6
            |FROM cand WHERE round(list_cosine_similarity(va, vb) * 1000000) >= 950000
            |ORDER BY id_a, id_b""".stripMargin,
+      // linear classifier: the SAME integer weight/bias constants
+      // (TextOps.BowClassifier) interpolated as a literal list; integral
+      // dot product over the dumped vectors — engine-exact
+      "q_bow_classifier" ->
+        s"""WITH w AS (SELECT [${TextOps.BowClassifier.Weights.mkString(",")}]::DOUBLE[] AS wv),
+           |v AS (SELECT id, vec FROM read_parquet('${g("doc_vectors")}')),
+           |s AS (SELECT id AS doc_id,
+           |    CAST(list_sum(list_transform(range(1, 65), i -> vec[i] * wv[i]))
+           |         + ${TextOps.BowClassifier.Bias} AS BIGINT) AS logit
+           |  FROM v, w)
+           |SELECT doc_id, logit, logit > 0 AS keep FROM s ORDER BY doc_id""".stripMargin,
       // Shared band-join CTE bodies (no WITH keyword — callers prepend
       // WITH / WITH RECURSIVE): ONE definition per signature family so
       // the band count, hot-bucket cap, and tie-break can never drift

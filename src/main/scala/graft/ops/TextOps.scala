@@ -220,6 +220,38 @@ object TextOps {
           .as("chunk_text"))
   }
 
+  /** Distinctive terms per document — the TF-IDF family, used for corpus
+    * topic inspection and near-dup triage. Scoring is the INTEGRAL
+    * tf-over-document-frequency form `score = tf * 1_000_000 / df`
+    * (integer division): monotone in tf/df exactly like tf·idf for a
+    * fixed tf, but engine-exact — the classic `tf·ln(N/df)` is a one-line
+    * swap, deliberately not used because cross-engine libm `ln` ulp
+    * differences could flip rounded scores at verify time. Returns the
+    * top-`k` terms per doc as (id, rank, term, tf, df, score), ties
+    * broken by term ascending.
+    *
+    * Scale shape: (id, term) tf counts and per-term df both reduce with
+    * map-side partial aggregation; term text (small) is the only shuffled
+    * payload. The df join is plain (vocabulary is unbounded at corpus
+    * scale — AQE decides broadcast). Top-k runs as a window partitioned
+    * by doc id: groups are single-document-sized, so no task ever sorts
+    * more than one doc's vocabulary — no global sort, no skew. */
+  def distinctiveTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = df.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(docFreq, Seq("term"))
+      .withColumn("score", expr("(tf * 1000000L) DIV df"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("id").orderBy(col("score").desc, col("term").asc)))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank").cast("long").as("rank"), col("term"),
+        col("tf"), col("df"), col("score"))
+  }
+
   /** CCNet-style line-level boilerplate removal — strip lines whose
     * normalized form (`lower(trim(line))`) occurs in at least `minDocs`
     * DISTINCT documents (cookie banners, nav menus, footers: the
@@ -377,6 +409,37 @@ object TextOps {
     * in the common subset of the two engines (character classes, bounded
     * quantifiers, \b, non-capturing groups — no lookaround, no backrefs),
     * so one definition drives both sides and they cannot drift. */
+  /** Deterministic fastText-style classifier weights over the 64-dim
+    * hashed-BoW feature space — shared VERBATIM by the Spark query and
+    * the DuckDB oracle (same constant-sharing pattern as [[PiiPatterns]]).
+    * Integer weights in [-8, 8]; a real deployment would load trained
+    * weights — the inference plumbing is identical. */
+  object BowClassifier {
+    val Weights: Seq[Long] =
+      (0 until 64).map(i => (((i.toLong * 2654435761L) >>> 7) % 17) - 8)
+    val Bias: Long = 3L
+  }
+
+  /** Linear (fastText-style) quality-classifier inference over a
+    * hashed-BoW feature column: logit = w·x + b, keep = logit > 0.
+    * Feature counts and weights are integers carried in doubles, so every
+    * intermediate is integral and < 2^53 — the cast to long is exact and
+    * the DuckDB replay matches bit-for-bit (no libm, no sigmoid: the
+    * keep decision only needs the logit's sign, and thresholding the
+    * logit ≡ thresholding the sigmoid). Map-only Column algebra
+    * (`zip_with` + `aggregate`, codegen'd) — no shuffle, embarrassingly
+    * parallel at any scale. */
+  def scoreLinearBow(df: DataFrame, idCol: String, vecCol: String,
+      weights: Seq[Long] = BowClassifier.Weights,
+      bias: Long = BowClassifier.Bias): DataFrame = {
+    val w = typedlit(weights.map(_.toDouble))
+    df.select(col(idCol).as("id"),
+        (aggregate(zip_with(col(vecCol), w, (x, wt) => x * wt),
+          lit(0.0), (acc, v) => acc + v) + lit(bias.toDouble))
+          .cast("long").as("logit"))
+      .withColumn("keep", col("logit") > 0)
+  }
+
   object PiiPatterns {
     val Email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val Ip = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"

@@ -618,6 +618,43 @@ class OpsSpec extends AnyFunSuite {
     assert(c2(0).takeRight(2) == c2(1).take(2))
   }
 
+  test("scoreLinearBow: integral logit matches hand dot product; keep is the logit sign") {
+    val w = TextOps.BowClassifier.Weights
+    assert(w.length == 64 && w.forall(x => x >= -8 && x <= 8))
+    val vec = Array.fill(64)(0.0); vec(0) = 2.0; vec(5) = 1.0; vec(63) = 3.0
+    val zero = Array.fill(64)(0.0)
+    val df = Seq((7L, vec.toSeq), (8L, zero.toSeq)).toDF("id", "vec")
+    val r = TextOps.scoreLinearBow(df, "id", "vec").orderBy("id").collect()
+    val expected = 2 * w(0) + w(5) + 3 * w(63) + TextOps.BowClassifier.Bias
+    assert(r(0).getLong(1) == expected)
+    assert(r(0).getBoolean(2) == (expected > 0))
+    // empty doc scores exactly the bias
+    assert(r(1).getLong(1) == TextOps.BowClassifier.Bias && r(1).getBoolean(2))
+  }
+
+  test("distinctiveTerms: integral tf*1e6 DIV df scoring, term-asc tie-break, k truncation") {
+    val rows = Seq(
+      (1L, "apple apple banana zeta"),
+      (2L, "banana banana banana date"),
+      (3L, "apple date date")
+    ).toDF("doc_id", "text")
+    val r = TextOps.distinctiveTerms(rows, "doc_id", "text", k = 3)
+      .orderBy("id", "rank").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2), x.getLong(3),
+        x.getLong(4), x.getLong(5)))
+    // doc 1: apple (tf2/df2=1e6) ties zeta (tf1/df1=1e6) → term asc
+    assert(r.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 1L, "apple", 2L, 2L, 1000000L),
+      (1L, 2L, "zeta", 1L, 1L, 1000000L),
+      (1L, 3L, "banana", 1L, 2L, 500000L)))
+    // docs with < k distinct terms emit only what exists
+    assert(r.filter(_._1 == 2L).toSeq == Seq(
+      (2L, 1L, "banana", 3L, 2L, 1500000L),
+      (2L, 2L, "date", 1L, 2L, 500000L)))
+    assert(r.filter(_._1 == 3L).map(t => (t._2, t._3)).toSeq ==
+      Seq((1L, "date"), (2L, "apple")))
+  }
+
   test("stripBoilerplateLines: frequency threshold, key normalization, blanks, all-removed docs, order") {
     val rows = Seq(
       (1L, "alpha one\ncookie banner\n\nomega one"),
