@@ -929,7 +929,7 @@ object Queries {
            |  WHERE n_chars >= 20 AND n_tokens >= 5 AND n_sent >= 1 AND n_dig * 3 < n_chars),
            |e AS (SELECT doc_id, regexp_replace(text, '${TextOps.PiiPatterns.Email}', '<EMAIL>', 'g') AS t1 FROM gate),
            |i AS (SELECT doc_id, regexp_replace(t1, '${TextOps.PiiPatterns.Ip}', '<IP>', 'g') AS t2 FROM e),
-           |p AS (SELECT doc_id, regexp_replace(t2, '${TextOps.PiiPatterns.Phone}', '<PHONE>', 'g') AS text FROM i),
+           |p AS (SELECT doc_id, regexp_replace(t2, '${TextOps.PiiPatterns.Phone}', '${TextOps.PiiPatterns.PhoneReplRe2}', 'g') AS text FROM i),
            |d AS (SELECT min(doc_id) AS doc_id FROM p GROUP BY text)
            |SELECT p.doc_id,
            |  CAST(len(list_filter(regexp_split_to_array(trim(p.text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
@@ -995,7 +995,7 @@ object Queries {
            |  regexp_replace(t1, '${TextOps.PiiPatterns.Ip}', '<IP>', 'g') AS t2 FROM e),
            |p AS (SELECT doc_id, n_emails, n_ips,
            |  CAST(len(regexp_extract_all(t2, '${TextOps.PiiPatterns.Phone}')) AS BIGINT) AS n_phones,
-           |  regexp_replace(t2, '${TextOps.PiiPatterns.Phone}', '<PHONE>', 'g') AS text_redacted FROM i)
+           |  regexp_replace(t2, '${TextOps.PiiPatterns.Phone}', '${TextOps.PiiPatterns.PhoneReplRe2}', 'g') AS text_redacted FROM i)
            |SELECT doc_id, n_emails, n_ips, n_phones, text_redacted FROM p
            |ORDER BY doc_id""".stripMargin,
       // URL canonicalization: the same deterministic noisy-variant

@@ -207,11 +207,11 @@ object TextOps {
       maxTokens: Int = 512, overlap: Int = 64): DataFrame = {
     require(overlap >= 0 && overlap < maxTokens, "need 0 <= overlap < maxTokens")
     val stride = maxTokens - overlap
-    val nch = (greatest(col("__n") - lit(overlap), lit(1)) + lit(stride - 1)) / lit(stride)
+    val nch = expr(s"(greatest(__n - $overlap, 1L) + ${stride - 1}L) DIV ${stride}L")
     df.select(col(idCol).as("id"), tokens(col(textCol)).as("__ts"))
       .withColumn("__n", size(col("__ts")).cast("long"))
       .filter(col("__n") > 0)
-      .withColumn("chunk_no", explode(sequence(lit(0L), nch.cast("long") - 1)))
+      .withColumn("chunk_no", explode(sequence(lit(0L), nch - 1)))
       .select(col("id"), col("chunk_no"),
         least(lit(maxTokens.toLong), col("__n") - col("chunk_no") * stride)
           .as("n_chunk_tokens"),
@@ -287,7 +287,10 @@ object TextOps {
       array_join(transform(
         array_sort(collect_list(struct(col("line_no"), col("line")))),
         s => s.getField("line")), "\n").as("clean_text"))
-    lines.groupBy("id").agg(count(lit(1)).as("__n_lines"))
+    // total line count comes map-only from the un-exploded input (size of
+    // the split array ≡ the exploded row count) — no second explode pass
+    df.select(col(idCol).as("id"),
+        size(split(col(textCol), "\n")).cast("long").as("__n_lines"))
       .join(assembled, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
@@ -317,7 +320,8 @@ object TextOps {
     df.withColumn("n_emails", size(regexp_extract_all(t, lit(email), lit(0))).cast("long"))
       .withColumn("n_ips", size(regexp_extract_all(afterEmail, lit(ip), lit(0))).cast("long"))
       .withColumn("n_phones", size(regexp_extract_all(afterIp, lit(phone), lit(0))).cast("long"))
-      .withColumn(s"${textCol}_redacted", regexp_replace(afterIp, phone, "<PHONE>"))
+      .withColumn(s"${textCol}_redacted",
+        regexp_replace(afterIp, phone, PiiPatterns.PhoneReplJava))
   }
 
   /** Repetition quality signals (Gopher/RefinedWeb-style duplicate-content
@@ -404,11 +408,6 @@ object TextOps {
       .drop("__rn", "__n")
   }
 
-  /** The PII patterns, shared VERBATIM by [[TextOps.redactPii]] (java.util
-    * .regex) and the q_pii_redact DuckDB oracle (RE2): every construct is
-    * in the common subset of the two engines (character classes, bounded
-    * quantifiers, \b, non-capturing groups — no lookaround, no backrefs),
-    * so one definition drives both sides and they cannot drift. */
   /** Deterministic fastText-style classifier weights over the 64-dim
     * hashed-BoW feature space — shared VERBATIM by the Spark query and
     * the DuckDB oracle (same constant-sharing pattern as [[PiiPatterns]]).
@@ -440,12 +439,27 @@ object TextOps {
       .withColumn("keep", col("logit") > 0)
   }
 
+  /** The PII patterns, shared VERBATIM by [[TextOps.redactPii]] (java.util
+    * .regex) and the q_pii_redact DuckDB oracle (RE2): every construct is
+    * in the common subset of the two engines (character classes, bounded
+    * quantifiers, \b, capturing/non-capturing groups — no lookaround, no
+    * pattern backrefs), so one definition drives both sides and they
+    * cannot drift. */
   object PiiPatterns {
     val Email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val Ip = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
     // "+" or word-boundary "00" prefix, then 8-14 digits with optional
-    // single separators. The left \b guards only the 00 branch: "+" is a
-    // non-word char, so a \b BEFORE it would never match after a space.
-    val Phone = "(?:\\+|\\b00)[0-9](?:[ .-]?[0-9]){7,13}\\b"
+    // single separators. "\b" cannot guard the "+" branch ("+" is a
+    // non-word char — a \b before it would never match after a space), so
+    // the "+" branch instead CONSUMES one start-of-string-or-non-digit
+    // guard char into group 1 (keeps "2+12345678" arithmetic unredacted);
+    // replacements must re-emit it ($1 in java, \1 in RE2 — empty when
+    // the 00 branch matched).
+    val Phone = "(^|[^0-9+])\\+[0-9](?:[ .-]?[0-9]){7,13}\\b" +
+      "|\\b00[0-9](?:[ .-]?[0-9]){7,13}\\b"
+    /** Phone replacement re-emitting the consumed guard char (java syntax). */
+    val PhoneReplJava = "$1<PHONE>"
+    /** Same for RE2/DuckDB. */
+    val PhoneReplRe2 = "\\1<PHONE>"
   }
 }

@@ -697,6 +697,19 @@ class OpsSpec extends AnyFunSuite {
     assert(r(5) == ((6L, 1L, 0L, 0L, "<EMAIL> is an email, not a phone")))
   }
 
+  test("PII phone guard: '+' after a digit is arithmetic, not a phone; start-of-string '+' still redacts") {
+    val rows = Seq(
+      (1L, "formula 2+12345678 applies"),     // digit before '+' → untouched
+      (2L, "+4912345678 leads the line"),     // '^' guard branch
+      (3L, "sum 1++23456789 stays")           // '+' before '+' → untouched
+    ).toDF("doc_id", "text")
+    val r = TextOps.redactPii(rows, "text").orderBy("doc_id").collect()
+      .map(x => (x.getAs[Long]("n_phones"), x.getAs[String]("text_redacted")))
+    assert(r(0) == ((0L, "formula 2+12345678 applies")))
+    assert(r(1) == ((1L, "<PHONE> leads the line")))
+    assert(r(2) == ((0L, "sum 1++23456789 stays")))
+  }
+
   test("decontamination: planted n-gram overlap caught, clean docs zero, broadcast plan") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon"),       // shares 3-gram with bench
