@@ -21,6 +21,13 @@ object Queries {
   private def t(s: SparkSession, sfDir: String, name: String): DataFrame =
     s.read.parquet(s"$sfDir/$name.parquet")
 
+  /** The planted 25-token paragraph for q_repeated_spans — one constant,
+    * interpolated into BOTH engines' augmented-text construction. */
+  private val SpanPara: String =
+    "span dedup boilerplate alpha bravo charlie delta echo foxtrot golf " +
+    "hotel india juliett kilo lima mike november oscar papa quebec romeo " +
+    "sierra tango uniform victor"
+
   /** Materialized side tables (north-rule input, extraction output,
     * signatures) — byte-identical for Spark and the DuckDB oracle. */
   private def vt(s: SparkSession, sfDir: String, name: String): DataFrame =
@@ -412,6 +419,21 @@ object Queries {
       deduped.select(col("doc_id"),
           TextOps.tokenCount(col("text")).as("n_tokens"),
           col("text").as("text_clean"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- exact-substring dedup family: repeated 20-token spans across
+    //      docs. A fixed 25-token paragraph is appended to every 5th doc
+    //      IN the query (shared constant — both engines build it), so
+    //      those docs share exactly 6 fully-inside windows; windows
+    //      straddling the doc/paragraph boundary stay unique per doc.
+    "q_repeated_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val aug = docs.select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" " + SpanPara)))
+          .otherwise(col("text")).as("text"))
+      DedupOps.repeatedSpanStats(aug, "doc_id", "text", window = 20)
+        .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
 
@@ -935,6 +957,24 @@ object Queries {
            |  CAST(len(list_filter(regexp_split_to_array(trim(p.text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
            |  p.text AS text_clean
            |FROM p JOIN d USING (doc_id) ORDER BY p.doc_id""".stripMargin,
+      // repeated spans: DuckDB keys windows by their joined TEXT where
+      // Spark keys by xxhash64 of it (hash-vs-text trick); same planted
+      // paragraph constant
+      "q_repeated_spans" ->
+        s"""WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+           |    THEN text || ' $SpanPara' ELSE text END AS text FROM documents),
+           |tok AS (SELECT doc_id,
+           |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
+           |  FROM aug),
+           |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM tok),
+           |w AS (SELECT doc_id, unnest(range(0, greatest(n - 19, 0))) AS pos, toks FROM d),
+           |wt AS (SELECT doc_id, array_to_string(list_slice(toks, pos + 1, pos + 20), ' ') AS win FROM w),
+           |dup AS (SELECT win FROM (SELECT win, count(*) AS c FROM wt GROUP BY win) WHERE c >= 2),
+           |dd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows
+           |       FROM wt WHERE win IN (SELECT win FROM dup) GROUP BY doc_id)
+           |SELECT d.doc_id, CAST(greatest(n - 19, 0) AS BIGINT) AS n_windows,
+           |  CAST(coalesce(dd.n_dup_windows, 0) AS BIGINT) AS n_dup_windows
+           |FROM d LEFT JOIN dd USING (doc_id) ORDER BY doc_id""".stripMargin,
       // distinctive terms: same tokenization as q_token_count, integer
       // score arithmetic, same (score DESC, term ASC) tie-break
       "q_tfidf_terms" ->

@@ -314,4 +314,45 @@ object DedupOps {
       .select(col("id"), coalesce(col("label"), col("id")).as("cluster_id"))
     out
   }
+
+  /** Cross-document repeated-span detection — the EXACT-SUBSTRING dedup
+    * family (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"), the third axis next to exact-doc dedup and
+    * MinHash/SimHash near-dup: every `window`-token sliding window is
+    * hashed, and a window counts as duplicated iff its hash occurs ≥ 2
+    * times corpus-wide (across documents or repeated within one).
+    * Returns one row per input doc: (id, n_windows, n_dup_windows) —
+    * the flag/measure stage of substring dedup (span surgery is a
+    * per-doc local rewrite once spans are flagged).
+    *
+    * Scale shape: window hashing is map-side (the O(n·window) slice-join
+    * per doc is the deliberate, ANSI-safe alternative to a wrapping
+    * rolling hash, which Spark 4 ANSI arithmetic rejects); only
+    * (id, hash:16B) pairs ever shuffle — window text never leaves the
+    * map side. The ≥2 count uses partial aggregation; the duplicated-hash
+    * set joins back left_semi (unbounded in principle — AQE decides
+    * broadcast). Same payload-free discipline as the LSH band joins. */
+  def repeatedSpanStats(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 50): DataFrame = {
+    require(window >= 2, "window must be >= 2 tokens")
+    val toks = df
+      .select(col(idCol).as("id"), graft.ops.TextOps.tokens(col(textCol)).as("__ts"))
+      .withColumn("__n", size(col("__ts")))
+    val withW = toks.withColumn("__whs",
+      when(col("__n") >= window,
+        transform(sequence(lit(0), col("__n") - window),
+          i => xxhash64(concat_ws(" ", slice(col("__ts"), i + 1, lit(window))))))
+        .otherwise(array().cast("array<long>")))
+    val wins = withW.select(col("id"), explode(col("__whs")).as("wh"))
+    val dups = wins.groupBy("wh").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2).select("wh")
+    val dupPerDoc = wins.join(dups, Seq("wh"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_dup_windows"))
+    withW
+      .select(col("id"),
+        greatest(col("__n") - (window - 1), lit(0)).cast("long").as("n_windows"))
+      .join(dupPerDoc, Seq("id"), "left")
+      .select(col("id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+  }
 }

@@ -618,6 +618,19 @@ class OpsSpec extends AnyFunSuite {
     assert(c2(0).takeRight(2) == c2(1).take(2))
   }
 
+  test("repeatedSpanStats: cross-doc shared window, within-doc repeat, short docs") {
+    val rows = Seq(
+      (1L, "a b c d e"),     // "a b c" shared with doc 2
+      (2L, "x y a b c"),
+      (3L, "p q"),           // shorter than the window → 0 windows
+      (4L, "m m m m")        // "m m m" twice WITHIN one doc → both dup
+    ).toDF("doc_id", "text")
+    val r = DedupOps.repeatedSpanStats(rows, "doc_id", "text", window = 3)
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq((1L, 3L, 1L), (2L, 3L, 1L), (3L, 0L, 0L), (4L, 2L, 2L)))
+  }
+
   test("scoreLinearBow: integral logit matches hand dot product; keep is the logit sign") {
     val w = TextOps.BowClassifier.Weights
     assert(w.length == 64 && w.forall(x => x >= -8 && x <= 8))
