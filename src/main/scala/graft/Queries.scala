@@ -437,6 +437,19 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // ---- span surgery: the removal half of exact-substring dedup —
+    //      same augmented corpus as q_repeated_spans; every token covered
+    //      by a ≥2-occurrence window is cut and the doc re-joined
+    "q_span_scrub" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val aug = docs.select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" " + SpanPara)))
+          .otherwise(col("text")).as("text"))
+      DedupOps.stripRepeatedSpans(aug, "doc_id", "text", window = 20)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ---- distinctive terms (integral TF-IDF family): per-doc top-3 by
     //      tf*1e6 DIV df — integer scoring so no libm ln crosses engines
     "q_tfidf_terms" -> ((s, dir) =>
@@ -975,6 +988,29 @@ object Queries {
            |SELECT d.doc_id, CAST(greatest(n - 19, 0) AS BIGINT) AS n_windows,
            |  CAST(coalesce(dd.n_dup_windows, 0) AS BIGINT) AS n_dup_windows
            |FROM d LEFT JOIN dd USING (doc_id) ORDER BY doc_id""".stripMargin,
+      // span surgery: same window/dup replay as q_repeated_spans, then
+      // the same coverage filter + token re-join
+      "q_span_scrub" ->
+        s"""WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+           |    THEN text || ' $SpanPara' ELSE text END AS text FROM documents),
+           |tok AS (SELECT doc_id,
+           |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
+           |  FROM aug),
+           |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM tok),
+           |w AS (SELECT doc_id, unnest(range(0, greatest(n - 19, 0))) AS pos, toks FROM d),
+           |wt AS (SELECT doc_id, pos, array_to_string(list_slice(toks, pos + 1, pos + 20), ' ') AS win FROM w),
+           |dup AS (SELECT win FROM (SELECT win, count(*) AS c FROM wt GROUP BY win) WHERE c >= 2),
+           |dp AS (SELECT doc_id, list(pos) AS dps FROM wt
+           |       WHERE win IN (SELECT win FROM dup) GROUP BY doc_id),
+           |j AS (SELECT d.doc_id, d.toks, d.n, coalesce(dp.dps, CAST([] AS BIGINT[])) AS dps
+           |      FROM d LEFT JOIN dp USING (doc_id)),
+           |k AS (SELECT doc_id, n, toks,
+           |    list_filter(range(0, n), x -> len(list_filter(dps, p -> x >= p AND x < p + 20)) = 0) AS kept
+           |  FROM j)
+           |SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_tokens_kept,
+           |  CAST(n - len(kept) AS BIGINT) AS n_tokens_removed,
+           |  coalesce(array_to_string(list_transform(kept, x -> toks[CAST(x + 1 AS INTEGER)]), ' '), '') AS text_clean
+           |FROM k ORDER BY doc_id""".stripMargin,
       // distinctive terms: same tokenization as q_token_count, integer
       // score arithmetic, same (score DESC, term ASC) tie-break
       "q_tfidf_terms" ->

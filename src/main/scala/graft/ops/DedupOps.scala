@@ -334,6 +334,54 @@ object DedupOps {
     * broadcast). Same payload-free discipline as the LSH band joins. */
   def repeatedSpanStats(df: DataFrame, idCol: String, textCol: String,
       window: Int = 50): DataFrame = {
+    val (withW, wins) = spanWindows(df, idCol, textCol, window)
+    val dupPerDoc = wins.join(dupWindowHashes(wins), Seq("wh"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_dup_windows"))
+    withW
+      .select(col("id"),
+        greatest(col("__n") - (window - 1), lit(0)).cast("long").as("n_windows"))
+      .join(dupPerDoc, Seq("id"), "left")
+      .select(col("id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+  }
+
+  /** Span surgery — the removal half of exact-substring dedup: every
+    * token covered by at least one duplicated `window`-token window (as
+    * flagged by the [[repeatedSpanStats]] criterion) is cut, and the doc
+    * is re-joined from the surviving tokens. Returns one row per input
+    * doc: (id, n_tokens_kept, n_tokens_removed, text_clean).
+    *
+    * Scale shape: identical shuffle discipline to the stats pass —
+    * (id, hash) pairs only; the rewrite itself is a per-doc map-side
+    * `filter`/`transform` once each doc's duplicated window POSITIONS
+    * come back (an array bounded by the doc's own window count). The
+    * coverage test is O(n_tokens · n_dup_windows) per doc — fine where
+    * dup windows are sparse; a doc that is ~all duplicate pays O(n²) on
+    * itself only, never across docs. */
+  def stripRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 50): DataFrame = {
+    val (withW, wins) = spanWindows(df, idCol, textCol, window)
+    val dupPos = wins.join(dupWindowHashes(wins), Seq("wh"), "left_semi")
+      .groupBy("id").agg(collect_list(col("pos")).as("__dps"))
+    withW.join(dupPos, Seq("id"), "left")
+      .withColumn("__dps", coalesce(col("__dps"), array().cast("array<integer>")))
+      // sequence(0, -1) is a DESCENDING sequence in Spark — guard n=0
+      .withColumn("__kept", when(col("__n") > 0, filter(
+          sequence(lit(0), col("__n") - 1),
+          j => !exists(col("__dps"), p => j >= p && j < p + window)))
+        .otherwise(array().cast("array<integer>")))
+      .select(col("id"),
+        size(col("__kept")).cast("long").as("n_tokens_kept"),
+        (col("__n") - size(col("__kept"))).cast("long").as("n_tokens_removed"),
+        concat_ws(" ",
+          transform(col("__kept"), j => element_at(col("__ts"), j + 1)))
+          .as("text_clean"))
+  }
+
+  /** Shared window machinery: (docs with token arrays, exploded
+    * payload-free (id, pos, wh) windows). */
+  private def spanWindows(df: DataFrame, idCol: String, textCol: String,
+      window: Int): (DataFrame, DataFrame) = {
     require(window >= 2, "window must be >= 2 tokens")
     val toks = df
       .select(col(idCol).as("id"), graft.ops.TextOps.tokens(col(textCol)).as("__ts"))
@@ -343,16 +391,14 @@ object DedupOps {
         transform(sequence(lit(0), col("__n") - window),
           i => xxhash64(concat_ws(" ", slice(col("__ts"), i + 1, lit(window))))))
         .otherwise(array().cast("array<long>")))
-    val wins = withW.select(col("id"), explode(col("__whs")).as("wh"))
-    val dups = wins.groupBy("wh").agg(count(lit(1)).as("__c"))
-      .filter(col("__c") >= 2).select("wh")
-    val dupPerDoc = wins.join(dups, Seq("wh"), "left_semi")
-      .groupBy("id").agg(count(lit(1)).as("n_dup_windows"))
-    withW
-      .select(col("id"),
-        greatest(col("__n") - (window - 1), lit(0)).cast("long").as("n_windows"))
-      .join(dupPerDoc, Seq("id"), "left")
-      .select(col("id"), col("n_windows"),
-        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+    val wins = withW.select(col("id"),
+      posexplode(col("__whs")).as(Seq("pos", "wh")))
+    (withW, wins)
   }
+
+  /** Hashes of windows occurring ≥ 2 times corpus-wide (partial-agg
+    * count; the dup set joins back left_semi — AQE decides broadcast). */
+  private def dupWindowHashes(wins: DataFrame): DataFrame =
+    wins.groupBy("wh").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2).select("wh")
 }

@@ -631,6 +631,24 @@ class OpsSpec extends AnyFunSuite {
     assert(r.toSeq == Seq((1L, 3L, 1L), (2L, 3L, 1L), (3L, 0L, 0L), (4L, 2L, 2L)))
   }
 
+  test("stripRepeatedSpans: covered tokens cut, overlap union, clean docs untouched, empty docs safe") {
+    val rows = Seq(
+      (1L, "a b c d e f"),    // windows "a b c".."d e f"; "a b c" dup with doc 2
+      (2L, "z z a b c"),      // "z z a","z a b","a b c": only "a b c" dup
+      (3L, "p q r s"),        // all windows unique → untouched
+      (4L, "")                // empty → 0/0/""
+    ).toDF("doc_id", "text")
+    val r = DedupOps.stripRepeatedSpans(rows, "doc_id", "text", window = 3)
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+    // doc 1: dup window at pos 0 covers tokens 0..2 → "d e f" survives
+    assert(r(0) == ((1L, 3L, 3L, "d e f")))
+    // doc 2: dup window at pos 2 covers tokens 2..4 → "z z" survives
+    assert(r(1) == ((2L, 2L, 3L, "z z")))
+    assert(r(2) == ((3L, 4L, 0L, "p q r s")))
+    assert(r(3) == ((4L, 0L, 0L, "")))
+  }
+
   test("scoreLinearBow: integral logit matches hand dot product; keep is the logit sign") {
     val w = TextOps.BowClassifier.Weights
     assert(w.length == 64 && w.forall(x => x >= -8 && x <= 8))
