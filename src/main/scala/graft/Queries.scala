@@ -266,6 +266,27 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // ---- dedup: the FULL near-dup dedup chain as one job — minhash LSH
+    //      candidate pairs → connected components → keep-one → deduped
+    //      corpus re-joined with cluster sizes and token counts. Every
+    //      stage is the real operator; payloads attach only to survivors.
+    "q_neardup_dedup" -> ((s, dir) => {
+      val pairs = DedupOps.minhashPairsFromSigs(vt(s, dir, "minhash_sigs"),
+        numHashes = 64, bands = 16, threshold = 0.5)
+      val docs = t(s, dir, "documents")
+      val labels = DedupOps.connectedComponents(
+        docs.select(col("doc_id")), "doc_id", pairs)
+      val sizes = labels.groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"))
+      labels.filter(col("id") === col("cluster_id"))
+        .join(sizes, Seq("cluster_id"))
+        .join(docs.select(col("doc_id"),
+            TextOps.tokenCount(col("text")).as("n_tokens")),
+          col("id") === col("doc_id"))
+        .select(col("doc_id"), col("cluster_size"), col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // ---- dedup: embedding-cosine near-dup via banded sign-LSH over the
     //      hashed-BoW document vectors (dumped with their signatures;
     //      DuckDB replays band join + cosine-threshold verify; cosine
@@ -1247,6 +1268,27 @@ object Queries {
            |  coalesce(l.cluster_id, d.doc_id) = d.doc_id AS keep
            |FROM documents d LEFT JOIN lab l ON d.doc_id = l.x
            |ORDER BY d.doc_id""".stripMargin,
+      // full near-dup dedup chain: minhash candidate pairs (e2e threshold)
+      // → reachability components → keep-one → survivors re-joined with
+      // cluster size + token count (same tokenization as q_token_count)
+      "q_neardup_dedup" -> s"""WITH RECURSIVE $minhashCandCte,
+           |e AS (SELECT id_a, id_b FROM cand
+           |  WHERE CAST(len(list_filter(range(1, 65), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 64 >= 0.5),
+           |sym AS (SELECT id_a AS x, id_b AS y FROM e
+           |        UNION SELECT id_b, id_a FROM e),
+           |reach AS (
+           |  SELECT x, x AS r FROM (SELECT DISTINCT x FROM sym)
+           |  UNION
+           |  SELECT sym.x, reach.r FROM sym JOIN reach ON reach.x = sym.y),
+           |lab AS (SELECT x, min(r) AS cluster_id FROM reach GROUP BY x),
+           |allv AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+           |         FROM documents d LEFT JOIN lab l ON d.doc_id = l.x),
+           |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM allv GROUP BY cluster_id)
+           |SELECT a.doc_id, CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+           |  CAST(len(list_filter(regexp_split_to_array(trim(d.text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+           |FROM allv a JOIN sz USING (cluster_id) JOIN documents d USING (doc_id)
+           |WHERE a.doc_id = a.cluster_id
+           |ORDER BY a.doc_id""".stripMargin,
       // end-to-end minhash (text → signatures → band join → verify): the
       // in-flight signatures are byte-identical to the dumped sig table
       // (same deterministic function, pinned by the native-expression
