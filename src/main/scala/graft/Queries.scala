@@ -2,7 +2,7 @@ package graft
 
 import graft.core.PromptMode
 import graft.gen.InputTable
-import graft.ops.{DedupOps, MultimodalOps, RepairJob, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, LinkOps, MultimodalOps, RepairJob, SimilarityOps, TextOps}
 import graft.pipeline.ExtractPipeline
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -286,6 +286,28 @@ object Queries {
         .select(col("doc_id"), col("cluster_size"), col("n_tokens"))
         .orderBy("doc_id")
     }),
+
+    // ---- web graph: per-document outlink stats from the kernel-extracted
+    //      link table (href resolution pinned in LinkOpsSpec; DuckDB
+    //      replays the aggregation + host parse from the dump)
+    "q_link_extract" -> ((s, dir) =>
+      vt(s, dir, "links")
+        .groupBy("src")
+        .agg(count(lit(1)).as("n_links"),
+          countDistinct(LinkOps.hostOf(col("dst"))).as("n_dst_hosts"))
+        .orderBy("src")),
+
+    // ---- web graph: cross-host edge aggregation (payload-free counts)
+    "q_host_graph" -> ((s, dir) =>
+      LinkOps.hostGraph(vt(s, dir, "links")).orderBy("src_host", "dst_host")),
+
+    // ---- web graph: integral PageRank (5 iterations) over the host
+    //      graph — host centrality as a corpus-curation quality signal;
+    //      scaled-integer DIV arithmetic end to end so the DuckDB
+    //      iteration-ladder replay is bit-exact
+    "q_pagerank" -> ((s, dir) =>
+      LinkOps.pageRank(LinkOps.hostGraph(vt(s, dir, "links")), iterations = 5)
+        .orderBy("node")),
 
     // ---- dedup: embedding-cosine near-dup via banded sign-LSH over the
     //      hashed-BoW document vectors (dumped with their signatures;
@@ -1268,6 +1290,25 @@ object Queries {
            |  coalesce(l.cluster_id, d.doc_id) = d.doc_id AS keep
            |FROM documents d LEFT JOIN lab l ON d.doc_id = l.x
            |ORDER BY d.doc_id""".stripMargin,
+      // web graph: aggregation + host parse replayed from the dumped
+      // per-document link table (resolution itself is sbt-test-pinned)
+      "q_link_extract" ->
+        s"""SELECT src, CAST(count(*) AS BIGINT) AS n_links,
+           |  CAST(count(DISTINCT regexp_extract(dst, '^https?://([^/?#]+)', 1)) AS BIGINT)
+           |    AS n_dst_hosts
+           |FROM read_parquet('${VerifyTables.oracleGlob("links")}')
+           |GROUP BY src ORDER BY src""".stripMargin,
+      "q_host_graph" ->
+        s"""WITH l AS (SELECT
+           |    regexp_extract(src, '^https?://([^/?#]+)', 1) AS src_host,
+           |    regexp_extract(dst, '^https?://([^/?#]+)', 1) AS dst_host
+           |  FROM read_parquet('${VerifyTables.oracleGlob("links")}'))
+           |SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+           |FROM l WHERE src_host <> dst_host AND src_host <> '' AND dst_host <> ''
+           |GROUP BY src_host, dst_host ORDER BY src_host, dst_host""".stripMargin,
+      // integral PageRank: the same 5-round iteration ladder unrolled as
+      // CTEs — every step integer DIV, so the replay is bit-exact
+      "q_pagerank" -> pagerankSql(5),
       // full near-dup dedup chain: minhash candidate pairs (e2e threshold)
       // → reachability components → keep-one → survivors re-joined with
       // cluster size + token count (same tokenization as q_token_count)
@@ -1309,6 +1350,31 @@ object Queries {
            |SELECT id_a, id_b, CAST(round(jaccard * 1000) AS BIGINT) AS jaccard_x1000
            |FROM j ORDER BY id_a, id_b""".stripMargin,
     )
+  }
+
+  /** Integral-PageRank replay: host parse → distinct cross edges →
+    * outdegree → k unrolled iteration CTEs, each the exact integer
+    * arithmetic of [[graft.ops.LinkOps.pageRank]] (DuckDB `//` ≡ Spark
+    * `DIV` on the non-negative ranks involved). */
+  private def pagerankSql(k: Int): String = {
+    val iters = (1 to k).map { i =>
+      s"""r$i AS (SELECT n.node, 150000 + (85 * coalesce(s.m, 0)) // 100 AS rank
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r${i - 1}.rank // od.outdeg) AS m
+         |    FROM e JOIN od USING (src) JOIN r${i - 1} ON r${i - 1}.node = e.src
+         |    GROUP BY e.dst) s USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH l AS (SELECT
+       |    regexp_extract(src, '^https?://([^/?#]+)', 1) AS sh,
+       |    regexp_extract(dst, '^https?://([^/?#]+)', 1) AS dh
+       |  FROM read_parquet('${VerifyTables.oracleGlob("links")}')),
+       |e AS (SELECT DISTINCT sh AS src, dh AS dst FROM l
+       |      WHERE sh <> dh AND sh <> '' AND dh <> ''),
+       |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM n),
+       |$iters
+       |SELECT node, CAST(rank AS BIGINT) AS rank FROM r$k ORDER BY node""".stripMargin
   }
 
   /** MinHash band-join replay (band-hash equality ⟺ chunk equality):

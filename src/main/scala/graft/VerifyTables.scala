@@ -30,8 +30,9 @@ object VerifyTables {
   // bump whenever kernel/signature semantics change, or stale /tmp dumps
   // would be replayed (r4: image payload kind + scanned-PDF pages in the
   // corpus; OCR/garbled passthrough fix; per-mode page dumps; media
-  // determinism dumps)
-  private val Version = "r4d"
+  // determinism dumps; r4e: cross-host outlinks in the corpus + the
+  // extracted links table)
+  private val Version = "r4e"
   val Seed = 42L
 
   /** All table names, in dependency order. */
@@ -40,7 +41,7 @@ object VerifyTables {
     "extract_pages_layout_only", "extract_docs", "repair_cases",
     "parse_flex_cases", "minhash_sigs", "simhash_sigs", "shingles",
     "doc_vectors", "grounding_cells", "ivf_centroids",
-    "media_features", "frame_samples")
+    "media_features", "frame_samples", "links")
 
   /** The grounding-mode query bbox (original space) used by both the
     * x_extract_grounding query and the grounding_cells oracle dump. */
@@ -187,6 +188,13 @@ object VerifyTables {
         graft.ops.MultimodalOps.sampleFrames(
           graft.ops.MultimodalOps.syntheticMedia(s, mediaDocs(sfDir)), everyMs = 1000L)
           .toDF().drop("frame_payload")
+      case "links" =>
+        // per-document outlinks (src, dst) from the HTML payloads — the
+        // kernel-computed edge list whose downstream graph logic (host
+        // aggregation, outdegree, PageRank iteration ladder) DuckDB
+        // replays independently; resolution correctness is pinned by
+        // LinkOpsSpec in sbt test
+        graft.ops.LinkOps.extractLinks(read(s, sfDir, "northrule"))
       case other => throw new IllegalArgumentException(s"unknown table $other")
     }
     df.write.mode("overwrite").parquet(p)

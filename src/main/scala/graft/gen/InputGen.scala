@@ -19,8 +19,10 @@ object InputGen {
 
   /** Bump when the generated corpus changes shape/content — cache keys for
     * materialized inputs (graft.Bench) include it so a round never
-    * benchmarks a stale corpus. (r4: image payload kind, scanned PDFs.) */
-  val CorpusVersion = "r4c"
+    * benchmarks a stale corpus. (r4: image payload kind, scanned PDFs;
+    * r4d: deterministic cross-host outlinks in the aside rail — extracted
+    * text per url is UNCHANGED, only the link graph appeared.) */
+  val CorpusVersion = "r4d"
 
   /** splitmix64 — stateless, avalanche-complete. */
   def mix(z0: Long): Long = {
@@ -133,6 +135,24 @@ object InputGen {
     Row(url, ts, payload, sidecar, lang)
   }
 
+  /** Deterministic cross-host outlinks for the aside rail — a pure
+    * function of docId, NOT of the shared rng stream, so every other byte
+    * of the page is unchanged by their addition (the aside is dropped by
+    * the boilerplate heuristics, so extracted text/digest are unchanged
+    * too). Host skew mirrors hostOf: ~30% of references hit HotHost —
+    * giving the host graph the same power-law-ish shape a real crawl has. */
+  def outlinks(docId: Long): Seq[String] = {
+    val n = 2 + math.floorMod(mix(docId ^ 0x715eabdL), 3L).toInt // 2..4
+    (0 until n).map { i =>
+      val t = mix(docId * 1000003L + i * 7919L)
+      val host =
+        if (math.floorMod(t, 100L) < 30) HotHost
+        else s"host${1 + math.floorMod(t >>> 8, (NumHosts - 1).toLong)}"
+      val target = math.floorMod(t >>> 17, 100000L)
+      s"https://$host.example/html/doc$target"
+    }
+  }
+
   def htmlPayload(rng: Rng, lang: String, docId: Long): (Array[Byte], String) = {
     val sb = new StringBuilder
     val title = sentence(rng, lang, 4).dropRight(1)
@@ -169,7 +189,9 @@ object InputGen {
       sb ++= s"<figure><img src=\"/img/$docId.png\" alt=\"fig\"><figcaption>${sentence(rng, lang, 4)}</figcaption></figure>\n"
     }
     sb ++= s"<p class=\"footnote\">[1] ${sentence(rng, lang, 5)}</p>\n"
-    sb ++= "<aside><a href=\"/x\">more</a> <a href=\"/y\">links</a> <a href=\"/z\">here</a></aside>\n"
+    sb ++= "<aside><a href=\"/x\">more</a> <a href=\"/y\">links</a> <a href=\"/z\">here</a>"
+    for (u <- outlinks(docId)) sb ++= s" <a href=\"$u\">ref</a>"
+    sb ++= "</aside>\n"
     sb ++= s"</main>\n<footer>© 2024 $HotHost — <a href=\"/legal\">legal</a></footer>\n</body>\n</html>\n"
     (sb.toString.getBytes(StandardCharsets.UTF_8), paras.result().mkString("\n\n"))
   }

@@ -1,0 +1,173 @@
+package graft.ops
+
+import graft.kernel.{ExtractKernel, HtmlDom}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Web-graph operators over the Common-Crawl-style north-rule table:
+  * outlink extraction (`<a href>` + RFC-3986-style reference resolution),
+  * host-graph aggregation, and an integral fixed-iteration PageRank over
+  * the host graph — the quality/centrality signal web-scale corpus
+  * curation uses alongside the per-document filters (host reputation as a
+  * selection feature; cf. the host-level prioritization discussion in the
+  * Common Crawl / RefinedWeb lineage).
+  *
+  * Scale shape: extraction is map-only (the HTML parse rides the same
+  * per-partition kernel discipline as ExtractPipeline); the host graph is
+  * a payload-free (src_host, dst_host) hash aggregation; PageRank shuffles
+  * only (node:string, rank:long) pairs per iteration and eager-
+  * localCheckpoints each round so Catalyst planning stays O(1) across
+  * iterations (the same lesson as [[DedupOps.connectedComponents]]).
+  * Ranks use scaled-integer arithmetic (`DIV`) end to end, so a DuckDB
+  * replay of the same iteration ladder is engine-exact — no float
+  * accumulation order can flip a rank.
+  */
+object LinkOps {
+
+  /** Resolve an href against a base url, RFC 3986 §5.2-style (the subset
+    * a crawler needs): absolute http/https pass through; protocol-relative
+    * (`//h/p`) take the base scheme; root-relative (`/p`) take the base
+    * authority; path-relative merge with the base path and have dot
+    * segments removed; fragment-only refs and non-http(s) schemes
+    * (mailto:, javascript:, data:, ...) resolve to None. Fragments are
+    * stripped from every result; queries are kept. */
+  def resolveUrl(base: String, href0: String): Option[String] = {
+    val href = {
+      val h = href0.trim
+      val f = h.indexOf('#')
+      if (f >= 0) h.substring(0, f) else h
+    }
+    if (href.isEmpty) return None // fragment-only or empty
+    val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*):".r
+    val baseM = "^(https?)://([^/?#]+)([^?#]*)".r.findFirstMatchIn(base)
+    SchemeRe.findFirstMatchIn(href) match {
+      case Some(m) =>
+        val sch = m.group(1).toLowerCase
+        if (sch == "http" || sch == "https") Some(href) else None
+      case None =>
+        baseM.flatMap { bm =>
+          val (scheme, auth, bpath) = (bm.group(1), bm.group(2), bm.group(3))
+          if (href.startsWith("//")) Some(s"$scheme:$href")
+          else if (href.startsWith("/")) Some(s"$scheme://$auth${removeDotSegments(href)}")
+          else {
+            // merge: drop the base path's last segment, append the ref
+            val dir = bpath.lastIndexOf('/') match {
+              case -1 => "/"
+              case i  => bpath.substring(0, i + 1)
+            }
+            Some(s"$scheme://$auth${removeDotSegments(dir + href)}")
+          }
+        }
+    }
+  }
+
+  /** RFC 3986 §5.2.4 dot-segment removal over a path (query preserved). */
+  private def removeDotSegments(pathAndQuery: String): String = {
+    val qAt = pathAndQuery.indexOf('?')
+    val (path, query) =
+      if (qAt >= 0) (pathAndQuery.substring(0, qAt), pathAndQuery.substring(qAt))
+      else (pathAndQuery, "")
+    val out = new scala.collection.mutable.ArrayBuffer[String]
+    val trailingSlash = path.endsWith("/") || path.endsWith("/.") || path.endsWith("/..")
+    path.split("/").foreach {
+      case "" | "." => ()
+      case ".."     => if (out.nonEmpty) out.remove(out.length - 1)
+      case seg      => out += seg
+    }
+    val joined = "/" + out.mkString("/")
+    (if (trailingSlash && joined != "/") joined + "/" else joined) + query
+  }
+
+  /** Outlinks of one payload: every `<a href>` in document order, resolved
+    * against the page url; non-HTML payloads (PDF, images, garbled bytes)
+    * yield none. Never throws — same contract as the extraction kernel. */
+  def outlinksOf(baseUrl: String, payload: Array[Byte]): Seq[String] = {
+    if (payload == null || !ExtractKernel.looksLikeHtml(payload)) return Nil
+    try {
+      val dom = HtmlDom.parse(HtmlDom.decodeBytes(payload))
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      def walk(n: HtmlDom.Node): Unit = n match {
+        case e: HtmlDom.Element =>
+          if (e.tag == "a") e.attrs.get("href")
+            .flatMap(resolveUrl(baseUrl, _)).foreach(out += _)
+          e.children.foreach(walk)
+        case _ => ()
+      }
+      walk(dom)
+      out.toSeq
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+  }
+
+  /** (src, dst) outlink edges for every document — map-only, one kernel
+    * pass per partition, no shuffle. */
+  def extractLinks(df: DataFrame, urlCol: String = "url",
+      payloadCol: String = "html"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(urlCol).cast("string"), col(payloadCol))
+      .as[(String, Array[Byte])]
+      .flatMap { case (u, p) => outlinksOf(u, p).map(d => (u, d)) }
+      .toDF("src", "dst")
+  }
+
+  /** Authority component of an http(s) url ('' for anything else). */
+  def hostOf(url: Column): Column =
+    regexp_extract(url, "^https?://([^/?#]+)", 1)
+
+  /** Cross-host link graph: (src_host, dst_host, n_links), same-host
+    * edges dropped. Payload-free hash aggregation — partial (map-side)
+    * combine makes this a counts-only shuffle at any corpus size. */
+  def hostGraph(links: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame =
+    links
+      .select(hostOf(col(srcCol)).as("src_host"), hostOf(col(dstCol)).as("dst_host"))
+      .filter(col("src_host") =!= col("dst_host") &&
+        col("src_host") =!= lit("") && col("dst_host") =!= lit(""))
+      .groupBy("src_host", "dst_host")
+      .agg(count(lit(1)).as("n_links"))
+
+  /** Fixed-iteration PageRank with scaled-integer arithmetic: ranks start
+    * at `scale` (1.0), each round every node keeps 15% teleport mass and
+    * receives 85% of the integer-divided contributions of its in-
+    * neighbors:
+    *
+    *   rank' = (15·scale) DIV 100  +  (85 · Σ_in (rank_src DIV outdeg)) DIV 100
+    *
+    * Unweighted over DISTINCT cross-edges. Dangling-node mass is dropped
+    * (the standard simplification); ranks therefore UNDER-estimate but the
+    * ORDER matches float PageRank on non-degenerate graphs, and every
+    * operation is integral so a SQL replay is bit-exact. Each iteration:
+    * one join on src + one hash agg on dst, both over (string, long) rows
+    * only; `localCheckpoint(true)` per round caps the plan depth. */
+  def pageRank(edges0: DataFrame, srcCol: String = "src_host",
+      dstCol: String = "dst_host", iterations: Int = 5,
+      scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 1 && scale >= 100L, "need iterations >= 1, scale >= 100")
+    val edges = edges0
+      .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val withDeg = edges.join(outdeg, Seq("src")).persist()
+    var ranks = nodes.withColumn("rank", lit(scale))
+    for (_ <- 0 until iterations) {
+      val inSum = withDeg
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), expr("rank DIV outdeg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("in_sum"))
+      ranks = nodes.join(inSum, Seq("node"), "left")
+        .select(col("node"),
+          (lit(15L * scale / 100L) +
+            expr(s"(85 * coalesce(in_sum, 0L)) DIV 100")).as("rank"))
+        .localCheckpoint(true)
+    }
+    edges.unpersist()
+    withDeg.unpersist()
+    ranks
+  }
+}

@@ -1,0 +1,78 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.gen.InputTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LinkOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  val base = "https://h.example/html/doc1"
+
+  test("resolveUrl: absolute, protocol-relative, root-relative, path-relative, dot segments") {
+    assert(LinkOps.resolveUrl(base, "https://x.com/p") == Some("https://x.com/p"))
+    assert(LinkOps.resolveUrl(base, "http://x.com/p?q=1#f") == Some("http://x.com/p?q=1"))
+    assert(LinkOps.resolveUrl(base, "//cdn.x.com/a") == Some("https://cdn.x.com/a"))
+    assert(LinkOps.resolveUrl(base, "/about") == Some("https://h.example/about"))
+    assert(LinkOps.resolveUrl(base, "page2") == Some("https://h.example/html/page2"))
+    assert(LinkOps.resolveUrl(base, "./same") == Some("https://h.example/html/same"))
+    assert(LinkOps.resolveUrl(base, "../up") == Some("https://h.example/up"))
+    assert(LinkOps.resolveUrl(base, "../../../up") == Some("https://h.example/up"))
+    assert(LinkOps.resolveUrl(base, "a/b/../c") == Some("https://h.example/html/a/c"))
+    assert(LinkOps.resolveUrl(base, "dir/") == Some("https://h.example/html/dir/"))
+    assert(LinkOps.resolveUrl("https://h.example", "a") == Some("https://h.example/a"))
+    assert(LinkOps.resolveUrl(base, "/p?a=1&b=2#frag") == Some("https://h.example/p?a=1&b=2"))
+  }
+
+  test("resolveUrl: fragment-only, empty, and non-http(s) schemes resolve to None") {
+    assert(LinkOps.resolveUrl(base, "#frag").isEmpty)
+    assert(LinkOps.resolveUrl(base, "").isEmpty)
+    assert(LinkOps.resolveUrl(base, "mailto:a@b.c").isEmpty)
+    assert(LinkOps.resolveUrl(base, "javascript:void(0)").isEmpty)
+    assert(LinkOps.resolveUrl(base, "data:text/plain,x").isEmpty)
+    assert(LinkOps.resolveUrl(base, "ftp://h/f").isEmpty)
+  }
+
+  test("outlinksOf: anchors in document order, resolved; non-HTML payloads yield none") {
+    val html = ("<html><body><a href=\"/a\">x</a><p>t <a href='https://z.example/p#s'>y</a></p>" +
+      "<div><a href=\"sub/q\">n</a><a name=\"no-href\">skip</a><a href=\"#only\">skip</a></div>" +
+      "</body></html>").getBytes("UTF-8")
+    assert(LinkOps.outlinksOf(base, html) == Seq(
+      "https://h.example/a", "https://z.example/p", "https://h.example/html/sub/q"))
+    assert(LinkOps.outlinksOf(base, "%PDF-1.4 not html".getBytes("UTF-8")).isEmpty)
+    assert(LinkOps.outlinksOf(base, Array[Byte](0x1f, 0x2e, 0x00, 0x7f)).isEmpty)
+  }
+
+  test("extractLinks over the synthetic corpus: html docs carry cross-host aside outlinks") {
+    val links = LinkOps.extractLinks(InputTable.generate(spark, 80L, seed = 42L))
+    val rows = links.collect()
+    assert(rows.nonEmpty)
+    // every dst is an absolute http(s) url on an .example host
+    assert(rows.forall(r => r.getString(1).matches("https://[a-z0-9]+\\.example/.*")))
+    // the deterministic aside outlinks produce cross-host edges
+    val hg = LinkOps.hostGraph(links).collect()
+    assert(hg.nonEmpty && hg.forall(r => r.getString(0) != r.getString(1)))
+  }
+
+  test("pageRank: hand-computed integral ranks on a 3-node graph, 2 iterations") {
+    // a->b, b->a, a->c (+ a duplicate and a self-loop that must be dropped)
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("a", "b"), ("c", "c"))
+      .toDF("src_host", "dst_host")
+    val r = LinkOps.pageRank(edges, iterations = 2).orderBy("node")
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    // iter1: a=150000+850000=1000000, b=c=150000+(85*500000)DIV100=575000
+    // iter2: a=150000+(85*575000)DIV100=638750, b=c=575000
+    assert(r.toSeq == Seq(("a", 638750L), ("b", 575000L), ("c", 575000L)))
+  }
+
+  test("pageRank: dangling mass is dropped, teleport floor holds for sink-only nodes") {
+    val edges = Seq(("a", "b")).toDF("src_host", "dst_host") // b is dangling
+    val r = LinkOps.pageRank(edges, iterations = 3).orderBy("node")
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    // a never receives: rank_a = 150000 after round 1 and stays
+    // b receives 85% of a's rank: r1 = 150000+850000; r2 = 150000+(85*150000)DIV100
+    assert(r.toSeq == Seq(("a", 150000L), ("b", 150000L + 85L * 150000L / 100L)))
+  }
+}
