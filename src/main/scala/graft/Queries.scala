@@ -287,6 +287,15 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // ---- quality: n-gram LM surprise (the integral CCNet/KenLM-style
+    //      perplexity proxy — corpus-trained bigram statistics, exact
+    //      integer scoring; Spark keys n-grams by xxhash64, the oracle by
+    //      text)
+    "q_ngram_surprise" -> ((s, dir) =>
+      TextOps.ngramSurprise(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // ---- web graph: per-document outlink stats from the kernel-extracted
     //      link table (href resolution pinned in LinkOpsSpec; DuckDB
     //      replays the aggregation + host parse from the dump)
@@ -1290,6 +1299,27 @@ object Queries {
            |  coalesce(l.cluster_id, d.doc_id) = d.doc_id AS keep
            |FROM documents d LEFT JOIN lab l ON d.doc_id = l.x
            |ORDER BY d.doc_id""".stripMargin,
+      // bigram LM surprise: same tokenization as q_token_count, corpus
+      // counts and per-doc integer mean replayed keyed by word TEXT
+      // (Spark keys by xxhash64 — the hash-vs-text oracle trick)
+      "q_ngram_surprise" ->
+        """WITH tok AS (SELECT doc_id,
+          |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+          |  FROM documents),
+          |d AS (SELECT doc_id, toks, len(toks) AS n FROM tok),
+          |b AS (SELECT doc_id, toks[CAST(i + 1 AS INTEGER)] AS w1,
+          |        toks[CAST(i + 2 AS INTEGER)] AS w2
+          |      FROM (SELECT doc_id, toks, unnest(range(0, n - 1)) AS i
+          |            FROM d WHERE n >= 2)),
+          |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY w1),
+          |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2),
+          |s AS (SELECT doc_id, (c1.c1 * 1000000) // c12.c12 AS s
+          |      FROM b JOIN c1 USING (w1) JOIN c12 USING (w1, w2)),
+          |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+          |        sum(s) // count(*) AS surprise FROM s GROUP BY doc_id)
+          |SELECT d.doc_id, CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+          |  CAST(coalesce(a.surprise, 0) AS BIGINT) AS surprise
+          |FROM d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
       // web graph: aggregation + host parse replayed from the dumped
       // per-document link table (resolution itself is sbt-test-pinned)
       "q_link_extract" ->

@@ -338,6 +338,54 @@ object TextOps {
       .withColumn("n_distinct_tokens", size(array_distinct(ts)).cast("long"))
   }
 
+  /** N-gram language-model "surprise" scoring — the integral stand-in for
+    * CCNet/KenLM perplexity filtering: documents whose word transitions
+    * are rare under the corpus's own bigram statistics score high (wrong-
+    * language fragments, mojibake, keyword stuffing), fluent text scores
+    * low. Per bigram occurrence (w1, w2):
+    *
+    *   surprise = (c(w1·) · 10^6) DIV c(w1 w2)      -- 1/p̂(w2|w1), scaled
+    *
+    * where c(w1·) counts bigram occurrences with prefix w1 and c(w1 w2)
+    * the exact bigram — both corpus-wide. The document score is the
+    * integer mean over its bigram occurrences; docs with < 2 tokens get 0.
+    * All arithmetic integral, so the text-keyed DuckDB replay is exact
+    * (Spark keys by xxhash64 of the words — the hash-vs-text oracle trick
+    * of q_stream_dedup/q_line_dedup; 64-bit collisions are negligible).
+    *
+    * Scale shape: the exploded bigram relation carries (id, h1, h12) only
+    * — 24 B/row, text never shuffles; counts are partial-agg'd map-side;
+    * the two count joins are plain shuffled hash joins on longs. On a
+    * recurring pipeline the (h1, h12) count tables are the "model" — they
+    * can be materialized once and broadcast/reused across scoring runs. */
+  def ngramSurprise(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__ts"))
+      .withColumn("__n", size(col("__ts")))
+    val big = toks.filter(col("__n") >= 2)
+      .select(col("id"), explode(transform(
+        sequence(lit(0), col("__n") - 2),
+        i => struct(
+          xxhash64(element_at(col("__ts"), i + 1)).as("h1"),
+          xxhash64(element_at(col("__ts"), i + 1), element_at(col("__ts"), i + 2))
+            .as("h12")))).as("b"))
+      .select(col("id"), col("b.h1").as("h1"), col("b.h12").as("h12"))
+    val prefixCounts = big.groupBy("h1").agg(count(lit(1)).as("c1"))
+    val bigramCounts = big.groupBy("h12").agg(count(lit(1)).as("c12"))
+    val scored = big
+      .join(prefixCounts, Seq("h1"))
+      .join(bigramCounts, Seq("h12"))
+      .select(col("id"), expr("(c1 * 1000000L) DIV c12").as("s"))
+      .groupBy("id")
+      .agg(sum(col("s")).as("__sum"), count(lit(1)).as("n_bigrams"))
+      .select(col("id"), col("n_bigrams"), expr("__sum DIV n_bigrams").as("surprise"))
+    toks.select(col("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("surprise"), lit(0L)).as("surprise"))
+  }
+
   /** The multiplicative-permutation sampling order: ((id mod p)·K) mod p,
     * a permutation of Z_p. id is reduced mod p BEFORE the multiply so the
     * product stays < 2^52 (no ANSI overflow at any id scale); ties (ids

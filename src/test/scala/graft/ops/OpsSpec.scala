@@ -649,6 +649,20 @@ class OpsSpec extends AnyFunSuite {
     assert(r(3) == ((4L, 0L, 0L, "")))
   }
 
+  test("ngramSurprise: hand-computed corpus bigram statistics, integer means, short docs zero") {
+    val rows = Seq(
+      (1L, "a b a b"), // bigrams (a,b)(b,a)(a,b)
+      (2L, "a b c"),   // bigrams (a,b)(b,c)
+      (3L, "x")        // no bigrams
+    ).toDF("doc_id", "text")
+    val r = TextOps.ngramSurprise(rows, "doc_id", "text").orderBy("id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    // c(a·)=3 c(b·)=2; c(a b)=3 c(b a)=1 c(b c)=1
+    // doc1: (1e6*3/3 + 1e6*2/1 + 1e6*3/3)=4e6 DIV 3 = 1333333
+    // doc2: (1e6 + 2e6) DIV 2 = 1500000
+    assert(r.toSeq == Seq((1L, 3L, 1333333L), (2L, 2L, 1500000L), (3L, 0L, 0L)))
+  }
+
   test("scoreLinearBow: integral logit matches hand dot product; keep is the logit sign") {
     val w = TextOps.BowClassifier.Weights
     assert(w.length == 64 && w.forall(x => x >= -8 && x <= 8))
