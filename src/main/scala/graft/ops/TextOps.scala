@@ -354,10 +354,12 @@ object TextOps {
     * of q_stream_dedup/q_line_dedup; 64-bit collisions are negligible).
     *
     * Scale shape: the exploded bigram relation carries (id, h1, h12) only
-    * — 24 B/row, text never shuffles; counts are partial-agg'd map-side;
-    * the two count joins are plain shuffled hash joins on longs. On a
-    * recurring pipeline the (h1, h12) count tables are the "model" — they
-    * can be materialized once and broadcast/reused across scoring runs. */
+    * — 24 B/row, text never shuffles; counts are partial-agg'd map-side.
+    * Two corpus passes (pair-count agg, scoring join) — prefix counts
+    * derive from the vocabulary-sized pair-count table, not a third pass
+    * — and the scoring side is ONE pre-joined count table keyed by h12.
+    * On a recurring pipeline that count table is the "model": materialize
+    * it once and broadcast/reuse it across scoring runs. */
   def ngramSurprise(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df
       .select(col(idCol).as("id"), tokens(col(textCol)).as("__ts"))
@@ -370,11 +372,16 @@ object TextOps {
           xxhash64(element_at(col("__ts"), i + 1), element_at(col("__ts"), i + 2))
             .as("h12")))).as("b"))
       .select(col("id"), col("b.h1").as("h1"), col("b.h12").as("h12"))
-    val prefixCounts = big.groupBy("h1").agg(count(lit(1)).as("c1"))
-    val bigramCounts = big.groupBy("h12").agg(count(lit(1)).as("c12"))
+    // Two corpus passes total, not three: pair counts in one pass, prefix
+    // counts derived from the (already tiny) pair-count table, and the
+    // two pre-joined into ONE vocabulary-sized side table keyed by h12
+    // (h1 is functionally dependent on h12 — same hash input prefix).
+    val pairCounts = big.groupBy("h1", "h12").agg(count(lit(1)).as("c12"))
+    val prefixCounts = pairCounts.groupBy("h1").agg(sum(col("c12")).as("c1"))
+    val counts = pairCounts.join(prefixCounts, Seq("h1"))
+      .select(col("h12"), col("c1"), col("c12"))
     val scored = big
-      .join(prefixCounts, Seq("h1"))
-      .join(bigramCounts, Seq("h12"))
+      .join(counts, Seq("h12"))
       .select(col("id"), expr("(c1 * 1000000L) DIV c12").as("s"))
       .groupBy("id")
       .agg(sum(col("s")).as("__sum"), count(lit(1)).as("n_bigrams"))
