@@ -37,8 +37,9 @@ object Bench {
 
     val headline = Vector(
       "x_extract_full", "x_extract_ocr", "q_page_assembly", "q_agg_pushdown",
-      "q_minhash_e2e", "q_simhash_e2e", "q_dedup_clusters", "q_decontaminate",
-      "q_ann_topk", "q_ann_ivf", "q_ann_ivf_build", "q_ann_ivf_query",
+      "q_minhash_e2e", "q_simhash_e2e", "q_dedup_clusters", "q_neardup_dedup",
+      "q_decontaminate", "q_ann_topk", "q_ann_ivf", "q_ann_ivf_build",
+      "q_ann_ivf_query", "q_pagerank", "q_ngram_surprise",
       "q_sessionize", "q_broadcast_join", "q_lang_id", "q_fingerprint")
 
     val runHeadline = sys.env.getOrElse("SPARK_GRAFT_HEADLINE", "1") == "1"
@@ -54,8 +55,11 @@ object Bench {
       // signatures, and on a cold /tmp (every Version bump) the first run
       // would otherwise time a one-off materialization+parquet-write
       // instead of the operator
-      try VerifyTables.ensure(spark, sfDir, "simhash_sigs")
-      catch { case e: Throwable =>
+      try {
+        VerifyTables.ensure(spark, sfDir, "simhash_sigs")
+        VerifyTables.ensure(spark, sfDir, "minhash_sigs") // q_neardup_dedup
+        VerifyTables.ensure(spark, sfDir, "links")        // q_pagerank
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] sig warm-up failed: ${e.getMessage}") }
       val r = headline.flatMap { name =>
         (Queries.all ++ Queries.benchExtras).get(name).map { fn =>

@@ -318,6 +318,22 @@ object Queries {
       LinkOps.pageRank(LinkOps.hostGraph(vt(s, dir, "links")), iterations = 5)
         .orderBy("node")),
 
+    // ---- web graph → curation: host-reputation gate — PageRank host
+    //      centrality joined back onto the extraction output (the host
+    //      rank table is tiny, so AQE broadcasts it: the graph signal
+    //      reaches every document map-side, no corpus shuffle)
+    "q_host_reputation" -> ((s, dir) => {
+      val ranks = LinkOps.pageRank(LinkOps.hostGraph(vt(s, dir, "links")),
+        iterations = 5)
+      vt(s, dir, "extract_docs")
+        .select(col("url"), LinkOps.hostOf(col("url")).as("host"))
+        .join(ranks.withColumnRenamed("node", "host"), Seq("host"), "left")
+        .select(col("url"), col("host"),
+          coalesce(col("rank"), lit(0L)).as("host_rank"),
+          (coalesce(col("rank"), lit(0L)) >= 500000L).as("keep"))
+        .orderBy("url")
+    }),
+
     // ---- dedup: embedding-cosine near-dup via banded sign-LSH over the
     //      hashed-BoW document vectors (dumped with their signatures;
     //      DuckDB replays band join + cosine-threshold verify; cosine
@@ -1339,6 +1355,18 @@ object Queries {
       // integral PageRank: the same 5-round iteration ladder unrolled as
       // CTEs — every step integer DIV, so the replay is bit-exact
       "q_pagerank" -> pagerankSql(5),
+      // host-reputation gate: the same 5-round ladder joined onto the
+      // extraction output's urls
+      "q_host_reputation" ->
+        s"""WITH ${pagerankCtes(5)},
+           |docs AS (SELECT url,
+           |    regexp_extract(url, '^https?://([^/?#]+)', 1) AS host
+           |  FROM read_parquet('${VerifyTables.oracleGlob("extract_docs")}'))
+           |SELECT d.url, d.host,
+           |  CAST(coalesce(r.rank, 0) AS BIGINT) AS host_rank,
+           |  coalesce(r.rank, 0) >= 500000 AS keep
+           |FROM docs d LEFT JOIN r5 r ON r.node = d.host
+           |ORDER BY d.url""".stripMargin,
       // full near-dup dedup chain: minhash candidate pairs (e2e threshold)
       // → reachability components → keep-one → survivors re-joined with
       // cluster size + token count (same tokenization as q_token_count)
@@ -1386,7 +1414,7 @@ object Queries {
     * outdegree → k unrolled iteration CTEs, each the exact integer
     * arithmetic of [[graft.ops.LinkOps.pageRank]] (DuckDB `//` ≡ Spark
     * `DIV` on the non-negative ranks involved). */
-  private def pagerankSql(k: Int): String = {
+  private def pagerankCtes(k: Int): String = {
     val iters = (1 to k).map { i =>
       s"""r$i AS (SELECT n.node, 150000 + (85 * coalesce(s.m, 0)) // 100 AS rank
          |  FROM n LEFT JOIN (
@@ -1394,7 +1422,7 @@ object Queries {
          |    FROM e JOIN od USING (src) JOIN r${i - 1} ON r${i - 1}.node = e.src
          |    GROUP BY e.dst) s USING (node))""".stripMargin
     }.mkString(",\n")
-    s"""WITH l AS (SELECT
+    s"""l AS (SELECT
        |    regexp_extract(src, '^https?://([^/?#]+)', 1) AS sh,
        |    regexp_extract(dst, '^https?://([^/?#]+)', 1) AS dh
        |  FROM read_parquet('${VerifyTables.oracleGlob("links")}')),
@@ -1403,9 +1431,12 @@ object Queries {
        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
        |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM n),
-       |$iters
-       |SELECT node, CAST(rank AS BIGINT) AS rank FROM r$k ORDER BY node""".stripMargin
+       |$iters""".stripMargin
   }
+
+  private def pagerankSql(k: Int): String =
+    s"""WITH ${pagerankCtes(k)}
+       |SELECT node, CAST(rank AS BIGINT) AS rank FROM r$k ORDER BY node""".stripMargin
 
   /** MinHash band-join replay (band-hash equality ⟺ chunk equality):
     * explode 16 bands of 4 sig slots, hot-bucket cap 1000, dedup'd
