@@ -663,6 +663,26 @@ class OpsSpec extends AnyFunSuite {
     assert(r.toSeq == Seq((1L, 3L, 1333333L), (2L, 2L, 1500000L), (3L, 0L, 0L)))
   }
 
+  test("ngramSurprise: no shuffle carries text or the token array (payload-free discipline)") {
+    val q = TextOps.ngramSurprise(docs.select("doc_id", "text"), "doc_id", "text")
+    q.collect() // finalize the adaptive plan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case s: QueryStageExec        => nodes(s.plan)
+      case _                        => p +: p.children.flatMap(nodes)
+    }
+    val shuffles = nodes(q.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.nonEmpty)
+    val bad = shuffles.filter(_.child.output.exists(a =>
+      a.name == "text" || a.name == "__ts"))
+    assert(bad.isEmpty,
+      s"text-bearing shuffle: ${bad.map(_.child.output.map(_.name).mkString(",")).mkString("; ")}")
+  }
+
   test("scoreLinearBow: integral logit matches hand dot product; keep is the logit sign") {
     val w = TextOps.BowClassifier.Weights
     assert(w.length == 64 && w.forall(x => x >= -8 && x <= 8))
