@@ -287,6 +287,15 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // ---- curation: mixture resampling — the largest sub-corpus whose
+    //      language composition matches integer ppm targets (all-integral
+    //      quota math; row choice by the shared deterministic permutation)
+    "q_mixture_resample" -> ((s, dir) =>
+      TextOps.mixtureResample(t(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", "lang",
+        Seq("en" -> 400000L, "zh" -> 300000L, "ru" -> 200000L, "nl" -> 100000L))
+        .orderBy("doc_id")),
+
     // ---- quality: n-gram LM surprise (the integral CCNet/KenLM-style
     //      perplexity proxy — corpus-trained bigram statistics, exact
     //      integer scoring; Spark keys n-grams by xxhash64, the oracle by
@@ -317,6 +326,17 @@ object Queries {
     "q_pagerank" -> ((s, dir) =>
       LinkOps.pageRank(LinkOps.hostGraph(vt(s, dir, "links")), iterations = 5)
         .orderBy("node")),
+
+    // ---- curation: domain blocklist filter (UT1-style) — equals-or-
+    //      subdomain matching via dot-suffix explode + semi/anti join
+    "q_domain_filter" -> ((s, dir) => {
+      import s.implicits._
+      val blk = Seq("host7.example", "host13.example").toDF("domain")
+      LinkOps.filterBlockedHosts(vt(s, dir, "northrule").select(col("url")),
+          "url", blk)
+        .select(col("url"), LinkOps.hostOf(col("url")).as("host"))
+        .orderBy("url")
+    }),
 
     // ---- web graph → curation: host-reputation gate — PageRank host
     //      centrality joined back onto the extraction output (the host
@@ -1315,6 +1335,33 @@ object Queries {
            |  coalesce(l.cluster_id, d.doc_id) = d.doc_id AS keep
            |FROM documents d LEFT JOIN lab l ON d.doc_id = l.x
            |ORDER BY d.doc_id""".stripMargin,
+      // domain blocklist: equals-or-subdomain replayed as suffix LIKE
+      "q_domain_filter" ->
+        s"""WITH docs AS (SELECT url,
+           |    regexp_extract(url, '^https?://([^/?#]+)', 1) AS host
+           |  FROM read_parquet('${VerifyTables.oracleGlob("northrule")}')),
+           |blk(domain) AS (VALUES ('host7.example'), ('host13.example')),
+           |blocked AS (SELECT DISTINCT d.url FROM docs d JOIN blk b
+           |  ON d.host = b.domain OR d.host LIKE '%.' || b.domain)
+           |SELECT url, host FROM docs
+           |WHERE url NOT IN (SELECT url FROM blocked) ORDER BY url""".stripMargin,
+      // mixture resample: integral quota math (T = min (n·1e6)//w,
+      // k = (w·T)//1e6) + the same permutation-order selection as
+      // q_stratified_sample
+      "q_mixture_resample" ->
+        """WITH d AS (SELECT doc_id, lang,
+          |  ((doc_id % 1000003) * 2654435761) % 1000003 AS ord FROM documents),
+          |tgt(lang, w) AS (VALUES ('en', 400000), ('zh', 300000),
+          |                        ('ru', 200000), ('nl', 100000)),
+          |caps AS (SELECT t.lang, t.w, (n.n * 1000000) // t.w AS cap
+          |  FROM tgt t JOIN (SELECT lang, count(*) AS n FROM d GROUP BY lang) n
+          |  USING (lang)),
+          |tot AS (SELECT min(cap) AS T FROM caps),
+          |q AS (SELECT lang, (w * T) // 1000000 AS k FROM caps, tot),
+          |r AS (SELECT doc_id, lang,
+          |  row_number() OVER (PARTITION BY lang ORDER BY ord, doc_id) AS rn FROM d)
+          |SELECT r.doc_id, r.lang FROM r JOIN q USING (lang)
+          |WHERE rn <= k ORDER BY doc_id""".stripMargin,
       // bigram LM surprise: same tokenization as q_token_count, corpus
       // counts and per-doc integer mean replayed keyed by word TEXT
       // (Spark keys by xxhash64 — the hash-vs-text oracle trick)

@@ -126,6 +126,28 @@ object LinkOps {
       .groupBy("src_host", "dst_host")
       .agg(count(lit(1)).as("n_links"))
 
+  /** Domain blocklist filtering (the UT1/RefinedWeb-style URL filter):
+    * drop documents whose url host equals a blocked domain OR is a
+    * subdomain of one. Each host explodes into its dot-suffixes
+    * (`a.b.example` → `a.b.example`, `b.example`, `example` — bounded by
+    * the label count, ≤ ~6 rows/doc), the suffixes semi-join the
+    * blocklist, and matching urls anti-join out. Both joins carry
+    * (url, suffix) strings only — no payload shuffle — and a small
+    * blocklist broadcasts under AQE, making the whole filter map-side. */
+  def filterBlockedHosts(df: DataFrame, urlCol: String, blocklist: DataFrame,
+      domainCol: String = "domain"): DataFrame = {
+    val host = hostOf(col(urlCol))
+    val labels = split(host, "\\.")
+    val sufs = transform(sequence(lit(0), size(labels) - 1),
+      i => array_join(slice(labels, i + 1, size(labels)), "."))
+    val blockedUrls = df
+      .select(col(urlCol).as("__u"), explode(sufs).as("__suf"))
+      .join(blocklist.select(col(domainCol).as("__suf")), Seq("__suf"), "left_semi")
+      .select(col("__u").as(urlCol))
+      .distinct()
+    df.join(blockedUrls, Seq(urlCol), "left_anti")
+  }
+
   /** Fixed-iteration PageRank with scaled-integer arithmetic: ranks start
     * at `scale` (1.0), each round every node keeps 15% teleport mass and
     * receives 85% of the integer-divided contributions of its in-

@@ -421,16 +421,57 @@ object TextOps {
     * ([[stratifiedSampleSingleWindow]], pinned in OpsSpec). */
   def stratifiedSample(
       df: DataFrame, idCol: String, stratumCol: String, frac: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val withOrd = df.withColumn("__ord", sampleOrd(idCol))
+    val quotas = withOrd.groupBy(col(stratumCol))
+      .agg(ceil(count(lit(1)) * frac).cast("long").as("__k"))
+    quotaSelect(df, withOrd, idCol, stratumCol, quotas)
+  }
+
+  /** Mixture resampling for pretraining-mix curation: select the LARGEST
+    * corpus whose stratum composition exactly matches integer target
+    * weights (parts-per-million), DoReMi/temperature-sampling style. With
+    * per-stratum counts n_s and weights w_s:
+    *
+    *   T       = min_s (n_s · 10^6) DIV w_s     -- the binding stratum
+    *   quota_s = (w_s · T) DIV 10^6
+    *
+    * so every target stratum can supply its share and at least one is
+    * fully consumed. All arithmetic integral (engine-exact); strata not
+    * named in the targets are dropped; a target stratum absent from the
+    * corpus simply contributes nothing (and does not bind T). Row choice
+    * within a stratum is the deterministic [[sampleOrd]] order via the
+    * same bounded-histogram cutoff as [[stratifiedSample]] — no
+    * per-stratum sort of the data at any corpus size. */
+  def mixtureResample(df: DataFrame, idCol: String, stratumCol: String,
+      targetsPpm: Seq[(String, Long)]): DataFrame = {
+    require(targetsPpm.nonEmpty && targetsPpm.forall(_._2 > 0L),
+      "target weights must be positive ppm values")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tgt = targetsPpm.toDF(stratumCol, "__w")
+    val withOrd = df.withColumn("__ord", sampleOrd(idCol))
+    val caps = withOrd.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+      .join(broadcast(tgt), Seq(stratumCol))
+      .withColumn("__cap", expr("(__n * 1000000L) DIV __w"))
+    val total = caps.agg(min(col("__cap")).as("__t"))
+    val quotas = caps.crossJoin(broadcast(total))
+      .select(col(stratumCol), expr("(__w * __t) DIV 1000000L").as("__k"))
+    quotaSelect(df, withOrd, idCol, stratumCol, quotas)
+  }
+
+  /** Shared bounded-histogram quota selection (see [[stratifiedSample]]'s
+    * scale notes): per-stratum cutoff ord from a ≤ p-row histogram, rows
+    * below the cutoff pass map-side, ties at the cutoff rank by id. */
+  private def quotaSelect(df: DataFrame, withOrd: DataFrame, idCol: String,
+      stratumCol: String, quotas: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val hist = withOrd.groupBy(col(stratumCol), col("__ord"))
       .agg(count(lit(1)).as("__c"))
     val wBefore = Window.partitionBy(stratumCol).orderBy("__ord")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wTot = Window.partitionBy(stratumCol)
     val cum = hist
       .withColumn("__before", coalesce(sum(col("__c")).over(wBefore), lit(0L)))
-      .withColumn("__k", ceil(sum(col("__c")).over(wTot) * frac).cast("long"))
+      .join(quotas, Seq(stratumCol))
     // cutoff = the LARGEST ord whose preceding cumulative count is still
     // below the quota; take-at-cutoff fills the remainder
     val cuts = cum.filter(col("__before") < col("__k"))

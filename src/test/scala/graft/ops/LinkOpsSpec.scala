@@ -56,6 +56,20 @@ class LinkOpsSpec extends AnyFunSuite {
     assert(hg.nonEmpty && hg.forall(r => r.getString(0) != r.getString(1)))
   }
 
+  test("filterBlockedHosts: equals and subdomain matches drop, lookalike siblings survive") {
+    val docs = Seq(
+      "https://bad.example/p",        // exact match
+      "https://a.bad.example/p",      // subdomain
+      "https://deep.a.bad.example/p", // deeper subdomain
+      "https://notbad.example/p",     // sibling — 'bad.example' is NOT a dot-suffix
+      "https://good.example/p"
+    ).toDF("url")
+    val blk = Seq("bad.example").toDF("domain")
+    val kept = LinkOps.filterBlockedHosts(docs, "url", blk)
+      .collect().map(_.getString(0)).sorted
+    assert(kept.toSeq == Seq("https://good.example/p", "https://notbad.example/p"))
+  }
+
   test("pageRank: hand-computed integral ranks on a 3-node graph, 2 iterations") {
     // a->b, b->a, a->c (+ a duplicate and a self-loop that must be dropped)
     val edges = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("a", "b"), ("c", "c"))

@@ -649,6 +649,29 @@ class OpsSpec extends AnyFunSuite {
     assert(r(3) == ((4L, 0L, 0L, "")))
   }
 
+  test("mixtureResample: exact target composition, binding stratum fully consumed, untargeted strata dropped") {
+    // a: 6 rows, b: 3 rows, c untargeted; targets 50/50
+    val rows = ((0L to 5L).map(i => (i, "a")) ++ (10L to 12L).map(i => (i, "b")) ++
+      Seq((20L, "c"))).toDF("doc_id", "lang")
+    val r = TextOps.mixtureResample(rows, "doc_id", "lang",
+      Seq("a" -> 500000L, "b" -> 500000L)).collect()
+    val byLang = r.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // caps: a = 6e6/5e5 = 12, b = 3e6/5e5 = 6 -> T = 6 -> quotas a=3, b=3
+    assert(byLang == Map("a" -> 3, "b" -> 3))
+    // binding stratum b is fully consumed
+    assert(r.filter(_.getString(1) == "b").map(_.getLong(0)).sorted.toSeq == Seq(10L, 11L, 12L))
+    // deterministic: same call, same rows
+    val r2 = TextOps.mixtureResample(rows, "doc_id", "lang",
+      Seq("a" -> 500000L, "b" -> 500000L)).collect()
+    assert(r.map(x => (x.getLong(0), x.getString(1))).sorted.toSeq ==
+      r2.map(x => (x.getLong(0), x.getString(1))).sorted.toSeq)
+    // 70/30: caps a = 6e6/7e5 = 8, b = 3e6/3e5 = 10 -> T = 8 -> a=5, b=2
+    val r3 = TextOps.mixtureResample(rows, "doc_id", "lang",
+      Seq("a" -> 700000L, "b" -> 300000L)).collect()
+    val byLang3 = r3.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byLang3 == Map("a" -> 5, "b" -> 2))
+  }
+
   test("ngramSurprise: hand-computed corpus bigram statistics, integer means, short docs zero") {
     val rows = Seq(
       (1L, "a b a b"), // bigrams (a,b)(b,a)(a,b)
