@@ -327,6 +327,20 @@ object Queries {
       LinkOps.pageRank(LinkOps.hostGraph(vt(s, dir, "links")), iterations = 5)
         .orderBy("node")),
 
+    // ---- crawl: recrawl consolidation — latest warc_ts wins per url
+    //      (planted revisits over the snapshot: every 7th doc re-fetched
+    //      +1h, every 14th again +2h)
+    "q_url_revisit" -> ((s, dir) => {
+      val base = vt(s, dir, "northrule").select(col("url"), col("warc_ts"))
+      val n = regexp_extract(col("url"), "doc([0-9]+)$", 1).cast("long")
+      val rev1 = base.filter(n % 7 === 0)
+        .withColumn("warc_ts", col("warc_ts") + expr("INTERVAL 1 HOUR"))
+      val rev2 = base.filter(n % 14 === 0)
+        .withColumn("warc_ts", col("warc_ts") + expr("INTERVAL 2 HOUR"))
+      LinkOps.latestVersionPerUrl(base.unionByName(rev1).unionByName(rev2))
+        .orderBy("url")
+    }),
+
     // ---- curation: domain blocklist filter (UT1-style) — equals-or-
     //      subdomain matching via dot-suffix explode + semi/anti join
     "q_domain_filter" -> ((s, dir) => {
@@ -1335,6 +1349,19 @@ object Queries {
            |  coalesce(l.cluster_id, d.doc_id) = d.doc_id AS keep
            |FROM documents d LEFT JOIN lab l ON d.doc_id = l.x
            |ORDER BY d.doc_id""".stripMargin,
+      // recrawl consolidation: same planted revisits, max-ts + count
+      "q_url_revisit" ->
+        s"""WITH base AS (SELECT url, warc_ts
+           |  FROM read_parquet('${VerifyTables.oracleGlob("northrule")}')),
+           |rev1 AS (SELECT url, warc_ts + INTERVAL 1 HOUR AS warc_ts FROM base
+           |  WHERE CAST(regexp_extract(url, 'doc([0-9]+)$$', 1) AS BIGINT) % 7 = 0),
+           |rev2 AS (SELECT url, warc_ts + INTERVAL 2 HOUR AS warc_ts FROM base
+           |  WHERE CAST(regexp_extract(url, 'doc([0-9]+)$$', 1) AS BIGINT) % 14 = 0),
+           |u AS (SELECT * FROM base UNION ALL SELECT * FROM rev1
+           |      UNION ALL SELECT * FROM rev2)
+           |SELECT url, max(warc_ts) AS latest_ts,
+           |  CAST(count(*) AS BIGINT) AS n_versions
+           |FROM u GROUP BY url ORDER BY url""".stripMargin,
       // domain blocklist: equals-or-subdomain replayed as suffix LIKE
       "q_domain_filter" ->
         s"""WITH docs AS (SELECT url,

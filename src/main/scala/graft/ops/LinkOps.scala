@@ -148,6 +148,18 @@ object LinkOps {
     df.join(blockedUrls, Seq(urlCol), "left_anti")
   }
 
+  /** Recrawl consolidation: one row per url — the LATEST warc_ts wins —
+    * plus the revisit count. Payload discipline: the group-by carries
+    * (url, ts) only; callers re-attach payloads by joining the winning
+    * (url, latest_ts) pair back to the snapshot (payloads cross the wire
+    * once, for winners only — the same attach-survivors-last shape as the
+    * dedup ops). */
+  def latestVersionPerUrl(df: DataFrame, urlCol: String = "url",
+      tsCol: String = "warc_ts"): DataFrame =
+    df.select(col(urlCol).as("url"), col(tsCol).as("__ts"))
+      .groupBy("url")
+      .agg(max(col("__ts")).as("latest_ts"), count(lit(1)).as("n_versions"))
+
   /** Fixed-iteration PageRank with scaled-integer arithmetic: ranks start
     * at `scale` (1.0), each round every node keeps 15% teleport mass and
     * receives 85% of the integer-divided contributions of its in-

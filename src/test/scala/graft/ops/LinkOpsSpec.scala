@@ -70,6 +70,40 @@ class LinkOpsSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq("https://good.example/p", "https://notbad.example/p"))
   }
 
+  test("outlinksOf: never throws on mutated payloads (seeded fuzz, bounded time)") {
+    import graft.gen.InputGen
+    val seeds = (0L until 48L).map(i => InputGen.generate(42L, i).html)
+    var checked = 0
+    seeds.zipWithIndex.foreach { case (payload, si) =>
+      val rng = new InputGen.Rng(11L, si.toLong, 5L)
+      (0 until 20).foreach { _ =>
+        val b =
+          if (payload.isEmpty) payload
+          else rng.nextInt(3) match {
+            case 0 => payload.take(1 + rng.nextInt(payload.length))
+            case 1 =>
+              val out = payload.clone()
+              (0 until 1 + rng.nextInt(8)).foreach { _ =>
+                val i = rng.nextInt(out.length)
+                out(i) = (out(i) ^ (1 << rng.nextInt(8))).toByte
+              }
+              out
+            case _ =>
+              val at = rng.nextInt(payload.length)
+              payload.take(at) ++
+                Array.fill(1 + rng.nextInt(32))(rng.nextInt(256).toByte) ++
+                payload.drop(at)
+          }
+        val t0 = System.nanoTime()
+        val links = LinkOps.outlinksOf(s"https://fuzz.example/doc$si", b) // must not throw
+        links.foreach(u => assert(u.startsWith("http"), u))
+        assert((System.nanoTime() - t0) / 1e6 < 10000)
+        checked += 1
+      }
+    }
+    assert(checked >= 900)
+  }
+
   test("pageRank: hand-computed integral ranks on a 3-node graph, 2 iterations") {
     // a->b, b->a, a->c (+ a duplicate and a self-loop that must be dropped)
     val edges = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("a", "b"), ("c", "c"))
