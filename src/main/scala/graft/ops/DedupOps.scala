@@ -285,6 +285,18 @@ object DedupOps {
       .persist()
     var labels = sym.select("x").distinct()
       .withColumn("label", col("x")).localCheckpoint(true)
+    // Convergence check: label(v) is monotone non-increasing under min
+    // propagation, so sum(label) strictly decreases every round until the
+    // fixpoint — an unchanged sum IS convergence. One cheap agg over the
+    // just-checkpointed table replaces a shuffle join of two checkpointed
+    // tables per round (measured ~2× per-round cost at sf0.1). decimal(38)
+    // keeps the sum exact (no long overflow) for 64-bit-hash vertex ids.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum(col("label").cast("decimal(38,0)"))).first().get(0)
+      if (v == null) java.math.BigDecimal.ZERO
+      else v.asInstanceOf[java.math.BigDecimal]
+    }
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -296,11 +308,10 @@ object DedupOps {
         .select(col("x0").as("x"), col("label"))
       val next = labels.select("x", "label").union(viaNeighbor).union(viaParent)
         .groupBy("x").agg(min("label").as("label")).localCheckpoint(true)
-      val changed = next
-        .join(labels.withColumnRenamed("label", "__old"), Seq("x"))
-        .filter(col("label") =!= col("__old")).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0L
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       i += 1
     }
     if (!converged)
