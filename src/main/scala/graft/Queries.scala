@@ -368,6 +368,14 @@ object Queries {
         .orderBy("url")
     }),
 
+    // ---- web graph: per-target anchor-text aggregation — how the web
+    //      describes each page (inlink-text features: counts, distinct
+    //      texts, most-frequent text, distinct source hosts). Pure hash
+    //      aggregations — the top-text pick is min(struct(-count, text)),
+    //      never a per-dst window over raw anchors
+    "q_anchor_summary" -> ((s, dir) =>
+      LinkOps.anchorSummary(vt(s, dir, "anchors")).orderBy("dst")),
+
     // ---- dedup: embedding-cosine near-dup via banded sign-LSH over the
     //      hashed-BoW document vectors (dumped with their signatures;
     //      DuckDB replays band join + cosine-threshold verify; cosine
@@ -653,6 +661,15 @@ object Queries {
         t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang", frac = 0.25)
         .orderBy("doc_id")),
 
+    // ---- deterministic train/val/test carve-out: ppm split labels from
+    //      the shared multiplicative permutation (map-only CASE chain;
+    //      same BIGINT arithmetic replayed in DuckDB)
+    "q_split_assign" -> ((s, dir) =>
+      TextOps.assignSplit(
+        t(s, dir, "documents").select("doc_id"), "doc_id",
+        Seq("train" -> 980000L, "val" -> 10000L, "test" -> 10000L))
+        .orderBy("doc_id")),
+
     // ---- benchmark decontamination: corpus docs sharing any token 3-gram
     //      with the (deterministic) held-out "benchmark" slice — broadcast
     //      semi-join plan, zero corpus shuffles
@@ -824,6 +841,16 @@ object Queries {
         |  coalesce(h.n_hits, 0) >= 1 AS contaminated
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
         |LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // split assignment: the same permutation + bucket arithmetic, all
+    // BIGINT (doc_id >= 0, so % == pmod)
+    "q_split_assign" ->
+      """WITH d AS (SELECT doc_id,
+        |  ((doc_id % 1000003) * 2654435761) % 1000003 AS ord FROM documents),
+        |b AS (SELECT doc_id, (ord * 1000000) // 1000003 AS bucket FROM d)
+        |SELECT doc_id,
+        |  CASE WHEN bucket < 980000 THEN 'train'
+        |       WHEN bucket < 990000 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
     "q_stratified_sample" ->
       """WITH d AS (SELECT doc_id, lang,
         |  ((doc_id % 1000003) * 2654435761) % 1000003 AS ord FROM documents),
@@ -1418,6 +1445,28 @@ object Queries {
            |    AS n_dst_hosts
            |FROM read_parquet('${VerifyTables.oracleGlob("links")}')
            |GROUP BY src ORDER BY src""".stripMargin,
+      // anchor-text summary: aggregation replayed from the dumped
+      // (src, dst, anchor) table; the Spark min(struct(-c, anchor)) top
+      // pick is the window's "ORDER BY c DESC, anchor ASC" row 1
+      "q_anchor_summary" ->
+        s"""WITH a AS (SELECT src, dst, anchor
+           |  FROM read_parquet('${VerifyTables.oracleGlob("anchors")}')),
+           |c AS (SELECT dst, anchor, count(*) AS c FROM a GROUP BY dst, anchor),
+           |r AS (SELECT dst, anchor, c,
+           |  row_number() OVER (PARTITION BY dst ORDER BY c DESC, anchor ASC) AS rn
+           |  FROM c),
+           |agg AS (SELECT dst, CAST(sum(c) AS BIGINT) AS n_anchors,
+           |  CAST(count(*) AS BIGINT) AS n_texts FROM c GROUP BY dst),
+           |h AS (SELECT dst,
+           |  CAST(count(DISTINCT regexp_extract(src, '^https?://([^/?#]+)', 1)) AS BIGINT)
+           |    AS n_src_hosts
+           |  FROM a GROUP BY dst)
+           |SELECT agg.dst, agg.n_anchors, agg.n_texts,
+           |  r.anchor AS top_anchor, CAST(r.c AS BIGINT) AS top_anchor_n,
+           |  h.n_src_hosts
+           |FROM agg JOIN r ON agg.dst = r.dst AND r.rn = 1
+           |JOIN h ON agg.dst = h.dst
+           |ORDER BY agg.dst""".stripMargin,
       "q_host_graph" ->
         s"""WITH l AS (SELECT
            |    regexp_extract(src, '^https?://([^/?#]+)', 1) AS src_host,

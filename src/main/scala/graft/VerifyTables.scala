@@ -41,7 +41,7 @@ object VerifyTables {
     "extract_pages_layout_only", "extract_docs", "repair_cases",
     "parse_flex_cases", "minhash_sigs", "simhash_sigs", "shingles",
     "doc_vectors", "grounding_cells", "ivf_centroids",
-    "media_features", "frame_samples", "links")
+    "media_features", "frame_samples", "links", "anchors")
 
   /** The grounding-mode query bbox (original space) used by both the
     * x_extract_grounding query and the grounding_cells oracle dump. */
@@ -195,6 +195,12 @@ object VerifyTables {
         // replays independently; resolution correctness is pinned by
         // LinkOpsSpec in sbt test
         graft.ops.LinkOps.extractLinks(read(s, sfDir, "northrule"))
+      case "anchors" =>
+        // (src, dst, anchor) from the HTML payloads — the anchor-text
+        // corpus whose per-target aggregation (q_anchor_summary) DuckDB
+        // replays independently; extraction + normalization + truncation
+        // are pinned by LinkOpsSpec in sbt test
+        graft.ops.LinkOps.extractAnchors(read(s, sfDir, "northrule"))
       case other => throw new IllegalArgumentException(s"unknown table $other")
     }
     df.write.mode("overwrite").parquet(p)

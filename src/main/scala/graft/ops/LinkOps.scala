@@ -110,6 +110,86 @@ object LinkOps {
       .toDF("src", "dst")
   }
 
+  /** Anchor-text cap: anchors can wrap whole nav blocks, and the anchor
+    * table is a corpus-sized relation — bound the string payload. The cut
+    * backs off one char rather than split a surrogate pair. */
+  val MaxAnchorChars = 120
+  private def truncAnchor(s: String): String =
+    if (s.length <= MaxAnchorChars) s
+    else {
+      val cut = if (Character.isHighSurrogate(s.charAt(MaxAnchorChars - 1)))
+        MaxAnchorChars - 1 else MaxAnchorChars
+      s.substring(0, cut)
+    }
+
+  /** (dst, anchor-text) pairs of one payload: every `<a href>` in document
+    * order with a resolvable http(s) target, paired with the normalized
+    * visible text under the anchor element (entities decoded, whitespace
+    * collapsed — [[HtmlDom.visibleText]]), capped at [[MaxAnchorChars]].
+    * Image-only links yield an empty string. Never throws — same contract
+    * as [[outlinksOf]]. */
+  def anchorsOf(baseUrl: String, payload: Array[Byte]): Seq[(String, String)] = {
+    if (payload == null || !ExtractKernel.looksLikeHtml(payload)) return Nil
+    try {
+      val dom = HtmlDom.parse(HtmlDom.decodeBytes(payload))
+      val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      def walk(n: HtmlDom.Node): Unit = n match {
+        case e: HtmlDom.Element =>
+          if (e.tag == "a") e.attrs.get("href")
+            .flatMap(resolveUrl(baseUrl, _))
+            .foreach(d => out += ((d, truncAnchor(HtmlDom.visibleText(e)))))
+          e.children.foreach(walk)
+        case _ => ()
+      }
+      walk(dom)
+      out.toSeq
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+  }
+
+  /** (src, dst, anchor) rows for every document — the anchor-text corpus
+    * (the classic web-scale signal for target-page description / query-
+    * document training pairs). Map-only, one kernel pass per partition. */
+  def extractAnchors(df: DataFrame, urlCol: String = "url",
+      payloadCol: String = "html"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(urlCol).cast("string"), col(payloadCol))
+      .as[(String, Array[Byte])]
+      .flatMap { case (u, p) => anchorsOf(u, p).map { case (d, a) => (u, d, a) } }
+      .toDF("src", "dst", "anchor")
+  }
+
+  /** Per-target anchor-text aggregation: for every link TARGET url —
+    * (dst, n_anchors, n_texts, top_anchor, top_anchor_n, n_src_hosts),
+    * where top_anchor is the most frequent anchor text (ties broken by
+    * lexicographically smallest). How the web describes each page — the
+    * inlink-text feature sheet for target-page quality/description.
+    *
+    * Scale shape: popular urls have millions of inlinks, so the top-text
+    * pick must NOT be a per-dst window over raw anchors. Two hash
+    * aggregations instead: (dst, anchor) pre-counts (map-side combined),
+    * then per-dst `min(struct(-count, anchor))` — an ordinary agg whose
+    * struct ordering IS "count desc, anchor asc". n_src_hosts is a third
+    * payload-free (dst, host) distinct-count pass. Nothing wider than a
+    * capped anchor string crosses any shuffle; no windows anywhere. */
+  def anchorSummary(anchors: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", anchorCol: String = "anchor"): DataFrame = {
+    val cnt = anchors
+      .groupBy(col(dstCol).as("dst"), col(anchorCol).as("anchor"))
+      .agg(count(lit(1)).as("__c"))
+    val top = cnt.groupBy("dst")
+      .agg(sum(col("__c")).as("n_anchors"),
+        count(lit(1)).as("n_texts"),
+        min(struct((-col("__c")).as("nc"), col("anchor").as("a"))).as("__t"))
+      .select(col("dst"), col("n_anchors"), col("n_texts"),
+        col("__t.a").as("top_anchor"), (-col("__t.nc")).as("top_anchor_n"))
+    val hosts = anchors
+      .select(col(dstCol).as("dst"), hostOf(col(srcCol)).as("__h"))
+      .distinct()
+      .groupBy("dst").agg(count(lit(1)).as("n_src_hosts"))
+    top.join(hosts, Seq("dst"))
+  }
+
   /** Authority component of an http(s) url ('' for anything else). */
   def hostOf(url: Column): Column =
     regexp_extract(url, "^https?://([^/?#]+)", 1)

@@ -490,6 +490,36 @@ object TextOps {
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** Deterministic train/val/test carve-out: every row gets a split label
+    * from integer parts-per-million weights (e.g. train 980000 / val 10000
+    * / test 10000), assigned by the shared [[sampleOrd]] permutation —
+    * NOT by id ranges (ids correlate with crawl order) and NOT by a hash
+    * (not engine-replayable). `bucket = (ord·10^6) DIV p ∈ [0, 10^6)` and
+    * a row lands in the first split whose cumulative ppm exceeds its
+    * bucket. Stable under corpus growth: a document's label depends only
+    * on its own id, so re-runs over a grown corpus never migrate an old
+    * document across splits (the leakage-safety property a train/test
+    * split must have). Map-only — a CASE chain, zero shuffles. */
+  def assignSplit(df: DataFrame, idCol: String,
+      splitsPpm: Seq[(String, Long)], splitCol: String = "split"): DataFrame = {
+    require(splitsPpm.nonEmpty && splitsPpm.forall(_._2 > 0L) &&
+      splitsPpm.map(_._2).sum == 1000000L,
+      "split weights must be positive and sum to 1,000,000 ppm")
+    val bucket = expr(s"(__ord * 1000000L) DIV $OrdPrime")
+    val cums = splitsPpm.map(_._2).scanLeft(0L)(_ + _).tail
+    // the last cumulative is exactly 10^6 > max bucket, so the chain is
+    // total; otherwise() is unreachable but keeps the column non-nullable
+    val label = splitsPpm.zip(cums).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), cum)) =>
+        val cond = col("__bucket") < lit(cum)
+        Some(acc.fold(when(cond, lit(name)))(_.when(cond, lit(name))))
+    }.get.otherwise(lit(splitsPpm.last._1))
+    df.withColumn("__ord", sampleOrd(idCol))
+      .withColumn("__bucket", bucket)
+      .withColumn(splitCol, label)
+      .drop("__ord", "__bucket")
+  }
+
   /** Naive single-window formulation — one row_number sort per stratum.
     * Correct but scale-unsafe (the dominant stratum lands in one task);
     * retained ONLY as the bit-identity oracle for [[stratifiedSample]]. */

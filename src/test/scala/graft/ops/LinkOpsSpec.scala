@@ -45,6 +45,57 @@ class LinkOpsSpec extends AnyFunSuite {
     assert(LinkOps.outlinksOf(base, Array[Byte](0x1f, 0x2e, 0x00, 0x7f)).isEmpty)
   }
 
+  test("anchorsOf: visible text normalized (entities, nesting, ws), empty for image links") {
+    val html = ("<html><body>" +
+      "<a href=\"/a\"> Read &amp;  more\n<b>here</b></a>" +
+      "<a href='https://z.example/p'><img src=\"i.png\"></a>" +
+      "<a href=\"mailto:x@y.z\">skip</a>" +
+      "<a href=\"/s\"><script>var x=1;</script>vis</a>" +
+      "</body></html>").getBytes("UTF-8")
+    assert(LinkOps.anchorsOf(base, html) == Seq(
+      ("https://h.example/a", "Read & more here"),
+      ("https://z.example/p", ""),
+      ("https://h.example/s", "vis")))
+    assert(LinkOps.anchorsOf(base, "%PDF-1.4 not html".getBytes("UTF-8")).isEmpty)
+    // targets always agree with outlinksOf
+    assert(LinkOps.anchorsOf(base, html).map(_._1) == LinkOps.outlinksOf(base, html))
+  }
+
+  test("anchorsOf: text capped at MaxAnchorChars without splitting a surrogate pair") {
+    val long = "x" * 300
+    val html = s"""<html><body><a href="/a">$long</a></body></html>""".getBytes("UTF-8")
+    val Seq((_, t1)) = LinkOps.anchorsOf(base, html)
+    assert(t1 == "x" * LinkOps.MaxAnchorChars)
+    // an astral char (surrogate pair) straddling the cap backs off one char
+    val pre = "y" * (LinkOps.MaxAnchorChars - 1)
+    val html2 = s"""<html><body><a href="/a">$pre😀zzz</a></body></html>""".getBytes("UTF-8")
+    val Seq((_, t2)) = LinkOps.anchorsOf(base, html2)
+    assert(t2 == pre && t2.length == LinkOps.MaxAnchorChars - 1)
+  }
+
+  test("anchorSummary: per-target counts, top text by (count desc, text asc), source hosts") {
+    val anchors = Seq(
+      ("https://a.example/1", "https://t.example/p", "home"),
+      ("https://a.example/2", "https://t.example/p", "home"),
+      ("https://b.example/1", "https://t.example/p", "about"),
+      ("https://b.example/2", "https://t.example/p", "about"),
+      ("https://a.example/1", "https://t.example/q", "beta"),
+      ("https://a.example/1", "https://t.example/q", "alpha"),
+      ("https://a.example/3", "https://t.example/q", "alpha")
+    ).toDF("src", "dst", "anchor")
+    val out = LinkOps.anchorSummary(anchors).orderBy("dst").collect()
+    assert(out.length == 2)
+    val p = out(0)
+    // tie at count 2: 'about' < 'home' lexicographically
+    assert(p.getString(0) == "https://t.example/p" && p.getLong(1) == 4 &&
+      p.getLong(2) == 2 && p.getString(3) == "about" && p.getLong(4) == 2 &&
+      p.getLong(5) == 2)
+    val q = out(1)
+    assert(q.getString(0) == "https://t.example/q" && q.getLong(1) == 3 &&
+      q.getLong(2) == 2 && q.getString(3) == "alpha" && q.getLong(4) == 2 &&
+      q.getLong(5) == 1)
+  }
+
   test("extractLinks over the synthetic corpus: html docs carry cross-host aside outlinks") {
     val links = LinkOps.extractLinks(InputTable.generate(spark, 80L, seed = 42L))
     val rows = links.collect()
@@ -97,6 +148,9 @@ class LinkOpsSpec extends AnyFunSuite {
         val t0 = System.nanoTime()
         val links = LinkOps.outlinksOf(s"https://fuzz.example/doc$si", b) // must not throw
         links.foreach(u => assert(u.startsWith("http"), u))
+        val anchors = LinkOps.anchorsOf(s"https://fuzz.example/doc$si", b) // must not throw
+        assert(anchors.map(_._1) == links)
+        anchors.foreach { case (_, a) => assert(a.length <= LinkOps.MaxAnchorChars) }
         assert((System.nanoTime() - t0) / 1e6 < 10000)
         checked += 1
       }

@@ -672,6 +672,32 @@ class OpsSpec extends AnyFunSuite {
     assert(byLang3 == Map("a" -> 5, "b" -> 2))
   }
 
+  test("assignSplit: labels match an independent reimplementation; stable under corpus growth") {
+    val p = 1000003L
+    def expected(id: Long): String = {
+      val ord = ((id % p) * 2654435761L) % p
+      val bucket = (ord * 1000000L) / p
+      if (bucket < 980000L) "train" else if (bucket < 990000L) "val" else "test"
+    }
+    val splits = Seq("train" -> 980000L, "val" -> 10000L, "test" -> 10000L)
+    val ids = (0L until 5000L).toDF("doc_id")
+    val got = TextOps.assignSplit(ids, "doc_id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 5000)
+    got.foreach { case (id, s) => assert(s == expected(id), s"id $id") }
+    // all three splits are populated at this size and roughly proportional
+    val n = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(n("train") > 4800 && n("val") > 10 && n("test") > 10)
+    // growth stability: a grown corpus never relabels an old document
+    val grown = TextOps.assignSplit((0L until 9000L).toDF("doc_id"), "doc_id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { case (id, s) => assert(grown(id) == s) }
+    // weights must be positive and sum to 1e6
+    intercept[IllegalArgumentException] {
+      TextOps.assignSplit(ids, "doc_id", Seq("a" -> 1L, "b" -> 2L))
+    }
+  }
+
   test("ngramSurprise: hand-computed corpus bigram statistics, integer means, short docs zero") {
     val rows = Seq(
       (1L, "a b a b"), // bigrams (a,b)(b,a)(a,b)
