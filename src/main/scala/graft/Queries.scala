@@ -352,6 +352,24 @@ object Queries {
         .orderBy("url")
     }),
 
+    // ---- crawl policy: meta-robots noindex opt-out — every 5th doc
+    //      (planted, with mixed-case name/content) declares
+    //      <meta name=robots content=noindex> and must drop; the kernel
+    //      HTML parse is the op under test, the oracle replays the
+    //      planted pattern
+    "q_noindex_filter" -> ((s, dir) => {
+      val n = regexp_extract(col("url"), "doc([0-9]+)$", 1).cast("long")
+      val html = concat(
+        lit("<html><head>"),
+        when(n % 5 === 0,
+          lit("<meta name=\"ROBOTS\" content=\"NOINDEX, nofollow\">"))
+          .otherwise(lit("")),
+        lit("</head><body><p>page</p></body></html>"))
+      val docs = vt(s, dir, "northrule")
+        .select(col("url"), encode(html, "UTF-8").as("html"))
+      LinkOps.filterNoindex(docs).select("url").orderBy("url")
+    }),
+
     // ---- web graph → curation: host-reputation gate — PageRank host
     //      centrality joined back onto the extraction output (the host
     //      rank table is tiny, so AQE broadcasts it: the graph signal
@@ -1445,6 +1463,13 @@ object Queries {
            |    AS n_dst_hosts
            |FROM read_parquet('${VerifyTables.oracleGlob("links")}')
            |GROUP BY src ORDER BY src""".stripMargin,
+      // noindex filter: the planted every-5th pattern replayed
+      // relationally (the HTML meta parse itself is pinned in LinkOpsSpec)
+      "q_noindex_filter" ->
+        s"""SELECT url FROM (SELECT url,
+           |  CAST(regexp_extract(url, 'doc([0-9]+)$$', 1) AS BIGINT) AS n
+           |  FROM read_parquet('${VerifyTables.oracleGlob("northrule")}'))
+           |WHERE n % 5 <> 0 ORDER BY url""".stripMargin,
       // anchor-text summary: aggregation replayed from the dumped
       // (src, dst, anchor) table; the Spark min(struct(-c, anchor)) top
       // pick is the window's "ORDER BY c DESC, anchor ASC" row 1

@@ -228,6 +228,45 @@ object LinkOps {
     df.join(blockedUrls, Seq(urlCol), "left_anti")
   }
 
+  /** Robots meta directives of one payload: the comma/whitespace-split,
+    * lowercased tokens of every `<meta name="robots" content="...">` in
+    * the document head or body (crawlers honor all of them; name match is
+    * case-insensitive). Non-HTML payloads yield none. Never throws. */
+  def metaRobots(payload: Array[Byte]): Seq[String] = {
+    if (payload == null || !ExtractKernel.looksLikeHtml(payload)) return Nil
+    try {
+      val dom = HtmlDom.parse(HtmlDom.decodeBytes(payload))
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      def walk(n: HtmlDom.Node): Unit = n match {
+        case e: HtmlDom.Element =>
+          if (e.tag == "meta" &&
+              e.attrs.get("name").exists(_.equalsIgnoreCase("robots")))
+            e.attrs.get("content").foreach { c =>
+              c.toLowerCase.split("[,\\s]+").foreach(t => if (t.nonEmpty) out += t)
+            }
+          e.children.foreach(walk)
+        case _ => ()
+      }
+      walk(dom)
+      out.toSeq
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+  }
+
+  /** Crawl-policy filter: drop documents whose HTML declares
+    * `<meta name="robots">` with a `noindex` or `none` directive — the
+    * page author's opt-out that a responsible corpus pipeline honors
+    * (RFC 9309's meta-tag companion convention). Map-only: one kernel
+    * parse per row, no shuffle; non-HTML payloads are kept (the directive
+    * only exists in HTML). Typed `Dataset.filter`, not a UDF — same
+    * zero-UDF discipline as the rest of the library. */
+  def filterNoindex(df: DataFrame, payloadCol: String = "html"): DataFrame = {
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.filter { (r: org.apache.spark.sql.Row) =>
+      val p = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+      !metaRobots(p).exists(t => t == "noindex" || t == "none")
+    }
+  }
+
   /** Recrawl consolidation: one row per url — the LATEST warc_ts wins —
     * plus the revisit count. Payload discipline: the group-by carries
     * (url, ts) only; callers re-attach payloads by joining the winning

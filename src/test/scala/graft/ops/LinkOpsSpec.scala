@@ -96,6 +96,30 @@ class LinkOpsSpec extends AnyFunSuite {
       q.getLong(5) == 1)
   }
 
+  test("metaRobots: case-insensitive name, comma/ws-split directives; filterNoindex honors noindex/none") {
+    def html(meta: String) =
+      s"<html><head>$meta</head><body><p>x</p></body></html>".getBytes("UTF-8")
+    assert(LinkOps.metaRobots(html("""<meta name="robots" content="noindex, nofollow">""")) ==
+      Seq("noindex", "nofollow"))
+    assert(LinkOps.metaRobots(html("""<meta name="ROBOTS" content="NOARCHIVE NOINDEX">""")) ==
+      Seq("noarchive", "noindex"))
+    assert(LinkOps.metaRobots(html("""<meta name="viewport" content="width=1">""")).isEmpty)
+    assert(LinkOps.metaRobots(html("")).isEmpty)
+    assert(LinkOps.metaRobots("%PDF-1.4".getBytes("UTF-8")).isEmpty)
+    assert(LinkOps.metaRobots(null).isEmpty)
+    val docs = Seq(
+      ("u1", html("")),
+      ("u2", html("""<meta name="robots" content="noindex">""")),
+      ("u3", html("""<meta name="robots" content="none">""")),
+      ("u4", html("""<meta name="robots" content="nofollow">""")),
+      ("u5", "%PDF-1.4 raw".getBytes("UTF-8")), // non-HTML kept
+      ("u6", null)                              // null payload kept
+    ).toDF("url", "html")
+    val kept = LinkOps.filterNoindex(docs).select("url")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(kept == Seq("u1", "u4", "u5", "u6"))
+  }
+
   test("extractLinks over the synthetic corpus: html docs carry cross-host aside outlinks") {
     val links = LinkOps.extractLinks(InputTable.generate(spark, 80L, seed = 42L))
     val rows = links.collect()
