@@ -610,6 +610,23 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // ---- quality: C4-style line filter (Raffel et al. 2020 public
+    //      rules) over the EXTRACTION OUTPUT's multi-line text — terminal
+    //      punctuation, ≥5 words, no "javascript"; page flags returned.
+    //      Pure HOF Column algebra, map-only; DuckDB replays verbatim
+    "q_c4_filter" -> ((s, dir) =>
+      TextOps.c4LineFilter(vt(s, dir, "extract_docs"), "url", "extracted_text")
+        .withColumnRenamed("id", "url")
+        .orderBy("url")),
+
+    // ---- dedup: within-document duplicate-line collapse (Gopher-style
+    //      intra-doc repetition removal) — first occurrence wins,
+    //      order preserved; map-only array algebra
+    "q_doc_line_dedup" -> ((s, dir) =>
+      TextOps.dedupLinesWithinDoc(vt(s, dir, "extract_docs"), "url", "extracted_text")
+        .withColumnRenamed("id", "url")
+        .orderBy("url")),
+
     // ---- PII redaction: emails / IPv4 / phone numbers → typed
     //      placeholders. Deterministic PII is APPENDED to every document
     //      in the query itself (both engines build the same augmented
@@ -1463,6 +1480,44 @@ object Queries {
            |    AS n_dst_hosts
            |FROM read_parquet('${VerifyTables.oracleGlob("links")}')
            |GROUP BY src ORDER BY src""".stripMargin,
+      // C4 line filter: the same line rules replayed over the dumped
+      // extraction output (RE2-safe patterns shared verbatim)
+      "q_c4_filter" ->
+        s"""WITH d AS (SELECT url, coalesce(extracted_text, '') AS t
+           |  FROM read_parquet('${VerifyTables.oracleGlob("extract_docs")}')),
+           |f AS (SELECT url, t,
+           |  len(string_split(t, chr(10))) AS n_lines,
+           |  list_filter(string_split(t, chr(10)), l ->
+           |    regexp_matches(l, '[.!?"]\\s*$$')
+           |    AND len(list_filter(regexp_split_to_array(trim(l), '\\s+'),
+           |          w -> w <> '')) >= 5
+           |    AND NOT contains(lower(l), 'javascript')) AS kept FROM d),
+           |g AS (SELECT url, t, n_lines, kept,
+           |  -- DuckDB array_to_string([]) is NULL, not '' (q_span_scrub lesson)
+           |  coalesce(array_to_string(kept, chr(10)), '') AS clean FROM f)
+           |SELECT url, CAST(n_lines AS BIGINT) AS n_lines,
+           |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+           |  CAST(length(regexp_replace(clean, '[^.!?]', '', 'g')) AS BIGINT)
+           |    AS n_sentences,
+           |  (NOT contains(lower(t), 'lorem ipsum') AND NOT contains(t, '{')
+           |   AND length(regexp_replace(clean, '[^.!?]', '', 'g')) >= 3)
+           |    AS page_keep,
+           |  clean AS text_clean
+           |FROM g ORDER BY url""".stripMargin,
+      // within-doc line dedup: first-occurrence order via min line index
+      "q_doc_line_dedup" ->
+        s"""WITH d AS (SELECT url,
+           |  string_split(coalesce(extracted_text, ''), chr(10)) AS ls
+           |  FROM read_parquet('${VerifyTables.oracleGlob("extract_docs")}')),
+           |l AS (SELECT url, generate_subscripts(ls, 1) - 1 AS i,
+           |  unnest(ls) AS line FROM d),
+           |f AS (SELECT url, line, min(i) AS i FROM l GROUP BY url, line),
+           |a AS (SELECT url, CAST(count(*) AS BIGINT) AS n_unique_lines,
+           |  string_agg(line, chr(10) ORDER BY i) AS text_dedup
+           |  FROM f GROUP BY url)
+           |SELECT d.url, CAST(len(d.ls) AS BIGINT) AS n_lines,
+           |  a.n_unique_lines, a.text_dedup
+           |FROM d JOIN a USING (url) ORDER BY d.url""".stripMargin,
       // noindex filter: the planted every-5th pattern replayed
       // relationally (the HTML meta parse itself is pinned in LinkOpsSpec)
       "q_noindex_filter" ->

@@ -299,6 +299,58 @@ object TextOps {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** C4-style line filtering (Raffel et al. 2020 §2.2, the public rule
+    * set, line-level subset): a line survives iff it (a) ends in a
+    * terminal punctuation mark (`.` `!` `?` `"`), (b) has at least
+    * `minWords` whitespace-delimited words, and (c) does not contain the
+    * word "javascript" (case-insensitive). The page-level C4 rules are
+    * returned as a flag rather than applied: `page_keep` is false when
+    * the raw text contains "lorem ipsum" (ci) or a curly brace, or the
+    * CLEANED text has fewer than 3 terminal-punctuation marks (the
+    * ≥3-sentence rule). Returns (id, n_lines, n_lines_kept, n_sentences,
+    * page_keep, text_clean).
+    *
+    * Scale shape: entirely Column higher-order functions over the split
+    * line array — codegen, map-only, zero shuffles at any corpus size;
+    * every regex RE2-safe so the DuckDB replay is verbatim. */
+  def c4LineFilter(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 5): DataFrame = {
+    val lines = split(coalesce(col(textCol), lit("")), "\n")
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"]\\s*$") &&
+        (size(filter(split(trim(l), "\\s+"), w => w =!= lit(""))) >= minWords) &&
+        !lower(l).contains("javascript"))
+    df.select(col(idCol).as("id"),
+        coalesce(col(textCol), lit("")).as("__t"), kept.as("__kept"),
+        size(lines).cast("long").as("n_lines"))
+      .select(col("id"), col("n_lines"),
+        size(col("__kept")).cast("long").as("n_lines_kept"),
+        length(regexp_replace(array_join(col("__kept"), "\n"),
+          "[^.!?]", "")).cast("long").as("n_sentences"),
+        col("__t"), col("__kept"))
+      .select(col("id"), col("n_lines"), col("n_lines_kept"), col("n_sentences"),
+        (!lower(col("__t")).contains("lorem ipsum") &&
+          !col("__t").contains("{") &&
+          col("n_sentences") >= 3).as("page_keep"),
+        array_join(col("__kept"), "\n").as("text_clean"))
+  }
+
+  /** Within-document duplicate-line collapse (the Gopher/MassiveText
+    * repetition-removal rule that operates inside one document): every
+    * line keeps only its FIRST occurrence, document order otherwise
+    * preserved. `array_distinct` is order-preserving on first occurrence
+    * (pinned in OpsSpec). Returns (id, n_lines, n_unique_lines,
+    * text_dedup). Map-only — per-row array algebra, zero shuffles. */
+  def dedupLinesWithinDoc(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = split(coalesce(col(textCol), lit("")), "\n")
+    df.select(col(idCol).as("id"),
+        size(lines).cast("long").as("n_lines"),
+        array_distinct(lines).as("__kept"))
+      .select(col("id"), col("n_lines"),
+        size(col("__kept")).cast("long").as("n_unique_lines"),
+        array_join(col("__kept"), "\n").as("text_dedup"))
+  }
+
   /** PII redaction — the scrub pass a web corpus runs before training
     * (emails, IPv4 literals, international-format phone numbers →
     * typed placeholders). Pure regex Column algebra: map-only, codegen,

@@ -672,6 +672,48 @@ class OpsSpec extends AnyFunSuite {
     assert(byLang3 == Map("a" -> 5, "b" -> 2))
   }
 
+  test("c4LineFilter: terminal punct + min words + javascript rules; page flags") {
+    val rows = Seq(
+      (1L, "This line has enough words here.\nshort one.\nno terminal punct here at all\n" +
+        "Please enable JavaScript to continue browsing.\nAnother good long line survives here!"),
+      (2L, "Lorem Ipsum dolor sit amet consectetur.\nGood long line number one stays.\n" +
+        "Good long line number two stays.\nGood long line number three stays."),
+      (3L, "function f() { return 1; }\nA perfectly fine sentence with words.\nB fine sentence with more words.\nC fine sentence with more words."),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val r = TextOps.c4LineFilter(rows, "doc_id", "text").orderBy("id").collect()
+    // doc 1: 5 lines; kept = line1 + line5 (short -> <5 words; no punct; javascript)
+    assert(r(0).getLong(1) == 5 && r(0).getLong(2) == 2 &&
+      r(0).getString(5) == "This line has enough words here.\nAnother good long line survives here!")
+    // doc 1: 2 sentences in cleaned text -> page_keep false
+    assert(r(0).getLong(3) == 2 && !r(0).getBoolean(4))
+    // doc 2: all 4 lines pass the line rules, but 'lorem ipsum' kills the page
+    assert(r(1).getLong(2) == 4 && !r(1).getBoolean(4))
+    // doc 3: curly brace kills the page; 3 kept lines
+    assert(r(2).getLong(2) == 3 && r(2).getLong(3) == 3 && !r(2).getBoolean(4))
+    // doc 4: empty text -> 1 empty line, 0 kept, page dropped
+    assert(r(3).getLong(1) == 1 && r(3).getLong(2) == 0 && !r(3).getBoolean(4) &&
+      r(3).getString(5) == "")
+    // a page that passes everything
+    val ok = TextOps.c4LineFilter(Seq((9L,
+      "One good long sentence right here.\nTwo good long sentences right here!\nThree good long sentences right here?"))
+      .toDF("doc_id", "text"), "doc_id", "text").collect()(0)
+    assert(ok.getBoolean(4) && ok.getLong(2) == 3)
+  }
+
+  test("dedupLinesWithinDoc: first occurrence wins, order preserved (array_distinct pin)") {
+    val rows = Seq(
+      (1L, "alpha\nbeta\nalpha\ngamma\nbeta\nalpha"),
+      (2L, "only"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val r = TextOps.dedupLinesWithinDoc(rows, "doc_id", "text").orderBy("id").collect()
+    assert(r(0).getLong(1) == 6 && r(0).getLong(2) == 3 &&
+      r(0).getString(3) == "alpha\nbeta\ngamma")
+    assert(r(1).getLong(1) == 1 && r(1).getString(3) == "only")
+    assert(r(2).getLong(1) == 1 && r(2).getLong(2) == 1 && r(2).getString(3) == "")
+  }
+
   test("assignSplit: labels match an independent reimplementation; stable under corpus growth") {
     val p = 1000003L
     def expected(id: Long): String = {
