@@ -61,6 +61,31 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n$plan")
   }
 
+  test("map-only curation ops have ZERO exchanges: c4LineFilter, dedupLinesWithinDoc, assignSplit") {
+    import spark.implicits._
+    val docs = Seq((1L, "Line one is long enough here.\nshort"),
+      (2L, "alpha\nalpha\nbeta")).toDF("doc_id", "text")
+    Seq(
+      graft.ops.TextOps.c4LineFilter(docs, "doc_id", "text"),
+      graft.ops.TextOps.dedupLinesWithinDoc(docs, "doc_id", "text"),
+      graft.ops.TextOps.assignSplit(docs, "doc_id",
+        Seq("train" -> 990000L, "test" -> 10000L))
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+    }
+  }
+
+  test("anchorSummary: hash aggregations only — no window, no sort-merge over raw anchors") {
+    import spark.implicits._
+    val anchors = Seq(("https://a.example/1", "https://t.example/p", "home"))
+      .toDF("src", "dst", "anchor")
+    val plan = graft.ops.LinkOps.anchorSummary(anchors)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window"), s"per-dst window would single-task hot targets:\n$plan")
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
   test("dimension joins broadcast (no sort-merge join for small dims)") {
     val q = graft.Queries.all("q_broadcast_join")(spark, "/root/testdata/sf0.001")
     val plan = q.queryExecution.executedPlan.toString()
