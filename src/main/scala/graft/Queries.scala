@@ -696,6 +696,14 @@ object Queries {
         t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang", frac = 0.25)
         .orderBy("doc_id")),
 
+    // ---- corpus distribution report: exact token-count percentiles via
+    //      the bounded value histogram — no corpus-sized sort anywhere
+    //      (integral percentile_disc: smallest v with cum·100 ≥ pct·n)
+    "q_length_quantiles" -> ((s, dir) =>
+      TextOps.exactQuantiles(t(s, dir, "documents"),
+        TextOps.tokenCount(col("text")))
+        .orderBy("pct")),
+
     // ---- deterministic train/val/test carve-out: ppm split labels from
     //      the shared multiplicative permutation (map-only CASE chain;
     //      same BIGINT arithmetic replayed in DuckDB)
@@ -876,6 +884,19 @@ object Queries {
         |  coalesce(h.n_hits, 0) >= 1 AS contaminated
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
         |LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // exact token-count percentiles: the same integral cum·100 ≥ pct·n
+    // rule replayed over the value histogram
+    "q_length_quantiles" ->
+      """WITH v AS (SELECT len(list_filter(
+        |    regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS v
+        |  FROM documents),
+        |h AS (SELECT v, count(*) AS c FROM v GROUP BY v),
+        |cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM h),
+        |n AS (SELECT count(*) AS n FROM v),
+        |q(pct) AS (VALUES (1),(5),(25),(50),(75),(95),(99))
+        |SELECT CAST(pct AS BIGINT) AS pct, CAST(min(v) AS BIGINT) AS value
+        |FROM cum, n, q WHERE cum * 100 >= pct * n
+        |GROUP BY pct ORDER BY pct""".stripMargin,
     // split assignment: the same permutation + bucket arithmetic, all
     // BIGINT (doc_id >= 0, so % == pmod)
     "q_split_assign" ->

@@ -542,6 +542,37 @@ object TextOps {
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** Exact discrete quantiles of an integer-valued column WITHOUT a
+    * global sort — the corpus-distribution report (length/token-count
+    * percentiles) a curation pipeline publishes. `percentile_disc`
+    * semantics: for each pct, the smallest value whose cumulative count
+    * reaches ceil(pct·n/100), decided all-integrally as
+    * `cum·100 ≥ pct·n` (engine-exact, no float fraction).
+    *
+    * Scale shape: the value histogram is a map-side-combined hash
+    * aggregate; the cumulative window runs over the HISTOGRAM (bounded by
+    * the value domain — token counts, not documents), never the corpus;
+    * a corpus-sized global sort (what percentile_disc/orderBy would plan)
+    * appears nowhere. Same bounded-histogram discipline as quotaSelect. */
+  def exactQuantiles(df: DataFrame, valueCol: Column,
+      pcts: Seq[Int] = Seq(1, 5, 25, 50, 75, 95, 99)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      "percentiles must be in [1, 100]")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = df.select(valueCol.cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val total = hist.agg(sum(col("c")).as("n"))
+    val qs = pcts.map(_.toLong).toDF("pct")
+    cum.crossJoin(broadcast(total)).crossJoin(broadcast(qs))
+      .filter(col("cum") * 100L >= col("pct") * col("n"))
+      .groupBy("pct").agg(min(col("v")).as("value"))
+  }
+
   /** Deterministic train/val/test carve-out: every row gets a split label
     * from integer parts-per-million weights (e.g. train 980000 / val 10000
     * / test 10000), assigned by the shared [[sampleOrd]] permutation —

@@ -714,6 +714,25 @@ class OpsSpec extends AnyFunSuite {
     assert(r(2).getLong(1) == 1 && r(2).getLong(2) == 1 && r(2).getString(3) == "")
   }
 
+  test("exactQuantiles: matches brute-force percentile_disc on sorted values; duplicates and skew") {
+    // skewed multiset with heavy duplication — the histogram path must
+    // agree with the definitional sorted-order computation
+    val vals = Seq.fill(50)(3L) ++ Seq.fill(30)(7L) ++ (1L to 20L) ++ Seq(1000L)
+    val pcts = Seq(1, 5, 25, 50, 75, 95, 99, 100)
+    def bruteDisc(p: Int): Long = {
+      val s = vals.sorted
+      // smallest value whose cumulative count reaches ceil(p*n/100)
+      val target = (p.toLong * s.length + 99) / 100
+      s((target - 1).toInt)
+    }
+    val got = TextOps.exactQuantiles(vals.toDF("x"), col("x"), pcts)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pcts.foreach(p => assert(got(p.toLong) == bruteDisc(p), s"pct $p"))
+    intercept[IllegalArgumentException] {
+      TextOps.exactQuantiles(vals.toDF("x"), col("x"), Seq(0))
+    }
+  }
+
   test("assignSplit: labels match an independent reimplementation; stable under corpus growth") {
     val p = 1000003L
     def expected(id: Long): String = {
