@@ -696,6 +696,17 @@ object Queries {
         t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang", frac = 0.25)
         .orderBy("doc_id")),
 
+    // ---- clustering: distributed integral k-means (Lloyd) over the
+    //      embedding corpus — engine-exact (quantize once, integer
+    //      distance/update arithmetic), replayed in DuckDB as the same
+    //      iteration ladder; the clustering stage behind cluster-balanced
+    //      curation / SemDeDup-style semantic dedup
+    "q_kmeans" -> ((s, dir) =>
+      SimilarityOps.kmeansLloyd(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 4, iters = 2)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")),
+
     // ---- corpus distribution report: exact token-count percentiles via
     //      the bounded value histogram — no corpus-sized sort anywhere
     //      (integral percentile_disc: smallest v with cum·100 ≥ pct·n)
@@ -884,6 +895,9 @@ object Queries {
         |  coalesce(h.n_hits, 0) >= 1 AS contaminated
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
         |LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // integral k-means: the same quantize + 2-round Lloyd ladder replayed
+    // in pure integer arithmetic (round_even ≡ bround, // ≡ DIV)
+    "q_kmeans" -> kmeansSql(4, 2),
     // exact token-count percentiles: the same integral cum·100 ≥ pct·n
     // rule replayed over the value histogram
     "q_length_quantiles" ->
@@ -1638,6 +1652,36 @@ object Queries {
     * outdegree → k unrolled iteration CTEs, each the exact integer
     * arithmetic of [[graft.ops.LinkOps.pageRank]] (DuckDB `//` ≡ Spark
     * `DIV` on the non-negative ranks involved). */
+  /** Integral k-means Lloyd ladder (mirrors SimilarityOps.kmeansLloyd):
+    * quantize once (round_even ≡ bround), `iters` assign/update rounds in
+    * pure integer arithmetic (`//` ≡ DIV on the engines' shared
+    * truncating semantics), final assignment vs the last centroids. */
+  private def kmeansSql(k: Int, iters: Int, scale: Long = 1000000L): String = {
+    def assign(name: String, cents: String): String =
+      s"""$name AS (SELECT id, cid AS cluster FROM (
+         |  SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+         |  FROM (SELECT q.id, c.cid, sum((q.v - c.cv) * (q.v - c.cv)) AS d2
+         |        FROM q JOIN $cents c USING (dim) GROUP BY q.id, c.cid))
+         |  WHERE rn = 1)""".stripMargin
+    val steps = (1 to iters).flatMap { i =>
+      Seq(assign(s"a$i", s"c${i - 1}"),
+        s"""c$i AS (SELECT a.cluster AS cid, q.dim, sum(q.v) // count(*) AS cv
+           |  FROM q JOIN a$i a USING (id) GROUP BY a.cluster, q.dim)""".stripMargin)
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS id,
+       |    generate_subscripts(embedding, 1) - 1 AS dim,
+       |    CAST(round_even(CAST(unnest(embedding) AS DOUBLE) * $scale, 0) AS BIGINT) AS v
+       |  FROM embeddings),
+       |ids AS (SELECT DISTINCT id FROM q ORDER BY id LIMIT $k),
+       |ini AS (SELECT id, CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid
+       |        FROM ids),
+       |c0 AS (SELECT ini.cid, q.dim, q.v AS cv FROM q JOIN ini USING (id)),
+       |$steps,
+       |${assign("afin", s"c$iters")}
+       |SELECT id AS vec_id, CAST(cluster AS BIGINT) AS cluster
+       |FROM afin ORDER BY vec_id""".stripMargin
+  }
+
   private def pagerankCtes(k: Int): String = {
     val iters = (1 to k).map { i =>
       s"""r$i AS (SELECT n.node, 150000 + (85 * coalesce(s.m, 0)) // 100 AS rank

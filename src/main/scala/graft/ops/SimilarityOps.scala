@@ -342,4 +342,58 @@ object SimilarityOps {
         lit(0.0), (a, x) => a + x)
       acc.bitwiseOR(when(proj > 0, lit(1L << bit)).otherwise(lit(0L)))
     }
+
+  /** Distributed k-means (Lloyd) over the FULL corpus — the clustering
+    * stage behind cluster-balanced curation and SemDeDup-style semantic
+    * dedup. ENGINE-EXACT by construction: vectors are quantized once
+    * (double-widen, half-to-even round at `scale` — Spark `bround` ≡
+    * DuckDB `round_even`) and every subsequent step is integer
+    * arithmetic — squared-Euclidean assignment with ties to the smaller
+    * centroid id, centroid update by truncating integer division
+    * (`DIV` ≡ DuckDB `//`) — so a SQL replay of the same iteration
+    * ladder reproduces every assignment bit-for-bit (no float summation
+    * order can flip a boundary point, the q_pagerank discipline applied
+    * to clustering). Init = the k smallest ids' vectors.
+    *
+    * Scale shape: the (id, dim, v) relation is exploded once and
+    * persisted; per iteration the centroid table (k·d rows) BROADCASTS
+    * into a map-side join, distances partial-aggregate on (id, cid), the
+    * argmin is a hash agg (`min(struct(d2, cid))` — no per-id window),
+    * and the update is a payload-free (cid, dim) aggregation. Centroids
+    * eager-localCheckpoint per round (the connectedComponents lesson);
+    * nothing ever sorts or shuffles the corpus itself. Returns
+    * (id, cluster) for every input row. */
+  def kmeansLloyd(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 2, scale: Long = 1000000L): DataFrame = {
+    require(k >= 2 && iters >= 1 && scale >= 1000L,
+      "need k >= 2, iters >= 1, scale >= 1000")
+    import org.apache.spark.sql.expressions.Window
+    val expl = df.select(col(idCol).cast("long").as("id"),
+        posexplode(transform(col(vecCol),
+          x => bround(x.cast("double") * scale).cast("long"))).as(Seq("dim", "v")))
+      .persist()
+    val initIds = df.select(col(idCol).cast("long").as("id"))
+      .orderBy("id").limit(k)
+      .withColumn("cid", (row_number().over(Window.orderBy("id")) - 1).cast("long"))
+    def assignTo(cents: DataFrame): DataFrame =
+      expl.join(broadcast(cents), Seq("dim"))
+        .groupBy("id", "cid")
+        .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("d2"))
+        .groupBy("id")
+        .agg(min(struct(col("d2"), col("cid"))).as("m"))
+        .select(col("id"), col("m.cid").as("cluster"))
+    var cents = expl.join(broadcast(initIds), Seq("id"))
+      .select(col("cid"), col("dim"), col("v").as("cv"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val assign = assignTo(cents)
+      cents = expl.join(assign.withColumnRenamed("cluster", "cid"), Seq("id"))
+        .groupBy("cid", "dim")
+        .agg(expr("sum(v) DIV count(1)").as("cv"))
+        .localCheckpoint(true)
+    }
+    val out = assignTo(cents)
+    expl.unpersist()
+    out
+  }
 }

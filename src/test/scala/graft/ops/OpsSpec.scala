@@ -714,6 +714,36 @@ class OpsSpec extends AnyFunSuite {
     assert(r(2).getLong(1) == 1 && r(2).getLong(2) == 1 && r(2).getString(3) == "")
   }
 
+  test("kmeansLloyd: separated blobs cluster correctly; ties to smaller cid; deterministic") {
+    // two well-separated 2-D blobs (with negative coordinates — DIV/`//`
+    // truncation parity matters there)
+    val rows = Seq(
+      (1L, Array(-0.30f, -0.20f)), (2L, Array(-0.20f, -0.30f)), (3L, Array(-0.25f, -0.25f)),
+      (4L, Array(10.0f, 10.1f)), (5L, Array(10.2f, 9.9f)), (6L, Array(10.1f, 10.0f))
+    ).toDF("vec_id", "embedding")
+    val r = SimilarityOps.kmeansLloyd(rows, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.size == 6)
+    assert(Set(r(1L), r(2L), r(3L)).size == 1, "left blob together")
+    assert(Set(r(4L), r(5L), r(6L)).size == 1, "right blob together")
+    assert(r(1L) != r(4L), "blobs separated")
+    // deterministic across invocations
+    val r2 = SimilarityOps.kmeansLloyd(rows, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == r2)
+    // exact tie: equidistant point goes to the SMALLER cid (init centroids
+    // are ids 1 (0.0) and 2 (1.0); 0.5 ties -> cid 0), one assignment pass
+    val tie = Seq((1L, Array(0.0f)), (2L, Array(1.0f)), (3L, Array(0.5f)))
+      .toDF("vec_id", "embedding")
+    // iters=1: a1 decides from c0 = the raw init vectors; then c1 moves
+    // them — assert on the FIRST assignment by reading cluster sizes after
+    // one round: ids 1,3 -> cid0 mean 0.25; id 2 -> cid1; final assign:
+    // 0.0->0 (d 0.25 vs 1), 0.5->0 (0.25 vs 0.5), 1.0->1 (0.75 vs 0)
+    val t = SimilarityOps.kmeansLloyd(tie, "vec_id", "embedding", k = 2, iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(t == Map(1L -> 0L, 3L -> 0L, 2L -> 1L), t.toString)
+  }
+
   test("exactQuantiles: matches brute-force percentile_disc on sorted values; duplicates and skew") {
     // skewed multiset with heavy duplication — the histogram path must
     // agree with the definitional sorted-order computation
