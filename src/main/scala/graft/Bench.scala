@@ -39,7 +39,7 @@ object Bench {
       "x_extract_full", "x_extract_ocr", "q_page_assembly", "q_agg_pushdown",
       "q_minhash_e2e", "q_simhash_e2e", "q_dedup_clusters", "q_neardup_dedup",
       "q_decontaminate", "q_ann_topk", "q_ann_ivf", "q_ann_ivf_build",
-      "q_ann_ivf_query", "q_pagerank", "q_anchor_summary", "q_noindex_filter",
+      "q_ann_ivf_query", "q_kmeans", "q_pagerank", "q_anchor_summary", "q_noindex_filter",
       "q_split_assign", "q_ngram_surprise",
       "q_sessionize", "q_broadcast_join", "q_lang_id", "q_fingerprint")
 

@@ -707,6 +707,18 @@ object Queries {
         .withColumnRenamed("id", "vec_id")
         .orderBy("vec_id")),
 
+    // ---- composed curation: cluster-balanced sampling — k-means labels
+    //      feed the stratified quota selector (exactly ceil(0.25·n_c) per
+    //      cluster, deterministic permutation order): the SemDeDup-style
+    //      "cluster then thin each cluster" stage as ONE job
+    "q_cluster_sample" -> ((s, dir) => {
+      val labels = SimilarityOps.kmeansLloyd(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 4, iters = 2)
+      TextOps.stratifiedSample(labels, "id", "cluster", frac = 0.25)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
+    }),
+
     // ---- corpus distribution report: exact token-count percentiles via
     //      the bounded value histogram — no corpus-sized sort anywhere
     //      (integral percentile_disc: smallest v with cum·100 ≥ pct·n)
@@ -898,6 +910,17 @@ object Queries {
     // integral k-means: the same quantize + 2-round Lloyd ladder replayed
     // in pure integer arithmetic (round_even ≡ bround, // ≡ DIV)
     "q_kmeans" -> kmeansSql(4, 2),
+    // cluster-balanced sampling: the same ladder + the q_stratified_sample
+    // permutation-quota replay over the final assignments
+    "q_cluster_sample" ->
+      s"""WITH ${kmeansCtes(4, 2)},
+         |d AS (SELECT id, cluster,
+         |  ((id % 1000003) * 2654435761) % 1000003 AS ord FROM afin),
+         |r AS (SELECT id, cluster,
+         |  row_number() OVER (PARTITION BY cluster ORDER BY ord, id) AS rn,
+         |  count(*) OVER (PARTITION BY cluster) AS n FROM d)
+         |SELECT id AS vec_id, CAST(cluster AS BIGINT) AS cluster
+         |FROM r WHERE rn <= ceil(n * 0.25) ORDER BY vec_id""".stripMargin,
     // exact token-count percentiles: the same integral cum·100 ≥ pct·n
     // rule replayed over the value histogram
     "q_length_quantiles" ->
@@ -1656,7 +1679,7 @@ object Queries {
     * quantize once (round_even ≡ bround), `iters` assign/update rounds in
     * pure integer arithmetic (`//` ≡ DIV on the engines' shared
     * truncating semantics), final assignment vs the last centroids. */
-  private def kmeansSql(k: Int, iters: Int, scale: Long = 1000000L): String = {
+  private def kmeansCtes(k: Int, iters: Int, scale: Long = 1000000L): String = {
     def assign(name: String, cents: String): String =
       s"""$name AS (SELECT id, cid AS cluster FROM (
          |  SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
@@ -1668,7 +1691,7 @@ object Queries {
         s"""c$i AS (SELECT a.cluster AS cid, q.dim, sum(q.v) // count(*) AS cv
            |  FROM q JOIN a$i a USING (id) GROUP BY a.cluster, q.dim)""".stripMargin)
     }.mkString(",\n")
-    s"""WITH q AS (SELECT vec_id AS id,
+    s"""q AS (SELECT vec_id AS id,
        |    generate_subscripts(embedding, 1) - 1 AS dim,
        |    CAST(round_even(CAST(unnest(embedding) AS DOUBLE) * $scale, 0) AS BIGINT) AS v
        |  FROM embeddings),
@@ -1677,10 +1700,13 @@ object Queries {
        |        FROM ids),
        |c0 AS (SELECT ini.cid, q.dim, q.v AS cv FROM q JOIN ini USING (id)),
        |$steps,
-       |${assign("afin", s"c$iters")}
+       |${assign("afin", s"c$iters")}""".stripMargin
+  }
+
+  private def kmeansSql(k: Int, iters: Int): String =
+    s"""WITH ${kmeansCtes(k, iters)}
        |SELECT id AS vec_id, CAST(cluster AS BIGINT) AS cluster
        |FROM afin ORDER BY vec_id""".stripMargin
-  }
 
   private def pagerankCtes(k: Int): String = {
     val iters = (1 to k).map { i =>

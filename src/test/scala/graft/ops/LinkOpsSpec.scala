@@ -175,6 +175,7 @@ class LinkOpsSpec extends AnyFunSuite {
         val anchors = LinkOps.anchorsOf(s"https://fuzz.example/doc$si", b) // must not throw
         assert(anchors.map(_._1) == links)
         anchors.foreach { case (_, a) => assert(a.length <= LinkOps.MaxAnchorChars) }
+        LinkOps.metaRobots(b).foreach(t => assert(t.nonEmpty)) // must not throw
         assert((System.nanoTime() - t0) / 1e6 < 10000)
         checked += 1
       }
