@@ -305,6 +305,14 @@ object Queries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // ---- CCNet-style head/middle/tail corpus split: LM-surprise
+    //      percentile cutoffs (33/67, distributed-prefix-sum quantiles
+    //      over the score histogram) broadcast back as map-side labels
+    "q_ppl_buckets" -> ((s, dir) =>
+      TextOps.surpriseBuckets(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // ---- web graph: per-document outlink stats from the kernel-extracted
     //      link table (href resolution pinned in LinkOpsSpec; DuckDB
     //      replays the aggregation + host parse from the dump)
@@ -1513,23 +1521,26 @@ object Queries {
       // counts and per-doc integer mean replayed keyed by word TEXT
       // (Spark keys by xxhash64 — the hash-vs-text oracle trick)
       "q_ngram_surprise" ->
-        """WITH tok AS (SELECT doc_id,
-          |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
-          |  FROM documents),
-          |d AS (SELECT doc_id, toks, len(toks) AS n FROM tok),
-          |b AS (SELECT doc_id, toks[CAST(i + 1 AS INTEGER)] AS w1,
-          |        toks[CAST(i + 2 AS INTEGER)] AS w2
-          |      FROM (SELECT doc_id, toks, unnest(range(0, n - 1)) AS i
-          |            FROM d WHERE n >= 2)),
-          |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY w1),
-          |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2),
-          |s AS (SELECT doc_id, (c1.c1 * 1000000) // c12.c12 AS s
-          |      FROM b JOIN c1 USING (w1) JOIN c12 USING (w1, w2)),
-          |agg AS (SELECT doc_id, count(*) AS n_bigrams,
-          |        sum(s) // count(*) AS surprise FROM s GROUP BY doc_id)
-          |SELECT d.doc_id, CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-          |  CAST(coalesce(a.surprise, 0) AS BIGINT) AS surprise
-          |FROM d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+        s"""WITH $surpriseCtes
+           |SELECT doc_id, n_bigrams, surprise
+           |FROM sc ORDER BY doc_id""".stripMargin,
+      // CCNet-style head/middle/tail: the same surprise ladder + integral
+      // 33/67 percentile cutoffs over the score histogram (cum·100 ≥
+      // pct·n, the q_length_quantiles rule) + the CASE labeling
+      "q_ppl_buckets" ->
+        s"""WITH $surpriseCtes,
+           |h AS (SELECT surprise AS v, count(*) AS c FROM sc GROUP BY v),
+           |cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM h),
+           |n AS (SELECT count(*) AS n FROM sc),
+           |q(pct) AS (VALUES (33), (67)),
+           |cu AS (SELECT pct, min(v) AS value FROM cum, n, q
+           |       WHERE cum * 100 >= pct * n GROUP BY pct),
+           |cuts AS (SELECT max(CASE WHEN pct = 33 THEN value END) AS c33,
+           |                max(CASE WHEN pct = 67 THEN value END) AS c67 FROM cu)
+           |SELECT doc_id, n_bigrams, surprise,
+           |  CASE WHEN surprise <= c33 THEN 'head'
+           |       WHEN surprise <= c67 THEN 'middle' ELSE 'tail' END AS bucket
+           |FROM sc, cuts ORDER BY doc_id""".stripMargin,
       // web graph: aggregation + host parse replayed from the dumped
       // per-document link table (resolution itself is sbt-test-pinned)
       "q_link_extract" ->
@@ -1679,6 +1690,31 @@ object Queries {
     * quantize once (round_even ≡ bround), `iters` assign/update rounds in
     * pure integer arithmetic (`//` ≡ DIV on the engines' shared
     * truncating semantics), final assignment vs the last centroids. */
+  /** Bigram LM-surprise CTE ladder (shared by q_ngram_surprise and
+    * q_ppl_buckets): same tokenization as q_token_count, corpus counts
+    * and per-doc integer mean replayed keyed by word TEXT (Spark keys by
+    * xxhash64 — the hash-vs-text oracle trick). Ends with
+    * `sc(doc_id, n_bigrams, surprise)`, one row per document. */
+  private val surpriseCtes: String =
+    """tok AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |d AS (SELECT doc_id, toks, len(toks) AS n FROM tok),
+      |b AS (SELECT doc_id, toks[CAST(i + 1 AS INTEGER)] AS w1,
+      |        toks[CAST(i + 2 AS INTEGER)] AS w2
+      |      FROM (SELECT doc_id, toks, unnest(range(0, n - 1)) AS i
+      |            FROM d WHERE n >= 2)),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY w1),
+      |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2),
+      |s AS (SELECT doc_id, (c1.c1 * 1000000) // c12.c12 AS s
+      |      FROM b JOIN c1 USING (w1) JOIN c12 USING (w1, w2)),
+      |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+      |        sum(s) // count(*) AS surprise FROM s GROUP BY doc_id),
+      |sc AS (SELECT d.doc_id,
+      |  CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |  CAST(coalesce(a.surprise, 0) AS BIGINT) AS surprise
+      |FROM d LEFT JOIN agg a USING (doc_id))""".stripMargin
+
   private def kmeansCtes(k: Int, iters: Int, scale: Long = 1000000L): String = {
     def assign(name: String, cents: String): String =
       s"""$name AS (SELECT id, cid AS cluster FROM (

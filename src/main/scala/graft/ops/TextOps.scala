@@ -445,6 +445,34 @@ object TextOps {
         coalesce(col("surprise"), lit(0L)).as("surprise"))
   }
 
+  /** CCNet-style corpus bucketing: label every document `head` / `middle`
+    * / `tail` by its LM-surprise rank relative to the corpus — the public
+    * CCNet design (Wenzek et al.) splits a crawl into perplexity thirds
+    * and trains preferentially on the fluent `head`. Cutoffs are the
+    * integral 33rd/67th percentile of [[ngramSurprise]] scores
+    * ([[exactQuantiles]] — distributed prefix sum over the score
+    * histogram, which for per-document scores grows with the corpus: the
+    * unbounded-domain case that machinery exists for). Two tiny cutoff
+    * rows broadcast back onto the scored corpus; labeling is map-side.
+    * `head` = lowest-surprise (most fluent) third. */
+  def surpriseBuckets(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // pin the scored table: it feeds BOTH the cutoff computation and the
+    // final labeling, and its lineage is the expensive two-pass corpus
+    // scoring (24 B/row — id, n_bigrams, surprise — so the materialized
+    // form is tiny relative to the corpus)
+    val scored = ngramSurprise(df, idCol, textCol).localCheckpoint(true)
+    val cuts = exactQuantiles(scored, col("surprise"), Seq(33, 67))
+      .groupBy()
+      .agg(max(when(col("pct") === 33L, col("value"))).as("__c33"),
+        max(when(col("pct") === 67L, col("value"))).as("__c67"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("surprise") <= col("__c33"), lit("head"))
+          .when(col("surprise") <= col("__c67"), lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("__c33", "__c67")
+  }
+
   /** The multiplicative-permutation sampling order: ((id mod p)·K) mod p,
     * a permutation of Z_p. id is reduced mod p BEFORE the multiply so the
     * product stays < 2^52 (no ANSI overflow at any id scale); ties (ids
@@ -550,27 +578,58 @@ object TextOps {
     * `cum·100 ≥ pct·n` (engine-exact, no float fraction).
     *
     * Scale shape: the value histogram is a map-side-combined hash
-    * aggregate; the cumulative window runs over the HISTOGRAM (bounded by
-    * the value domain — token counts, not documents), never the corpus;
-    * a corpus-sized global sort (what percentile_disc/orderBy would plan)
-    * appears nowhere. Same bounded-histogram discipline as quotaSelect. */
+    * aggregate, and the cumulative count over it is a DISTRIBUTED prefix
+    * sum — range-partition the histogram by value, local running sum per
+    * partition (a window partitioned by the range-slice id), then add the
+    * broadcast exclusive prefix of the per-slice totals (one tiny table,
+    * ≤ #shuffle-partitions rows). No operator ever sees more than one
+    * histogram slice: unlike a single `Window.orderBy(v)` (one task holds
+    * the WHOLE histogram), this survives value domains that grow with the
+    * corpus — per-document scores, not just bounded token counts. The
+    * only single-task window runs over the slice-total table. */
   def exactQuantiles(df: DataFrame, valueCol: Column,
       pcts: Seq[Int] = Seq(1, 5, 25, 50, 75, 95, 99)): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       "percentiles must be in [1, 100]")
-    import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     import spark.implicits._
     val hist = df.select(valueCol.cast("long").as("v"))
       .groupBy("v").agg(count(lit(1)).as("c"))
-    val cum = hist.withColumn("cum",
-      sum(col("c")).over(Window.orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, 0)))
+    val cum = distributedCumSum(hist, "v", "c", "cum")
     val total = hist.agg(sum(col("c")).as("n"))
     val qs = pcts.map(_.toLong).toDF("pct")
     cum.crossJoin(broadcast(total)).crossJoin(broadcast(qs))
       .filter(col("cum") * 100L >= col("pct") * col("n"))
       .groupBy("pct").agg(min(col("v")).as("value"))
+  }
+
+  /** Distributed exact prefix sum: `cumCol` = running total of `cntCol`
+    * in `ordCol` order, with no single task ever holding the full table.
+    * Range-partition by the order column, stamp the slice id, local
+    * running sum per slice, then join the broadcast EXCLUSIVE prefix of
+    * the per-slice totals (range slice i holds strictly smaller order
+    * values than slice i+1, so slice-id order IS value order). Slice
+    * boundaries come from RangePartitioner sampling, but the output is
+    * boundary-independent — every row's global prefix is exact. */
+  private[graft] def distributedCumSum(
+      df: DataFrame, ordCol: String, cntCol: String, cumCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val slices = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val sliced = df.repartitionByRange(slices, col(ordCol))
+      .withColumn("__slice", spark_partition_id())
+    val wLocal = Window.partitionBy("__slice").orderBy(ordCol)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = sliced.withColumn("__lcum", sum(col(cntCol)).over(wLocal))
+    // per-slice totals: ≤ `slices` rows — the ONLY unpartitioned window
+    val wPrev = Window.orderBy("__slice")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sliced.groupBy("__slice")
+      .agg(sum(col(cntCol)).as("__t"))
+      .withColumn("__off", coalesce(sum(col("__t")).over(wPrev), lit(0L)))
+      .select(col("__slice"), col("__off"))
+    local.join(broadcast(offsets), Seq("__slice"))
+      .withColumn(cumCol, col("__lcum") + col("__off"))
+      .drop("__slice", "__lcum")
   }
 
   /** Deterministic train/val/test carve-out: every row gets a split label

@@ -823,6 +823,84 @@ class OpsSpec extends AnyFunSuite {
       s"text-bearing shuffle: ${bad.map(_.child.output.map(_.name).mkString(",")).mkString("; ")}")
   }
 
+  test("exactQuantiles: distributed prefix sum is exact when distinct values exceed the slice count") {
+    // 5,000 distinct values with varying multiplicities — far more than
+    // spark.sql.shuffle.partitions range slices, so correctness requires
+    // the cross-slice offsets to line up exactly
+    val vals = (0 until 5000).flatMap(i => Seq.fill(1 + (i * 7) % 5)(i.toLong * 3 + 1))
+    val pcts = Seq(1, 10, 33, 50, 67, 90, 99)
+    val sorted = vals.sorted
+    def brute(p: Int): Long = {
+      val target = (p.toLong * sorted.length + 99) / 100
+      sorted((target - 1).toInt)
+    }
+    val got = TextOps.exactQuantiles(vals.toDF("x"), col("x"), pcts)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pcts.foreach(p => assert(got(p.toLong) == brute(p), s"pct $p"))
+  }
+
+  test("exactQuantiles plan: no unpartitioned window over the histogram — only over the slice totals") {
+    val q = TextOps.exactQuantiles((1L to 200L).toDF("x"), col("x"), Seq(50))
+    q.collect() // finalize the adaptive plan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case s: QueryStageExec        => nodes(s.plan)
+      case _                        => p +: p.children.flatMap(nodes)
+    }
+    val windows = nodes(q.queryExecution.executedPlan).collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    val global = windows.filter(_.partitionSpec.isEmpty)
+    assert(global.nonEmpty, "the slice-offset window should exist")
+    // every single-partition window must consume the per-slice totals (a
+    // bounded table: one row per range slice), never the histogram itself
+    global.foreach { w =>
+      val feedsFromSliceAgg = nodes(w.child).exists {
+        case a: BaseAggregateExec =>
+          a.groupingExpressions.exists(_.references.exists(_.name == "__slice"))
+        case _ => false
+      }
+      assert(feedsFromSliceAgg,
+        s"unpartitioned window not over slice totals:\n${w.treeString}")
+    }
+    windows.filterNot(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.partitionSpec.flatMap(_.references.toSeq).exists(_.name == "__slice"), w.toString)
+    }
+  }
+
+  test("surpriseBuckets: head/middle/tail match the integral 33/67 percentile rule") {
+    // spread surprise scores: doc i mixes (31-i) copies of a corpus-common
+    // bigram (low surprise) with i one-off salad words (max surprise), so
+    // per-doc means increase roughly monotonically in i — ~30 distinct
+    // scores, all three terciles populated
+    val df = (1L to 30L).map { i =>
+      val fluent = Seq.fill(31 - i.toInt)("the cat").mkString(" ")
+      val salad = (1 to i.toInt).map(j => s"u${i}w$j").mkString(" ")
+      (i, s"$fluent $salad")
+    }.toDF("doc_id", "text")
+    val scored = TextOps.ngramSurprise(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val sorted = scored.values.toSeq.sorted
+    def cut(p: Int): Long = {
+      val target = (p.toLong * sorted.length + 99) / 100
+      sorted((target - 1).toInt)
+    }
+    val (c33, c67) = (cut(33), cut(67))
+    val got = TextOps.surpriseBuckets(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(got.keySet == scored.keySet)
+    got.foreach { case (id, (s, b)) =>
+      assert(s == scored(id), s"doc $id surprise drift")
+      val expected = if (s <= c33) "head" else if (s <= c67) "middle" else "tail"
+      assert(b == expected, s"doc $id: surprise $s, cuts ($c33, $c67)")
+    }
+    // the corpus genuinely splits: every bucket non-empty
+    assert(got.values.map(_._2).toSet == Set("head", "middle", "tail"))
+  }
+
   test("scoreLinearBow: integral logit matches hand dot product; keep is the logit sign") {
     val w = TextOps.BowClassifier.Weights
     assert(w.length == 64 && w.forall(x => x >= -8 && x <= 8))
