@@ -349,6 +349,35 @@ object Queries {
         .orderBy("url")
     }),
 
+    // ---- curation: quality-ranked top-3 docs per host (score = sidecar
+    //      text length, ties by doc id) — per-host cutoff from the score
+    //      histogram, never a per-host sort of the data
+    "q_host_topk" -> ((s, dir) => {
+      val d = vt(s, dir, "northrule")
+        .select(col("url"),
+          regexp_extract(col("url"), "doc([0-9]+)$", 1).cast("long").as("id"),
+          LinkOps.hostOf(col("url")).as("host"),
+          length(col("text")).cast("long").as("score"))
+      TextOps.topKPerStratum(d, "id", "host", col("score"), k = 3L)
+        .select("url", "host", "score").orderBy("url")
+    }),
+
+    // ---- crawl: incremental-ingest snapshot delta. B is a deterministic
+    //      rewrite of A (1-in-13 dropped, 1-in-11 edited, 1-in-17 gains a
+    //      variant url); the diff join carries only (url, 8-byte digest)
+    //      per side — payloads never shuffle at any snapshot size.
+    "q_crawl_delta" -> ((s, dir) => {
+      val a = vt(s, dir, "northrule").select(col("url"), col("text"),
+        regexp_extract(col("url"), "doc([0-9]+)$", 1).cast("long").as("__id"))
+      val b = a.filter(col("__id") % 13 =!= 0)
+        .select(col("url"),
+          when(col("__id") % 11 === 0, concat(col("text"), lit(" updated")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(a.filter(col("__id") % 17 === 0)
+          .select(concat(col("url"), lit("?v=2")).as("url"), col("text")))
+      LinkOps.crawlDelta(a.select("url", "text"), b).orderBy("url")
+    }),
+
     // ---- curation: domain blocklist filter (UT1-style) — equals-or-
     //      subdomain matching via dot-suffix explode + semi/anti join
     "q_domain_filter" -> ((s, dir) => {
@@ -440,6 +469,21 @@ object Queries {
         .groupBy(col("cell.category").as("category"))
         .agg(count(lit(1)).as("n"))
         .orderBy("category")),
+
+    // ---- document outline (structure report): ordered Title /
+    //      Section-header spans per document, the TOC a corpus-analysis
+    //      job publishes. Per-doc collect is bounded by page count; only
+    //      heading cells carry text through the shuffle.
+    "q_doc_outline" -> ((s, dir) =>
+      spanRows(s, dir)
+        .filter(col("cell.category").isin("Title", "Section-header"))
+        .groupBy(col("url"))
+        .agg(count(lit(1)).as("n_headings"),
+          array_join(transform(array_sort(collect_list(struct(
+            col("page_no"), col("reading_order"),
+            concat(col("cell.category"), lit(": "), col("cell.text")).as("h")))),
+            x => x.getField("h")), " > ").as("outline"))
+        .orderBy("url")),
 
     // ---- W3: cross-page paragraph merge over extraction pages
     "x_cross_page_merge" -> ((s, dir) => {
@@ -703,6 +747,19 @@ object Queries {
       TextOps.stratifiedSample(
         t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang", frac = 0.25)
         .orderBy("doc_id")),
+
+    // ---- top-heavy-host mitigation: at most 40 docs per host (the
+    //      corpus's hot host holds ~30% of urls — a real crawl's head
+    //      domain is the same shape), deterministic permutation order;
+    //      same bounded-histogram selector, no per-host sort anywhere
+    "q_host_cap" -> ((s, dir) => {
+      val d = vt(s, dir, "northrule")
+        .select(col("url"),
+          regexp_extract(col("url"), "doc([0-9]+)$", 1).cast("long").as("id"),
+          LinkOps.hostOf(col("url")).as("host"))
+      TextOps.capPerStratum(d, "id", "host", cap = 40L)
+        .select("url", "host").orderBy("url")
+    }),
 
     // ---- clustering: distributed integral k-means (Lloyd) over the
     //      embedding corpus — engine-exact (quantize once, integer
@@ -1154,6 +1211,26 @@ object Queries {
            |  json_extract_string(cell, '$$.category') AS category,
            |  CAST(json_extract(cell, '$$.bbox') AS VARCHAR) AS bbox
            |FROM c ORDER BY url, page_no, reading_order""".stripMargin,
+      // outline: heading spans re-assembled in reading order per doc
+      "q_doc_outline" ->
+        s"""WITH p AS (
+           |  SELECT url, page_no, json_extract(cells_json, '$$[*]') AS cells
+           |  FROM read_parquet('${g("extract_pages")}')
+           |  WHERE NOT filtered AND error = ''
+           |), c AS (
+           |  SELECT url, page_no, unnest(cells) AS cell,
+           |         generate_subscripts(cells, 1) AS idx FROM p
+           |), h AS (
+           |  SELECT url, page_no, idx,
+           |    json_extract_string(cell, '$$.category') AS category,
+           |    json_extract_string(cell, '$$.text') AS text FROM c
+           |  WHERE json_extract_string(cell, '$$.category')
+           |        IN ('Title', 'Section-header')
+           |)
+           |SELECT url, CAST(count(*) AS BIGINT) AS n_headings,
+           |  string_agg(category || ': ' || text, ' > ' ORDER BY page_no, idx)
+           |    AS outline
+           |FROM h GROUP BY url ORDER BY url""".stripMargin,
       "q_category_histogram" ->
         s"""WITH p AS (
            |  SELECT json_extract(cells_json, '$$[*]') AS cells
@@ -1478,6 +1555,47 @@ object Queries {
            |FROM documents d LEFT JOIN lab l ON d.doc_id = l.x
            |ORDER BY d.doc_id""".stripMargin,
       // recrawl consolidation: same planted revisits, max-ts + count
+      // per-host cap: row_number replay of the bounded-histogram quota
+      // selector (same equivalence as q_stratified_sample — ord, then id)
+      "q_host_cap" ->
+        s"""WITH d AS (SELECT url,
+           |  CAST(regexp_extract(url, 'doc([0-9]+)$$', 1) AS BIGINT) AS id,
+           |  regexp_extract(url, '^https?://([^/?#]+)', 1) AS host
+           |  FROM read_parquet('${VerifyTables.oracleGlob("northrule")}')),
+           |r AS (SELECT url, host,
+           |  row_number() OVER (PARTITION BY host
+           |    ORDER BY ((id % 1000003) * 2654435761) % 1000003, id) AS rn
+           |  FROM d)
+           |SELECT url, host FROM r WHERE rn <= 40 ORDER BY url""".stripMargin,
+      // top-k per host: row_number replay ordered by (-score, id)
+      "q_host_topk" ->
+        s"""WITH d AS (SELECT url,
+           |  CAST(regexp_extract(url, 'doc([0-9]+)$$', 1) AS BIGINT) AS id,
+           |  regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+           |  CAST(length(text) AS BIGINT) AS score
+           |  FROM read_parquet('${VerifyTables.oracleGlob("northrule")}')),
+           |r AS (SELECT url, host, score,
+           |  row_number() OVER (PARTITION BY host ORDER BY -score, id) AS rn
+           |  FROM d)
+           |SELECT url, host, score FROM r WHERE rn <= 3 ORDER BY url""".stripMargin,
+      // snapshot delta: text equality replays the digest compare (the
+      // same hash-for-text equivalence the dedup oracles pin)
+      "q_crawl_delta" ->
+        s"""WITH a AS (SELECT url, text,
+           |  CAST(regexp_extract(url, 'doc([0-9]+)$$', 1) AS BIGINT) AS id
+           |  FROM read_parquet('${VerifyTables.oracleGlob("northrule")}')),
+           |b AS (
+           |  SELECT url,
+           |    CASE WHEN id % 11 = 0 THEN text || ' updated' ELSE text END AS text
+           |  FROM a WHERE id % 13 <> 0
+           |  UNION ALL
+           |  SELECT url || '?v=2' AS url, text FROM a WHERE id % 17 = 0),
+           |j AS (SELECT coalesce(a.url, b.url) AS url, a.text AS ta, b.text AS tb
+           |      FROM a FULL OUTER JOIN b ON a.url = b.url)
+           |SELECT url, CASE WHEN ta IS NULL THEN 'new'
+           |  WHEN tb IS NULL THEN 'deleted'
+           |  WHEN ta = tb THEN 'unchanged' ELSE 'changed' END AS status
+           |FROM j ORDER BY url""".stripMargin,
       "q_url_revisit" ->
         s"""WITH base AS (SELECT url, warc_ts
            |  FROM read_parquet('${VerifyTables.oracleGlob("northrule")}')),

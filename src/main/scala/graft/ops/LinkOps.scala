@@ -279,6 +279,28 @@ object LinkOps {
       .groupBy("url")
       .agg(max(col("__ts")).as("latest_ts"), count(lit(1)).as("n_versions"))
 
+  /** Crawl-snapshot delta — the incremental-ingest classifier a recurring
+    * crawl pipeline runs before reprocessing: every url in either snapshot
+    * is labeled `new` (only in B), `deleted` (only in A), `changed`
+    * (payload digest differs) or `unchanged`.
+    *
+    * Scale shape: the full-outer join on url carries ONLY (url, 8-byte
+    * xxhash64 digest) per side — payloads never shuffle, so two 100-TB
+    * snapshots diff as a urls+digests join. Digest equality stands in for
+    * payload equality (collision odds 2^-64 per pair — the same
+    * hash-for-text equivalence the dedup oracles pin). */
+  def crawlDelta(a: DataFrame, b: DataFrame, keyCol: String = "url",
+      payloadCol: String = "text"): DataFrame = {
+    val ah = a.select(col(keyCol).as("url"), xxhash64(col(payloadCol)).as("__ha"))
+    val bh = b.select(col(keyCol).as("url"), xxhash64(col(payloadCol)).as("__hb"))
+    ah.join(bh, Seq("url"), "full_outer")
+      .select(col("url"),
+        when(col("__ha").isNull, lit("new"))
+          .when(col("__hb").isNull, lit("deleted"))
+          .when(col("__ha") === col("__hb"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** Fixed-iteration PageRank with scaled-integer arithmetic: ranks start
     * at `scale` (1.0), each round every node keeps 15% teleport mass and
     * receives 85% of the integer-divided contributions of its in-

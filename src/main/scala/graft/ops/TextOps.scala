@@ -507,6 +507,42 @@ object TextOps {
     quotaSelect(df, withOrd, idCol, stratumCol, quotas)
   }
 
+  /** Per-stratum contribution cap — the "no host may contribute more than
+    * N documents" top-heavy-host mitigation rule (the synthetic corpus's
+    * hot host holds ~30% of all urls; a real crawl's head domain is the
+    * same shape). Keeps min(n_s, cap) rows per stratum, chosen by the
+    * deterministic [[sampleOrd]] order; strata under the cap pass intact.
+    *
+    * Scale shape: identical to [[stratifiedSample]] — the selection
+    * threshold comes from the bounded (stratum, ord) histogram, rows
+    * below the cutoff pass map-side, and only ties AT the cutoff are
+    * ranked. No task ever sorts a whole stratum, so the hot host being
+    * billions of rows changes nothing. */
+  def capPerStratum(df: DataFrame, idCol: String, stratumCol: String,
+      cap: Long): DataFrame = {
+    require(cap > 0L, "cap must be positive")
+    val withOrd = df.withColumn("__ord", sampleOrd(idCol))
+    val quotas = withOrd.groupBy(col(stratumCol))
+      .agg(least(count(lit(1)), lit(cap)).as("__k"))
+    quotaSelect(df, withOrd, idCol, stratumCol, quotas)
+  }
+
+  /** Quality-ranked top-k per stratum — "keep the k best documents per
+    * host" (score descending, ties by id ascending). Same bounded-
+    * histogram selector as [[capPerStratum]] with the ord axis = the
+    * negated integer score: the per-stratum cutoff comes from the score
+    * HISTOGRAM (≤ distinct-score-count rows), rows strictly above the
+    * cutoff score pass map-side, and only ties AT the cutoff are ranked —
+    * never a per-stratum sort of the data. */
+  def topKPerStratum(df: DataFrame, idCol: String, stratumCol: String,
+      scoreCol: Column, k: Long): DataFrame = {
+    require(k > 0L, "k must be positive")
+    val withOrd = df.withColumn("__ord", -scoreCol.cast("long"))
+    val quotas = withOrd.groupBy(col(stratumCol))
+      .agg(least(count(lit(1)), lit(k)).as("__k"))
+    quotaSelect(df, withOrd, idCol, stratumCol, quotas)
+  }
+
   /** Mixture resampling for pretraining-mix curation: select the LARGEST
     * corpus whose stratum composition exactly matches integer target
     * weights (parts-per-million), DoReMi/temperature-sampling style. With

@@ -202,4 +202,25 @@ class LinkOpsSpec extends AnyFunSuite {
     // b receives 85% of a's rank: r1 = 150000+850000; r2 = 150000+(85*150000)DIV100
     assert(r.toSeq == Seq(("a", 150000L), ("b", 150000L + 85L * 150000L / 100L)))
   }
+
+  test("crawlDelta: new/deleted/changed/unchanged, digest join carries no payload") {
+    val a = Seq(("u1", "t1"), ("u2", "t2"), ("u3", "t3")).toDF("url", "text")
+    val b = Seq(("u2", "t2"), ("u3", "t3-edited"), ("u4", "t4")).toDF("url", "text")
+    val r = LinkOps.crawlDelta(a, b).as[(String, String)].collect().toMap
+    assert(r == Map("u1" -> "deleted", "u2" -> "unchanged",
+      "u3" -> "changed", "u4" -> "new"))
+    // identical snapshots: everything unchanged
+    val same = LinkOps.crawlDelta(a, a).as[(String, String)].collect().toMap
+    assert(same == Map("u1" -> "unchanged", "u2" -> "unchanged", "u3" -> "unchanged"))
+    // plan: the join's shuffled children project only (url, digest) —
+    // the text column must be pruned before the exchange
+    val plan = LinkOps.crawlDelta(a, b).queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    plan.collect { case j: Join => j }.foreach { j =>
+      Seq(j.left, j.right).foreach { side =>
+        val attrs = side.output.map(_.name).toSet
+        assert(!attrs.contains("text"), s"payload reached the join: $attrs")
+      }
+    }
+  }
 }

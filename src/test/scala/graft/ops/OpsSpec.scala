@@ -672,6 +672,45 @@ class OpsSpec extends AnyFunSuite {
     assert(byLang3 == Map("a" -> 5, "b" -> 2))
   }
 
+  test("capPerStratum: hot stratum capped exactly, small strata intact, permutation order, deterministic") {
+    val rows = ((0L to 19L).map(i => (i, "hot")) ++ (100L to 104L).map(i => (i, "cold")))
+      .toDF("doc_id", "host")
+    val r = TextOps.capPerStratum(rows, "doc_id", "host", cap = 8L)
+      .as[(Long, String)].collect().toSeq
+    val byHost = r.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byHost == Map("hot" -> 8, "cold" -> 5))
+    // selection equals the naive per-stratum (ord, id) sort-and-take
+    def ord(id: Long): Long = ((id % 1000003L) * 2654435761L) % 1000003L
+    val naive = Seq("hot" -> (0L to 19L), "cold" -> (100L to 104L)).flatMap {
+      case (h, ids) => ids.sortBy(i => (ord(i), i)).take(8).map(i => (i, h))
+    }.sorted
+    assert(r.sorted == naive)
+    // the permutation must not degenerate to first-k-by-id
+    assert(r.filter(_._2 == "hot").map(_._1).toSet != (0L to 7L).toSet,
+      "cap selection degenerated to first-k-by-id")
+    // deterministic across evaluations
+    val again = TextOps.capPerStratum(rows, "doc_id", "host", cap = 8L)
+      .as[(Long, String)].collect().toSeq
+    assert(again.sorted == r.sorted)
+  }
+
+  test("topKPerStratum: score-descending selection, cutoff ties rank by id, small strata intact") {
+    // hot: scores 10,20,20,20,5 — k=3 keeps one 20-tie pair + the cutoff
+    // tie resolved by smallest id
+    val rows = Seq((1L, "hot", 10L), (2L, "hot", 20L), (3L, "hot", 20L),
+      (4L, "hot", 20L), (5L, "hot", 5L), (10L, "cold", 1L))
+      .toDF("doc_id", "host", "score")
+    val r = TextOps.topKPerStratum(rows, "doc_id", "host", col("score"), k = 3L)
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    // hot top-3 by (-score, id): ids 2, 3, 4 (all score 20); cold intact
+    assert(r == Seq((2L, "hot", 20L), (3L, "hot", 20L), (4L, "hot", 20L),
+      (10L, "cold", 1L)).sorted)
+    // non-tied cutoff: k=4 adds the score-10 row, not the score-5 row
+    val r4 = TextOps.topKPerStratum(rows, "doc_id", "host", col("score"), k = 4L)
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    assert(r4.map(_._1).toSet == Set(1L, 2L, 3L, 4L, 10L))
+  }
+
   test("c4LineFilter: terminal punct + min words + javascript rules; page flags") {
     val rows = Seq(
       (1L, "This line has enough words here.\nshort one.\nno terminal punct here at all\n" +
