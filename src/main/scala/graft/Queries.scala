@@ -378,6 +378,34 @@ object Queries {
       LinkOps.crawlDelta(a.select("url", "text"), b).orderBy("url")
     }),
 
+    // ---- crawl: incremental re-extraction — re-run the kernel ONLY on
+    //      new/changed payloads, reuse the prior committed output for
+    //      unchanged urls. B's "changed" docs swap in the PREVIOUS doc's
+    //      html (donor substitution), so DuckDB can replay the entire job
+    //      from the dumped full-extraction table with zero kernel code —
+    //      which simultaneously proves extraction is a pure function of
+    //      the payload and that the incremental routing is exact.
+    "q_incremental_extract" -> ((s, dir) => {
+      val a = vt(s, dir, "northrule")
+      val withId = a.withColumn("__id",
+        regexp_extract(col("url"), "doc([0-9]+)$", 1).cast("long"))
+      val donors = withId.select((col("__id") + 1).as("__id"),
+        col("html").as("__dh"))
+      val bBase = withId.filter(col("__id") % 13 =!= 0)
+        .join(donors, Seq("__id"), "left")
+        .withColumn("html",
+          when(col("__id") % 11 === 0 && col("__id") > 0, col("__dh"))
+            .otherwise(col("html")))
+        .drop("__dh")
+      val b = bBase.unionByName(withId.filter(col("__id") % 17 === 0)
+          .withColumn("url", concat(col("url"), lit("?v=2"))))
+        .drop("__id")
+      ExtractPipeline.runIncremental(
+          ExtractPipeline.snapshotDigests(a), vt(s, dir, "extract_docs"), b)
+        .select("url", "source", "n_pages", "extracted_text", "filtered", "error")
+        .orderBy("url")
+    }),
+
     // ---- curation: domain blocklist filter (UT1-style) — equals-or-
     //      subdomain matching via dot-suffix explode + semi/anti join
     "q_domain_filter" -> ((s, dir) => {
@@ -1596,6 +1624,30 @@ object Queries {
            |  WHEN tb IS NULL THEN 'deleted'
            |  WHEN ta = tb THEN 'unchanged' ELSE 'changed' END AS status
            |FROM j ORDER BY url""".stripMargin,
+      // incremental re-extraction: the donor-substitution rewrite lets
+      // DuckDB produce every output row from the dumped FULL extraction
+      // table — changed/new urls map to their payload-donor's row, so any
+      // url-dependence in the kernel or mis-routed reuse would mismatch
+      "q_incremental_extract" ->
+        s"""WITH a AS (SELECT url,
+           |  CAST(regexp_extract(url, 'doc([0-9]+)$$', 1) AS BIGINT) AS id
+           |  FROM read_parquet('${VerifyTables.oracleGlob("northrule")}')),
+           |d AS (SELECT url, n_pages, extracted_text, filtered, error
+           |  FROM read_parquet('${VerifyTables.oracleGlob("extract_docs")}')),
+           |b AS (
+           |  SELECT url,
+           |    CASE WHEN id % 11 = 0 AND id > 0 THEN 'extracted'
+           |         ELSE 'reused' END AS source,
+           |    CASE WHEN id % 11 = 0 AND id > 0 THEN id - 1 ELSE id END AS src_id
+           |  FROM a WHERE id % 13 <> 0
+           |  UNION ALL
+           |  SELECT url || '?v=2' AS url, 'extracted' AS source, id AS src_id
+           |  FROM a WHERE id % 17 = 0),
+           |s AS (SELECT b.url, b.source, a2.url AS src_url
+           |      FROM b JOIN a a2 ON a2.id = b.src_id)
+           |SELECT s.url, s.source, d.n_pages, d.extracted_text, d.filtered,
+           |       d.error
+           |FROM s JOIN d ON d.url = s.src_url ORDER BY s.url""".stripMargin,
       "q_url_revisit" ->
         s"""WITH base AS (SELECT url, warc_ts
            |  FROM read_parquet('${VerifyTables.oracleGlob("northrule")}')),

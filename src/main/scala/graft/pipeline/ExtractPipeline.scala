@@ -228,6 +228,55 @@ object ExtractPipeline {
     }
   }
 
+  /** Payload digest committed alongside each snapshot's extraction output —
+    * the key that makes the next ingest incremental without re-reading the
+    * previous snapshot's payload bytes. */
+  def snapshotDigests(input: DataFrame): DataFrame =
+    input.select(col("url"), xxhash64(col("html")).as("digest"))
+
+  /** Incremental re-extraction for a recurring crawl: given the PREVIOUS
+    * snapshot's committed (url, payload-digest) table and its extraction
+    * output, process the CURRENT snapshot by re-running the kernel only on
+    * urls whose payload is new or changed and carrying the prior output
+    * forward for unchanged urls. Deleted urls drop out naturally (they are
+    * absent from `current`). Output = [[run]]'s schema + a `source` column
+    * (`reused` | `extracted`).
+    *
+    * Correctness rests on extraction being a pure function of the payload
+    * (digest equality ⇒ identical output; the q_incremental_extract oracle
+    * replays exactly this equivalence from the dumped full-extraction
+    * table) and on xxhash64 collision odds (2^-64 per pair — the same
+    * hash-for-payload equivalence the dedup operators pin).
+    *
+    * Scale shape: the status join carries the current snapshot once and
+    * 12 bytes/url of digest state — never two payload copies; the reuse
+    * path is a semi join against a url-only set. In a real deployment both
+    * the snapshot table and the digest/output tables are bucketed by
+    * url-hash, making all three joins co-located (zero shuffle); the
+    * kernel then runs only over the changed slice — on a weekly crawl
+    * that is typically a few percent of 100 TB instead of all of it. */
+  def runIncremental(
+      priorDigests: DataFrame,
+      priorOutput: DataFrame,
+      current: DataFrame,
+      mode: PromptMode = PromptMode.LayoutAll): DataFrame = {
+    val prior = priorDigests.select(col("url"), col("digest").as("__prior"))
+    val cur = current
+      .withColumn("__digest", xxhash64(col("html")))
+      .join(prior, Seq("url"), "left")
+    val unchangedUrls = cur
+      .filter(col("__prior").isNotNull && col("__prior") === col("__digest"))
+      .select("url")
+    val reused = priorOutput
+      .join(unchangedUrls, Seq("url"), "left_semi")
+      .withColumn("source", lit("reused"))
+    val todo = cur
+      .filter(col("__prior").isNull || col("__prior") =!= col("__digest"))
+      .drop("__digest", "__prior")
+    run(todo, mode).withColumn("source", lit("extracted"))
+      .unionByName(reused)
+  }
+
   /** Session defaults for this engine: AQE on (skew-join + coalesce),
     * shuffle partitions sized for the local harness (32 cores), broadcast
     * threshold left default. At cluster scale these become

@@ -191,4 +191,42 @@ class PipelineE2ESpec extends AnyFunSuite {
       assert(pages.exists(_.error.contains("empty page range")), url)
     }
   }
+
+  test("runIncremental ≡ full recompute of the new snapshot; unchanged rows reused") {
+    // snapshot B: drop doc ids %13, swap %11 (id>0) payloads to the
+    // previous doc's html (guaranteed-different payload), add ?v=2
+    // variants for %17 — the same rewrite the registered query uses
+    val withId = input.withColumn("__id",
+      regexp_extract(col("url"), "doc([0-9]+)$", 1).cast("long"))
+    val donors = withId.select((col("__id") + 1).as("__id"),
+      col("html").as("__dh"))
+    val bBase = withId.filter(col("__id") % 13 =!= 0)
+      .join(donors, Seq("__id"), "left")
+      .withColumn("html",
+        when(col("__id") % 11 === 0 && col("__id") > 0, col("__dh"))
+          .otherwise(col("html")))
+      .drop("__dh")
+    val b = bBase.unionByName(withId.filter(col("__id") % 17 === 0)
+        .withColumn("url", concat(col("url"), lit("?v=2"))))
+      .drop("__id")
+
+    val inc = ExtractPipeline.runIncremental(
+      ExtractPipeline.snapshotDigests(input), result, b).cache()
+    val full = ExtractPipeline.run(b)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("url", "n_pages", "md", "md_nohf", "extracted_text",
+        "cells_json", "filtered", "error")
+        .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(rows(inc) sameElements rows(full))
+
+    // routing: changed + new urls extracted, the rest reused
+    val bySource = inc.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nNew = (0L until NDocs).count(_ % 17 == 0)
+    val nChanged = (0L until NDocs).count(i => i % 11 == 0 && i > 0 && i % 13 != 0)
+    val nKept = (0L until NDocs).count(_ % 13 != 0)
+    assert(bySource("extracted") == nNew + nChanged)
+    assert(bySource("reused") == nKept - nChanged)
+  }
 }
