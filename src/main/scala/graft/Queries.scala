@@ -707,6 +707,14 @@ object Queries {
         .withColumnRenamed("id", "url")
         .orderBy("url")),
 
+    // ---- dedup: corpus-GLOBAL exact line dedup (C4/CCNet-style) — every
+    //      exact line survives only at its first occurrence across the
+    //      whole crawl (nav/footer boilerplate shared across pages
+    //      collapses to one copy); line hashes shuffle, line text never
+    "q_line_dedup_global" -> ((s, dir) =>
+      TextOps.dedupLinesAcrossCorpus(vt(s, dir, "extract_docs"), "url", "extracted_text")
+        .orderBy("url")),
+
     // ---- PII redaction: emails / IPv4 / phone numbers → typed
     //      placeholders. Deterministic PII is APPENDED to every document
     //      in the query itself (both engines build the same augmented
@@ -1757,6 +1765,26 @@ object Queries {
            |SELECT d.url, CAST(len(d.ls) AS BIGINT) AS n_lines,
            |  a.n_unique_lines, a.text_dedup
            |FROM d JOIN a USING (url) ORDER BY d.url""".stripMargin,
+      // corpus-global line dedup: row_number over the line TEXT (hash-for-
+      // text equivalence — an xxhash64 collision in Spark would mismatch),
+      // first occurrence = (url, idx) order; left join keeps fully-deduped
+      // docs as empty rewrites
+      "q_line_dedup_global" ->
+        s"""WITH d AS (SELECT url,
+           |  string_split(coalesce(extracted_text, ''), chr(10)) AS ls
+           |  FROM read_parquet('${VerifyTables.oracleGlob("extract_docs")}')),
+           |l AS (SELECT url, generate_subscripts(ls, 1) - 1 AS idx,
+           |  unnest(ls) AS line FROM d),
+           |r AS (SELECT url, idx, line,
+           |  row_number() OVER (PARTITION BY line ORDER BY url, idx) AS rn
+           |  FROM l),
+           |k AS (SELECT url, CAST(count(*) AS BIGINT) AS n_kept_lines,
+           |  string_agg(line, chr(10) ORDER BY idx) AS text_dedup
+           |  FROM r WHERE rn = 1 GROUP BY url)
+           |SELECT d.url, CAST(len(d.ls) AS BIGINT) AS n_lines,
+           |  coalesce(k.n_kept_lines, 0) AS n_kept_lines,
+           |  coalesce(k.text_dedup, '') AS text_dedup
+           |FROM d LEFT JOIN k USING (url) ORDER BY d.url""".stripMargin,
       // noindex filter: the planted every-5th pattern replayed
       // relationally (the HTML meta parse itself is pinned in LinkOpsSpec)
       "q_noindex_filter" ->

@@ -351,6 +351,43 @@ object TextOps {
         array_join(col("__kept"), "\n").as("text_dedup"))
   }
 
+  /** Corpus-GLOBAL exact line dedup (C4 / CCNet-style): every exact line
+    * survives only at its globally FIRST occurrence, ordered by
+    * (doc id asc, line index asc) — the boilerplate-removal pass that
+    * strips repeated nav/footer lines across an entire crawl, not just
+    * within one document.
+    *
+    * Scale shape (three shuffles, none carries per-line text):
+    *   1. exploded (8-byte line hash, id, idx) → groupBy(hash) min-struct
+    *      — 24 B per line instance, the only corpus-wide exchange;
+    *   2. the winning (id, idx) set → groupBy(id) collect keep-indexes —
+    *      payload-free, bounded by per-doc line count;
+    *   3. the doc table joins the keep-index table on id — each doc's
+    *      text crosses once, whole, and the line filter runs map-side.
+    * Line-hash equality stands in for line equality (xxhash64, 2^-64 per
+    * pair); the DuckDB oracle partitions by the line TEXT, so a collision
+    * would surface as a mismatch. */
+  def dedupLinesAcrossCorpus(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df.select(col(idCol).as("__did"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n")).as(Seq("idx", "line")))
+      .select(col("__did"), col("idx"), xxhash64(col("line")).as("__h"))
+    val keepIdx = exploded
+      .groupBy("__h").agg(min(struct(col("__did"), col("idx"))).as("__first"))
+      .select(col("__first.__did").as("__did"), col("__first.idx").as("idx"))
+      .groupBy("__did").agg(collect_list(col("idx")).as("__keep"))
+    val lines = split(coalesce(col(textCol), lit("")), "\n")
+    df.join(keepIdx, df(idCol) === keepIdx("__did"), "left")
+      .select(col(idCol),
+        size(lines).cast("long").as("n_lines"),
+        coalesce(col("__keep"), array().cast("array<int>")).as("__kept"),
+        lines.as("__lines"))
+      .select(col(idCol), col("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept_lines"),
+        array_join(
+          filter(col("__lines"), (x, i) => array_contains(col("__kept"), i)),
+          "\n").as("text_dedup"))
+  }
+
   /** PII redaction — the scrub pass a web corpus runs before training
     * (emails, IPv4 literals, international-format phone numbers →
     * typed placeholders). Pure regex Column algebra: map-only, codegen,

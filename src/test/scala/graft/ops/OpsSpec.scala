@@ -753,6 +753,31 @@ class OpsSpec extends AnyFunSuite {
     assert(r(2).getLong(1) == 1 && r(2).getLong(2) == 1 && r(2).getString(3) == "")
   }
 
+  test("dedupLinesAcrossCorpus: global first occurrence wins by (id, idx); fully-deduped docs survive empty") {
+    val rows = Seq(
+      (1L, "home\nalpha\nfooter"),
+      (2L, "home\nbeta\nfooter"),     // home+footer first seen in doc 1
+      (3L, "home\nfooter"),            // fully boilerplate → empty rewrite
+      (4L, "")                          // first "" line globally → kept
+    ).toDF("doc_id", "text")
+    val r = TextOps.dedupLinesAcrossCorpus(rows, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(1) == 3 && r(0).getLong(2) == 3 &&
+      r(0).getString(3) == "home\nalpha\nfooter")
+    assert(r(1).getLong(1) == 3 && r(1).getLong(2) == 1 &&
+      r(1).getString(3) == "beta")
+    assert(r(2).getLong(1) == 2 && r(2).getLong(2) == 0 &&
+      r(2).getString(3) == "")
+    assert(r(3).getLong(1) == 1 && r(3).getLong(2) == 1 &&
+      r(3).getString(3) == "")
+    // within-doc duplicates also collapse to the single first instance
+    val rep = Seq((1L, "x\nx\nx"), (2L, "x")).toDF("doc_id", "text")
+    val rr = TextOps.dedupLinesAcrossCorpus(rep, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(rr(0).getLong(2) == 1 && rr(0).getString(3) == "x")
+    assert(rr(1).getLong(2) == 0 && rr(1).getString(3) == "")
+  }
+
   test("kmeansLloyd: separated blobs cluster correctly; ties to smaller cid; deterministic") {
     // two well-separated 2-D blobs (with negative coordinates — DIV/`//`
     // truncation parity matters there)
