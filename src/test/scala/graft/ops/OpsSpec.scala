@@ -887,6 +887,30 @@ class OpsSpec extends AnyFunSuite {
       s"text-bearing shuffle: ${bad.map(_.child.output.map(_.name).mkString(",")).mkString("; ")}")
   }
 
+  test("dedupLinesAcrossCorpus: no shuffle carries per-line text; doc text crosses at most one exchange") {
+    val q = TextOps.dedupLinesAcrossCorpus(docs.select("doc_id", "text"), "doc_id", "text")
+    q.collect() // finalize the adaptive plan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case s: QueryStageExec        => nodes(s.plan)
+      case _                        => p +: p.children.flatMap(nodes)
+    }
+    val shuffles = nodes(q.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.nonEmpty)
+    // the exploded per-line rows exchange as (id, idx, 8-byte hash) only
+    val lineBearing = shuffles.filter(_.child.output.exists(_.name == "line"))
+    assert(lineBearing.isEmpty,
+      s"per-line text crossed a shuffle: ${lineBearing.map(_.child.output.map(_.name).mkString(",")).mkString("; ")}")
+    // whole-doc text may cross at most once (the keep-index join side)
+    val docBearing = shuffles.filter(_.child.output.exists(_.name == "text"))
+    assert(docBearing.size <= 1,
+      s"doc text crossed ${docBearing.size} shuffles")
+  }
+
   test("exactQuantiles: distributed prefix sum is exact when distinct values exceed the slice count") {
     // 5,000 distinct values with varying multiplicities — far more than
     // spark.sql.shuffle.partitions range slices, so correctness requires
