@@ -40,7 +40,8 @@ object Bench {
       "q_minhash_e2e", "q_simhash_e2e", "q_dedup_clusters", "q_neardup_dedup",
       "q_decontaminate", "q_ann_topk", "q_ann_ivf", "q_ann_ivf_build",
       "q_ann_ivf_query", "q_kmeans", "q_pagerank", "q_anchor_summary", "q_noindex_filter",
-      "q_split_assign", "q_ngram_surprise",
+      "q_split_assign", "q_ngram_surprise", "q_incremental_extract",
+      "q_line_dedup_global",
       "q_sessionize", "q_broadcast_join", "q_lang_id", "q_fingerprint")
 
     val runHeadline = sys.env.getOrElse("SPARK_GRAFT_HEADLINE", "1") == "1"
@@ -62,6 +63,7 @@ object Bench {
         VerifyTables.ensure(spark, sfDir, "links")        // q_pagerank
         VerifyTables.ensure(spark, sfDir, "anchors")      // q_anchor_summary
         VerifyTables.ensure(spark, sfDir, "northrule")    // q_noindex_filter
+        VerifyTables.ensure(spark, sfDir, "extract_docs")  // q_incremental_extract / q_line_dedup_global
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sig warm-up failed: ${e.getMessage}") }
       val r = headline.flatMap { name =>

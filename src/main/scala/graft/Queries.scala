@@ -248,6 +248,27 @@ object Queries {
         .select(col("id_a"), col("id_b"), round(col("est_jaccard") * 64).cast("long").as("matches64"))
         .orderBy("id_a", "id_b")),
 
+    // ---- dedup: incremental near-dup — an arriving batch (doc_id%5==0)
+    //      dedupes against the already-accepted corpus index (the rest),
+    //      never re-pairing the corpus against itself; every arrival gets
+    //      a verdict row (survived = no index match at the threshold)
+    "q_incremental_neardup" -> ((s, dir) => {
+      val sigs = vt(s, dir, "minhash_sigs")
+      val arrivals = sigs.filter(col("id") % 5 === 0)
+      val index = sigs.filter(col("id") % 5 =!= 0)
+      val pairs = DedupOps.minhashPairsAgainstIndex(arrivals, index,
+        numHashes = 64, bands = 16, threshold = 0.5)
+      val agg = pairs.groupBy(col("id_new").as("id"))
+        .agg(count(lit(1)).as("n_dups"),
+          max(round(col("est_jaccard") * 64).cast("long")).as("max_matches64"))
+      arrivals.select("id").join(agg, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+          coalesce(col("max_matches64"), lit(0L)).as("max_matches64"),
+          col("n_dups").isNull.as("survived"))
+        .orderBy("id")
+    }),
+
     // ---- dedup: SimHash near-dup pairs (chunk join + popcount replayed
     //      by DuckDB from the dumped signatures)
     "q_simhash_pairs" -> ((s, dir) =>
@@ -1566,6 +1587,34 @@ object Queries {
            |SELECT id_a, id_b, CAST(matches AS BIGINT) AS matches64 FROM m
            |WHERE CAST(matches AS DOUBLE) / 64 >= 0.5
            |ORDER BY id_a, id_b""".stripMargin,
+      // incremental near-dup: arrival bands join the hot-bucket-guarded
+      // INDEX bands (chunk equality ⟺ Spark's band-hash equality); the
+      // corpus is never self-paired
+      "q_incremental_neardup" ->
+        s"""WITH s AS (SELECT id, sig
+           |  FROM read_parquet('${VerifyTables.oracleGlob("minhash_sigs")}')),
+           |arr AS (SELECT * FROM s WHERE id % 5 = 0),
+           |idx AS (SELECT * FROM s WHERE id % 5 <> 0),
+           |bi AS (SELECT id, sig, band,
+           |         list_slice(sig, band*4 + 1, band*4 + 4) AS chunk
+           |       FROM idx, range(0, 16) t(band)
+           |       QUALIFY count(*) OVER (PARTITION BY band, chunk) <= 1000),
+           |ba AS (SELECT id, sig, band,
+           |         list_slice(sig, band*4 + 1, band*4 + 4) AS chunk
+           |       FROM arr, range(0, 16) t(band)),
+           |cand AS (SELECT DISTINCT a.id AS id_new, i.id AS id_idx,
+           |           a.sig AS sig_a, i.sig AS sig_b
+           |         FROM ba a JOIN bi i ON a.band = i.band AND a.chunk = i.chunk),
+           |m AS (SELECT id_new, id_idx,
+           |        len(list_filter(range(1, 65), i -> sig_a[i] = sig_b[i])) AS matches
+           |      FROM cand),
+           |f AS (SELECT id_new, count(*) AS n_dups, max(matches) AS mx
+           |      FROM m WHERE CAST(matches AS DOUBLE) / 64 >= 0.5
+           |      GROUP BY id_new)
+           |SELECT arr.id, CAST(coalesce(f.n_dups, 0) AS BIGINT) AS n_dups,
+           |  CAST(coalesce(f.mx, 0) AS BIGINT) AS max_matches64,
+           |  f.id_new IS NULL AS survived
+           |FROM arr LEFT JOIN f ON arr.id = f.id_new ORDER BY arr.id""".stripMargin,
       // SimHash chunk join + popcount Hamming verification; the e2e
       // variant computes signatures in-flight but they are byte-identical
       // to the dump, so ONE replay oracles both

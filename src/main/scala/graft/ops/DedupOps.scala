@@ -151,6 +151,54 @@ object DedupOps {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** Near-dup candidates of an ARRIVING batch against a persisted corpus
+    * signature index — the incremental form of [[minhashPairsFromSigs]]:
+    * a recurring crawl dedupes each new batch against everything already
+    * accepted WITHOUT re-banding or re-pairing the existing corpus
+    * against itself. Returns (id_new, id_idx, est_jaccard).
+    *
+    * Scale shape: the index side is banded once per ingest (in a real
+    * deployment the banded (band, band_hash, id) relation is itself the
+    * persisted index, partitioned by band_hash so the arrival join is
+    * partition-pruned); both join sides carry ~24 B/row — signatures are
+    * re-attached only for surviving candidates. The hot-bucket guard runs
+    * on the INDEX side (where a degenerate band accumulates over time);
+    * a pathological arrival bucket is bounded by batch size × the index
+    * cap. */
+  def minhashPairsAgainstIndex(
+      newSigs: DataFrame,
+      indexSigs: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    def banded(sigs: DataFrame) = sigs.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, r)), lit(b))): _*))
+        .as(Seq("band", "band_hash")))
+    val idx = banded(indexSigs)
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "band_hash")))
+      .filter(col("__n") <= maxBucketSize)
+      .select(col("id").as("id_idx"), col("band"), col("band_hash"))
+    val cand = banded(newSigs)
+      .select(col("id").as("id_new"), col("band"), col("band_hash"))
+      .join(idx, Seq("band", "band_hash"))
+      .select("id_new", "id_idx")
+      .dropDuplicates("id_new", "id_idx")
+    cand
+      .join(newSigs.select(col("id").as("id_new"), col("sig").as("sig_new")), "id_new")
+      .join(indexSigs.select(col("id").as("id_idx"), col("sig").as("sig_idx")), "id_idx")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_new"), col("sig_idx"),
+            (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_new", "id_idx", "est_jaccard")
+  }
+
   /** Exact n-gram Jaccard for a set of candidate pairs (verification). */
   def ngramJaccard(
       df: DataFrame, idCol: String, textCol: String,

@@ -397,6 +397,27 @@ class OpsSpec extends AnyFunSuite {
       .select(col("id"), concat(lit(template + " page token "), col("id")).as("text"))
   }
 
+  test("minhashPairsAgainstIndex: arrivals pair with index only; index never self-pairs; guard on index side") {
+    val sigA = Array.tabulate(64)(i => i.toLong)
+    val sigB = Array.tabulate(64)(i => i + 1000L)
+    val sigC = Array.tabulate(64)(i => i + 2000L)
+    val index = Seq((1L, sigA), (2L, sigB), (3L, sigA)).toDF("id", "sig")
+    val arrivals = Seq((100L, sigA), (101L, sigC)).toDF("id", "sig")
+    val r = DedupOps.minhashPairsAgainstIndex(arrivals, index, threshold = 0.5)
+      .select("id_new", "id_idx").as[(Long, Long)].collect().toSet
+    // arrival 100 matches BOTH copies of sigA in the index; the index's
+    // own near-dup pair (1,3) is never emitted; arrival 101 is clean
+    assert(r == Set((100L, 1L), (100L, 3L)))
+    // est_jaccard on an exact signature match is 1.0
+    val j = DedupOps.minhashPairsAgainstIndex(arrivals, index, threshold = 0.5)
+      .filter(col("id_idx") === 1L).select("est_jaccard").as[Double].head()
+    assert(j == 1.0)
+    // hot-bucket guard: cap 1 drops the two-entry sigA index buckets
+    val g = DedupOps.minhashPairsAgainstIndex(arrivals, index,
+      threshold = 0.5, maxBucketSize = 1)
+    assert(g.count() == 0)
+  }
+
   test("hot-bucket guard bounds candidates on a boilerplate-heavy corpus (simhash + embedding LSH)") {
     val n = 2000
     val corpus = boilerplateCorpus(n).cache()
