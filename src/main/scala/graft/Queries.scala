@@ -248,6 +248,22 @@ object Queries {
         .select(col("id_a"), col("id_b"), round(col("est_jaccard") * 64).cast("long").as("matches64"))
         .orderBy("id_a", "id_b")),
 
+    // ---- dedup: the persistable LSH band index built and written as a
+    //      real partitioned artifact (the LSH analogue of q_ann_ivf_build)
+    //      — per-band entry/key stats read back from the files; the guard
+    //      drops hot buckets at BUILD time so every later batch join is
+    //      bounded by construction
+    "q_band_index_build" -> ((s, dir) => {
+      val sigs = vt(s, dir, "minhash_sigs").filter(col("id") % 5 =!= 0)
+      val idxDir = s"/tmp/graft_band_index_${java.nio.file.Paths.get(dir).getFileName}"
+      DedupOps.minhashBandIndex(sigs)
+        .write.mode("overwrite").partitionBy("band").parquet(idxDir)
+      s.read.parquet(idxDir).groupBy(col("band").cast("int").as("band"))
+        .agg(count(lit(1)).as("n_entries"),
+          countDistinct(col("band_hash")).as("n_keys"))
+        .orderBy("band")
+    }),
+
     // ---- dedup: incremental near-dup — an arriving batch (doc_id%5==0)
     //      dedupes against the already-accepted corpus index (the rest),
     //      never re-pairing the corpus against itself; every arrival gets
@@ -1587,6 +1603,20 @@ object Queries {
            |SELECT id_a, id_b, CAST(matches AS BIGINT) AS matches64 FROM m
            |WHERE CAST(matches AS DOUBLE) / 64 >= 0.5
            |ORDER BY id_a, id_b""".stripMargin,
+      // band index build: per-band stats of the guarded banded relation
+      // (chunk-distinct ⟺ band-hash-distinct absent 64-bit collisions —
+      // the same equivalence the candidate-join oracles rest on)
+      "q_band_index_build" ->
+        s"""WITH s AS (SELECT id, sig
+           |  FROM read_parquet('${VerifyTables.oracleGlob("minhash_sigs")}')
+           |  WHERE id % 5 <> 0),
+           |b AS (SELECT id, band, list_slice(sig, band*4 + 1, band*4 + 4) AS chunk
+           |      FROM s, range(0, 16) t(band)
+           |      QUALIFY count(*) OVER (PARTITION BY band, chunk) <= 1000)
+           |SELECT CAST(band AS INTEGER) AS band,
+           |  CAST(count(*) AS BIGINT) AS n_entries,
+           |  CAST(count(DISTINCT chunk) AS BIGINT) AS n_keys
+           |FROM b GROUP BY band ORDER BY band""".stripMargin,
       // incremental near-dup: arrival bands join the hot-bucket-guarded
       // INDEX bands (chunk equality ⟺ Spark's band-hash equality); the
       // corpus is never self-paired

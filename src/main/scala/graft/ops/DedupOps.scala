@@ -151,6 +151,35 @@ object DedupOps {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** (id, band, band_hash) banding of a signature table — one 8-byte key
+    * per band, the signatures themselves stay out of the relation. */
+  private[ops] def bandedSigs(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    sigs.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, r)), lit(b))): _*))
+        .as(Seq("band", "band_hash")))
+  }
+
+  /** The PERSISTABLE LSH band index: the hot-bucket-guarded banded
+    * relation (id, band, band_hash) a recurring ingest stores once and
+    * every later batch queries. ~24 B per row regardless of signature
+    * width. At cluster scale the artifact is written partitioned by
+    * `band` and bucketed by `band_hash`, so an arriving batch's candidate
+    * join is partition-pruned and co-located — the LSH analogue of the
+    * IVF build/query split (q_ann_ivf_build / q_ann_ivf_query). */
+  def minhashBandIndex(
+      indexSigs: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucketSize: Int = 1000): DataFrame =
+    bandedSigs(indexSigs, numHashes, bands)
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "band_hash")))
+      .filter(col("__n") <= maxBucketSize)
+      .select("id", "band", "band_hash")
+
   /** Near-dup candidates of an ARRIVING batch against a persisted corpus
     * signature index — the incremental form of [[minhashPairsFromSigs]]:
     * a recurring crawl dedupes each new batch against everything already
@@ -172,18 +201,9 @@ object DedupOps {
       bands: Int = 16,
       threshold: Double = 0.7,
       maxBucketSize: Int = 1000): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    def banded(sigs: DataFrame) = sigs.select(col("id"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, r)), lit(b))): _*))
-        .as(Seq("band", "band_hash")))
-    val idx = banded(indexSigs)
-      .withColumn("__n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "band_hash")))
-      .filter(col("__n") <= maxBucketSize)
+    val idx = minhashBandIndex(indexSigs, numHashes, bands, maxBucketSize)
       .select(col("id").as("id_idx"), col("band"), col("band_hash"))
-    val cand = banded(newSigs)
+    val cand = bandedSigs(newSigs, numHashes, bands)
       .select(col("id").as("id_new"), col("band"), col("band_hash"))
       .join(idx, Seq("band", "band_hash"))
       .select("id_new", "id_idx")
