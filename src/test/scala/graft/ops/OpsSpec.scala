@@ -715,6 +715,27 @@ class OpsSpec extends AnyFunSuite {
     assert(again.sorted == r.sorted)
   }
 
+  test("capPerStratum/topKPerStratum: randomized equivalence with naive per-stratum sort-and-take") {
+    val rng = new java.util.Random(7)
+    val data = (0 until 600).map { i =>
+      (i.toLong, s"h${rng.nextInt(7)}", rng.nextInt(20).toLong)
+    }
+    val df = data.toDF("doc_id", "host", "score")
+    def ord(id: Long): Long = ((id % 1000003L) * 2654435761L) % 1000003L
+    val capped = TextOps.capPerStratum(df, "doc_id", "host", cap = 25L)
+      .select("doc_id", "host").as[(Long, String)].collect().toSet
+    val naiveCap = data.groupBy(_._2).flatMap { case (h, rows) =>
+      rows.map(_._1).sortBy(i => (ord(i), i)).take(25).map(i => (i, h))
+    }.toSet
+    assert(capped == naiveCap)
+    val topk = TextOps.topKPerStratum(df, "doc_id", "host", col("score"), k = 9L)
+      .select("doc_id", "host").as[(Long, String)].collect().toSet
+    val naiveTop = data.groupBy(_._2).flatMap { case (h, rows) =>
+      rows.sortBy(r => (-r._3, r._1)).take(9).map(r => (r._1, h))
+    }.toSet
+    assert(topk == naiveTop)
+  }
+
   test("topKPerStratum: score-descending selection, cutoff ties rank by id, small strata intact") {
     // hot: scores 10,20,20,20,5 — k=3 keeps one 20-tie pair + the cutoff
     // tie resolved by smallest id
