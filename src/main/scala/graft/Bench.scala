@@ -41,7 +41,7 @@ object Bench {
       "q_decontaminate", "q_ann_topk", "q_ann_ivf", "q_ann_ivf_build",
       "q_ann_ivf_query", "q_kmeans", "q_pagerank", "q_anchor_summary", "q_noindex_filter",
       "q_split_assign", "q_ngram_surprise", "q_incremental_extract",
-      "q_line_dedup_global",
+      "q_line_dedup_global", "q_band_index_build", "q_incremental_neardup",
       "q_sessionize", "q_broadcast_join", "q_lang_id", "q_fingerprint")
 
     val runHeadline = sys.env.getOrElse("SPARK_GRAFT_HEADLINE", "1") == "1"
