@@ -220,6 +220,20 @@ class PipelineE2ESpec extends AnyFunSuite {
         .collect().map(_.toSeq).sortBy(_.head.toString)
     assert(rows(inc) sameElements rows(full))
 
+    // plan pin: the reuse path's semi join probes a url-only set — the
+    // prior output's payloads never join against anything wider
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val incFresh = ExtractPipeline.runIncremental(
+      ExtractPipeline.snapshotDigests(input), result, b)
+    val semis = incFresh.queryExecution.optimizedPlan
+      .collect { case j: Join if j.joinType == LeftSemi => j }
+    assert(semis.nonEmpty, "expected a semi join on the reuse path")
+    semis.foreach { j =>
+      assert(j.right.output.map(_.name) == Seq("url"),
+        s"reuse probe side widened: ${j.right.output.map(_.name)}")
+    }
+
     // routing: changed + new urls extracted, the rest reused
     val bySource = inc.groupBy("source").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
