@@ -2,17 +2,29 @@ package graft
 
 import graft.gen.InputTable
 import graft.pipeline.ExtractPipeline
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
-/** Benchmark main (driver contract): headline queries on
-  * `SPARK_GRAFT_SF_DIR`, ONE JSON line on stdout, plus the north-rule
-  * scaling evidence — the same extraction job at local[1,2,4,8,32] on
-  * identical input. The reported `scaling_efficiency` is the UNCONTENDED
-  * 1→4 pair `(T_1/T_4) × (1/4)` (the faithful single-box proxy for N→4N
-  * executors; higher levels saturate this host's DRAM and are reported
-  * alongside as the saturation curve; BASELINE.md). Also refreshes
-  * BENCH/BASELINE.md from this invocation's measurements only.
+/** Benchmark main (driver contract): ONE JSON line on stdout carrying the
+  * north-rule scaling evidence plus headline query walls.
+  *
+  * Ordering (round-5 change): the SCALING SWEEP RUNS FIRST — it is the
+  * north-rule criterion (throughput efficiency >= 0.8 from N to 4N), and
+  * rounds 3 and 4 both lost it to harness ordering (r3: external rc=124
+  * timeout mid-sweep recorded nothing; r4: the headline suite ran first
+  * and left budget for exactly ONE contended scaling round). The headline
+  * suite runs in whatever budget remains and truncates query-by-query;
+  * the sweep never does.
+  *
+  * Sweep shape: round 1 measures the full curve (local[1,4,8,32]); every
+  * later round measures ONLY the reported pair {1,4} with fewer in-worker
+  * passes — a pair round costs ~1/3 of a full round, so >= 3 rounds fit
+  * the budget even on a contended box. The reported `scaling_efficiency`
+  * is the CROSS-ROUND-MIN 1->4 pair `(T_1/T_4) x (1/4)` (the faithful
+  * single-box proxy for N->4N executors; higher levels saturate this
+  * host's DRAM and ship alongside as the saturation curve; BASELINE.md).
+  * Also refreshes BENCH/BASELINE.md from this invocation's measurements
+  * (plus a delta table against the PREVIOUS round's driver artifact —
+  * numbers read from BENCH_r{N}.json, never hand-written).
   */
 object Bench {
 
@@ -22,57 +34,223 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** FROZEN since round 4 (judge directive: keep BENCH_r{N} vs r{N-1}
+    * apples-to-apples per query). New queries go in [[extras]]. */
+  private val headline = Vector(
+    "x_extract_full", "x_extract_ocr", "q_page_assembly", "q_agg_pushdown",
+    "q_minhash_e2e", "q_simhash_e2e", "q_dedup_clusters", "q_neardup_dedup",
+    "q_decontaminate", "q_ann_topk", "q_ann_ivf", "q_ann_ivf_build",
+    "q_ann_ivf_query", "q_kmeans", "q_pagerank", "q_anchor_summary", "q_noindex_filter",
+    "q_split_assign", "q_ngram_surprise", "q_incremental_extract",
+    "q_line_dedup_global", "q_band_index_build", "q_incremental_neardup",
+    "q_sessionize", "q_broadcast_join", "q_lang_id", "q_fingerprint")
+
+  /** Round-5 additions, labeled separately so the headline vector stays
+    * frozen. q_web_pipeline_separate exists only as q_web_pipeline's foil:
+    * the same composed web-corpus job with per-op kernel passes (3 DOM
+    * parses per payload) vs the fused single-parse pass. */
+  private val extras = Vector("q_web_pipeline", "q_web_pipeline_separate")
+
   def main(args: Array[String]): Unit = {
     val startNanos = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
-    // HARD wall-clock budget for the whole invocation: the round-3 driver
-    // run hit its external timeout (rc=124) mid-sweep and recorded NOTHING
-    // (`parsed: null`). A complete artifact with fewer rounds beats a
-    // truncated one with more, so every scaling round after the first
-    // checks this deadline and the JSON line is emitted no matter what.
+    // HARD wall-clock budget for the whole invocation (the round-3 driver
+    // run hit its external timeout mid-sweep and recorded NOTHING). The
+    // sweep additionally reserves `headlineReserveSec` so the headline
+    // table is never squeezed to zero by a slow sweep.
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2100").toDouble
+    val headlineReserveSec =
+      sys.env.getOrElse("SPARK_GRAFT_HEADLINE_RESERVE_SEC", "420").toDouble
     def elapsedSec: Double = (System.nanoTime() - startNanos) / 1e9
 
-    val headline = Vector(
-      "x_extract_full", "x_extract_ocr", "q_page_assembly", "q_agg_pushdown",
-      "q_minhash_e2e", "q_simhash_e2e", "q_dedup_clusters", "q_neardup_dedup",
-      "q_decontaminate", "q_ann_topk", "q_ann_ivf", "q_ann_ivf_build",
-      "q_ann_ivf_query", "q_kmeans", "q_pagerank", "q_anchor_summary", "q_noindex_filter",
-      "q_split_assign", "q_ngram_surprise", "q_incremental_extract",
-      "q_line_dedup_global", "q_band_index_build", "q_incremental_neardup",
-      "q_sessionize", "q_broadcast_join", "q_lang_id", "q_fingerprint")
+    // ---- 1. scaling sweep FIRST: same job, same materialized input, at N
+    // and 4N cores. The REPORTED north-rule pair is 1->4: on one box that
+    // is the only regime free of shared-DRAM contention, i.e. the faithful
+    // proxy for adding executor NODES (which bring their own memory
+    // channels). The full curve (1,4,8,32) is measured in round 1 so the
+    // 8->32 saturation behavior is visible, not hidden.
+    val nDocs = math.max(InputTable.docsForSfDir(sfDir),
+      sys.env.getOrElse("SPARK_GRAFT_SCALING_DOCS", "250000").toLong)
+    var scaling = Map.empty[String, Double]
+    var sweepRows: Vector[(Seq[Int], Map[Int, Double])] = Vector.empty
+    // never let a scaling failure swallow the JSON artifact — partial
+    // evidence still beats `parsed: null`
+    try if (runScaling) {
+      // The north-rule metric is docs/sec over a TABLE, so materialize the
+      // synthetic input to parquet once and measure the read->extract->
+      // assemble job. (Measuring generate+extract in one job makes the
+      // generator the bottleneck and says nothing about extraction scaling.)
+      val inputPath = s"/tmp/graft_bench_input_${InputTable.corpusVersion}_${nDocs}_42"
+      if (!Files.exists(Paths.get(inputPath, "_SUCCESS"))) {
+        val s = ExtractPipeline.newSession("local[32]", 64)
+        s.sparkContext.setLogLevel("WARN")
+        InputTable.generate(s, nDocs, seed = 42L, numPartitions = 96)
+          .write.mode("overwrite").parquet(inputPath)
+        s.stop()
+      }
+      // one FRESH JVM per measurement (see BenchWorker): same-JVM session
+      // reuse swings wall times ±5x from accumulated JIT/GC state
+      def extractAt(threads: Int, passes: Int): Double = {
+        val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+        val cp = System.getProperty("java.class.path")
+        val addOpens = java.lang.management.ManagementFactory.getRuntimeMXBean
+          .getInputArguments.toArray.map(_.toString)
+          .filter(a => a.startsWith("--add-opens") || a.startsWith("-Xmx"))
+        val cmd = (Seq(javaBin) ++ addOpens ++
+          Seq("-Dspark.ui.enabled=false", "-cp", cp, "graft.BenchWorker",
+            threads.toString, inputPath)).toArray
+        // INHERIT the worker's stderr: an undrained pipe that fills blocks
+        // the worker forever (and then the 10-min kill wastes budget)
+        val pb = new ProcessBuilder(cmd: _*)
+          .redirectError(ProcessBuilder.Redirect.INHERIT)
+        pb.environment().put("SPARK_GRAFT_PASSES", passes.toString)
+        val p = pb.start()
+        // a hung worker must not eat the whole budget: cap one measurement
+        // at 10 min (3 passes of the slowest level run ~3 min normally)
+        val workerResult = new java.util.concurrent.atomic.AtomicReference[Double](Double.NaN)
+        val reader = new Thread(() => {
+          val out = new String(p.getInputStream.readAllBytes())
+          out.linesIterator.collectFirst {
+            case l if l.startsWith("SECONDS=") => l.stripPrefix("SECONDS=").toDouble
+          }.foreach(v => workerResult.set(v))
+        })
+        reader.start()
+        if (!p.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)) p.destroyForcibly()
+        reader.join(10000)
+        val sec = workerResult.get()
+        System.err.println(f"[bench] local[$threads] fresh-JVM ($passes passes): $sec%.2fs (elapsed ${elapsedSec}%.0fs / budget ${budgetSec}%.0fs)")
+        sec
+      }
+      // warm the OS page cache so the first-measured level isn't penalized
+      // for cold parquet reads
+      Files.walk(Paths.get(inputPath)).forEach { p =>
+        if (Files.isRegularFile(p)) {
+          val in = Files.newInputStream(p)
+          val buf = new Array[Byte](1 << 20)
+          while (in.read(buf) >= 0) {}
+          in.close()
+        }
+      }
+      // Interleaved rounds of fresh JVMs, min per level: ambient load on
+      // the shared sandbox varies minute-to-minute, so consecutive
+      // measurement of one level would bias the pair ratio. Round 1 runs
+      // the full curve; later rounds re-measure ONLY the reported {1,4}
+      // pair, with fewer in-worker passes (JIT converges in ~1 pass at low
+      // thread counts — only 32 threads needs the long convergence ladder,
+      // and 32 is measured once). Round 1 always runs to completion; later
+      // rounds start only if their estimated cost fits in the remaining
+      // budget minus the headline reserve.
+      val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROUNDS", "5").toInt
+      val fullLevels = sys.env.getOrElse("SPARK_GRAFT_SCALING_LEVELS", "1,4,8,32")
+        .split(',').map(_.trim.toInt).toSeq
+      val pairLevels = sys.env.getOrElse("SPARK_GRAFT_SCALING_PAIR", "1,4")
+        .split(',').map(_.trim.toInt).toSeq.filter(fullLevels.contains)
+      val fullPasses = sys.env.getOrElse("SPARK_GRAFT_FULL_PASSES", "3").toInt
+      val pairPasses = sys.env.getOrElse("SPARK_GRAFT_PAIR_PASSES", "2").toInt
+      val byRoundBuf = Vector.newBuilder[(Seq[Int], Map[Int, Double])]
+      var lastPairRoundCost = 0.0
+      var round0Walls = Map.empty[Int, Double]
+      var r = 0
+      var stop = false
+      while (r < rounds && !stop) {
+        val levels = if (r == 0) fullLevels else pairLevels
+        val passes = if (r == 0) fullPasses else pairPasses
+        // estimated cost of the NEXT pair round: measured cost of the last
+        // one, or (first pair round) projected from round 1's walls plus
+        // per-JVM startup overhead
+        val estCost =
+          if (r == 0) 0.0
+          else if (lastPairRoundCost > 0) lastPairRoundCost * 1.15
+          else pairLevels.map(n => round0Walls.getOrElse(n, 60.0) * pairPasses + 25.0).sum * 1.15
+        if (r > 0 && elapsedSec + estCost > budgetSec - headlineReserveSec) {
+          System.err.println(f"[bench] budget guard: stopping after $r rounds (elapsed ${elapsedSec}%.0fs, est next ${estCost}%.0fs, reserve ${headlineReserveSec}%.0fs, budget ${budgetSec}%.0fs)")
+          stop = true
+        } else {
+          val t0 = elapsedSec
+          val walls = levels.map(n => n -> extractAt(n, passes)).toMap
+          byRoundBuf += ((levels, walls))
+          if (r == 0) round0Walls = walls else lastPairRoundCost = elapsedSec - t0
+          r += 1
+        }
+      }
+      val byRound = byRoundBuf.result()
+      sweepRows = byRound
+      def minLevel(n: Int): Double = {
+        val vs = byRound.collect { case (_, w) if w.contains(n) => w(n) }
+          .filterNot(_.isNaN)
+        if (vs.isEmpty) Double.NaN else vs.min
+      }
+      val allLevels = fullLevels
+      val t: Map[Int, Double] = allLevels.map(n => n -> minLevel(n)).toMap
+      def eff(a: Int, b: Int): Double = (t(a) / t(b)) * (a.toDouble / b)
+      // The REPORTED north-rule figure is the CROSS-ROUND-MIN pair: ambient
+      // sandbox stalls only ever ADD wall time, so min-of-passes is the
+      // consistent estimator of each level's uncontended wall (the timeit
+      // convention), and the efficiency of the two minima is a single
+      // defensible number — not a max over noisy estimators. The
+      // within-round pairings (back-to-back, immune to between-round load
+      // drift) ship alongside as labeled median/best — diagnostics.
+      val within14 = byRound.collect {
+        case (_, w) if w.contains(1) && w.contains(4) && !w(1).isNaN && !w(4).isNaN =>
+          (w(1) / w(4)) * 0.25
+      }.sorted
+      val medianWithin14 =
+        if (within14.isEmpty) Double.NaN else within14(within14.length / 2)
+      val eff14 = eff(1, 4)
+      val eff832 = eff(8, 32)
+      scaling = Map(
+        "t1_sec" -> t(1), "t4_sec" -> t(4),
+        "t8_sec" -> t(8), "t32_sec" -> t(32),
+        "docs_per_sec_1" -> nDocs / t(1), "docs_per_sec_4" -> nDocs / t(4),
+        "docs_per_sec_8" -> nDocs / t(8), "docs_per_sec_32" -> nDocs / t(32),
+        // the north-rule N->4N pair, measured in THIS window (uncontended
+        // 1->4 — one box cannot emulate 4N executors' memory channels at
+        // 8->32; the full curve carries the saturation evidence)
+        "scaling_efficiency" -> eff14,
+        "scaling_efficiency_within_round_median" -> medianWithin14,
+        "scaling_efficiency_within_round_best" ->
+          (if (within14.isEmpty) Double.NaN else within14.last),
+        "scaling_efficiency_8_32" -> eff832,
+        "rounds_completed" -> byRound.length.toDouble,
+        "n_docs" -> nDocs.toDouble)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] scaling sweep failed: ${e.getMessage}")
+    }
 
+    // ---- 2. headline queries (frozen set) + labeled extras, in whatever
+    // budget remains; truncation here is per-query (-3 = skipped on
+    // budget) and NEVER touches the sweep above.
     val runHeadline = sys.env.getOrElse("SPARK_GRAFT_HEADLINE", "1") == "1"
-    // per-query cap: the scaling budget guard cannot help if one headline
-    // query wedges (the round-3 artifact died to an external timeout with
-    // nothing recorded) — a capped query logs -2 and the sweep still runs
+    // per-query cap: a wedged query logs -2 and the rest still run
     val queryCapSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_CAP_SEC", "180").toLong
-    val results = if (!runHeadline) Vector.empty[(String, Double)] else {
+    var results = Vector.empty[(String, Double)]
+    var extraResults = Vector.empty[(String, Double)]
+    if (runHeadline) {
       val spark = ExtractPipeline.newSession(s"local[$cpus]", cpus.toInt * 2)
       spark.sparkContext.setLogLevel("WARN")
-      // warm the one VerifyTables dependency of the headline set OUTSIDE
-      // the timed region: q_dedup_clusters reads the dumped simhash
-      // signatures, and on a cold /tmp (every Version bump) the first run
-      // would otherwise time a one-off materialization+parquet-write
-      // instead of the operator
+      // warm the VerifyTables dependencies of the suite OUTSIDE the timed
+      // region: on a cold /tmp (every Version bump) the first run would
+      // otherwise time a one-off materialization+parquet-write instead of
+      // the operator
       try {
         VerifyTables.ensure(spark, sfDir, "simhash_sigs")
         VerifyTables.ensure(spark, sfDir, "minhash_sigs") // q_neardup_dedup
         VerifyTables.ensure(spark, sfDir, "links")        // q_pagerank
         VerifyTables.ensure(spark, sfDir, "anchors")      // q_anchor_summary
         VerifyTables.ensure(spark, sfDir, "northrule")    // q_noindex_filter
-        VerifyTables.ensure(spark, sfDir, "extract_docs")  // q_incremental_extract / q_line_dedup_global
+        VerifyTables.ensure(spark, sfDir, "extract_docs") // q_incremental_extract / q_line_dedup_global
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sig warm-up failed: ${e.getMessage}") }
-      val r = headline.flatMap { name =>
+      def runOne(name: String): Double = {
+        if (elapsedSec > budgetSec) return -3.0 // budget-truncated, logged not hidden
         (Queries.all ++ Queries.benchExtras).get(name).map { fn =>
           // one throwaway executor per query: a driver-side wedge (no
           // cancellable Spark job) must not block the NEXT query's slot.
           // DAEMON threads: a wedged thread that survives shutdownNow()
-          // must not block JVM exit — that would turn the cap's own
-          // escape hatch back into the rc=124 no-artifact failure mode
+          // must not block JVM exit (the rc=124 no-artifact failure mode)
           val pool = java.util.concurrent.Executors.newSingleThreadExecutor(
             (r: Runnable) => { val t = new Thread(r, "bench-query"); t.setDaemon(true); t })
           val task = pool.submit(new java.util.concurrent.Callable[Double] {
@@ -97,192 +275,87 @@ object Bench {
               case _: Throwable => -1.0
             }
           pool.shutdownNow()
-          name -> sec
-        }
+          sec
+        }.getOrElse(-1.0)
       }
+      results = headline.map(n => n -> runOne(n))
+      extraResults = extras.map(n => n -> runOne(n))
       spark.stop()
-      r
     }
 
-    // ---- scaling: same job, same materialized input, at N and 4N cores.
-    // The REPORTED north-rule pair is 1→4: on one box that is the only
-    // regime free of shared-DRAM contention, i.e. the faithful proxy for
-    // adding executor NODES (which bring their own memory channels). The
-    // full curve (1,2,4,8,32) is measured and reported alongside so the
-    // 2→8 and 8→32 saturation behavior is visible, not hidden.
-    val nDocs = math.max(InputTable.docsForSfDir(sfDir),
-      sys.env.getOrElse("SPARK_GRAFT_SCALING_DOCS", "250000").toLong)
-    var scaling = Map.empty[String, Double]
-    // never let a scaling failure swallow the JSON artifact — partial
-    // evidence (headline walls alone) still beats `parsed: null`
-    try if (runScaling) {
-      // The north-rule metric is docs/sec over a TABLE, so materialize the
-      // synthetic input to parquet once and measure the read→extract→
-      // assemble job. (Measuring generate+extract in one job makes the
-      // generator the bottleneck — thread dumps showed InputGen.paragraph
-      // dominating — and says nothing about extraction scaling.)
-      val inputPath = s"/tmp/graft_bench_input_${InputTable.corpusVersion}_${nDocs}_42"
-      if (!java.nio.file.Files.exists(Paths.get(inputPath, "_SUCCESS"))) {
-        val s = ExtractPipeline.newSession("local[32]", 64)
-        s.sparkContext.setLogLevel("WARN")
-        InputTable.generate(s, nDocs, seed = 42L, numPartitions = 96)
-          .write.mode("overwrite").parquet(inputPath)
-        s.stop()
-      }
-      // one FRESH JVM per measurement (see BenchWorker): same-JVM session
-      // reuse swings wall times ±5× from accumulated JIT/GC state
-      def extractAt(threads: Int): Double = {
-        val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
-        val cp = System.getProperty("java.class.path")
-        val addOpens = java.lang.management.ManagementFactory.getRuntimeMXBean
-          .getInputArguments.toArray.map(_.toString)
-          .filter(a => a.startsWith("--add-opens") || a.startsWith("-Xmx"))
-        val cmd = (Seq(javaBin) ++ addOpens ++
-          Seq("-Dspark.ui.enabled=false", "-cp", cp, "graft.BenchWorker",
-            threads.toString, inputPath)).toArray
-        // INHERIT the worker's stderr: an undrained pipe that fills blocks
-        // the worker forever (and then the 10-min kill wastes budget)
-        val p = new ProcessBuilder(cmd: _*)
-          .redirectError(ProcessBuilder.Redirect.INHERIT).start()
-        // a hung worker must not eat the whole budget: cap one measurement
-        // at 10 min (3 passes of the slowest level run ~3 min normally)
-        val workerResult = new java.util.concurrent.atomic.AtomicReference[Double](Double.NaN)
-        val reader = new Thread(() => {
-          val out = new String(p.getInputStream.readAllBytes())
-          out.linesIterator.collectFirst {
-            case l if l.startsWith("SECONDS=") => l.stripPrefix("SECONDS=").toDouble
-          }.foreach(v => workerResult.set(v))
-        })
-        reader.start()
-        if (!p.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)) p.destroyForcibly()
-        reader.join(10000)
-        val sec = workerResult.get()
-        System.err.println(f"[bench] local[$threads] fresh-JVM: $sec%.2fs (elapsed ${elapsedSec}%.0fs / budget ${budgetSec}%.0fs)")
-        sec
-      }
-      // warm the OS page cache so the first-measured level isn't penalized
-      // for cold parquet reads
-      java.nio.file.Files.walk(Paths.get(inputPath)).forEach { p =>
-        if (java.nio.file.Files.isRegularFile(p)) {
-          val in = java.nio.file.Files.newInputStream(p)
-          val buf = new Array[Byte](1 << 20)
-          while (in.read(buf) >= 0) {}
-          in.close()
-        }
-      }
-      // interleaved rounds of fresh JVMs, min per level: ambient load on
-      // the shared sandbox varies minute-to-minute, so consecutive
-      // measurement of one level would bias the pair ratio. Round 1 always
-      // runs to completion (every level needs >=1 measurement); later
-      // rounds start only if the previous round's cost fits in the
-      // remaining budget. local[2] is dropped from the default sweep
-      // (round-3 lesson: it cost ~20% of the sweep and appears in no
-      // reported pair).
-      val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROUNDS", "3").toInt
-      val levels = sys.env.getOrElse("SPARK_GRAFT_SCALING_LEVELS", "1,4,8,32")
-        .split(',').map(_.trim.toInt).toSeq
-      val byRoundBuf = Vector.newBuilder[Map[Int, Double]]
-      var lastRoundCost = 0.0
-      var r = 0
-      var stop = false
-      while (r < rounds && !stop) {
-        if (r > 0 && elapsedSec + lastRoundCost * 1.15 > budgetSec) {
-          System.err.println(f"[bench] budget guard: stopping after $r rounds (elapsed ${elapsedSec}%.0fs, last round ${lastRoundCost}%.0fs, budget ${budgetSec}%.0fs)")
-          stop = true
-        } else {
-          val t0 = elapsedSec
-          byRoundBuf += levels.map(n => n -> extractAt(n)).toMap
-          lastRoundCost = elapsedSec - t0
-          r += 1
-        }
-      }
-      val byRound = byRoundBuf.result()
-      def minLevel(n: Int): Double = {
-        val vs = byRound.map(_(n)).filterNot(_.isNaN)
-        if (vs.isEmpty) Double.NaN else vs.min
-      }
-      val t: Map[Int, Double] = levels.map(n => n -> minLevel(n)).toMap
-      def eff(a: Int, b: Int): Double = (t(a) / t(b)) * (a.toDouble / b)
-      def effRound(r: Map[Int, Double], a: Int, b: Int): Double =
-        (r(a) / r(b)) * (a.toDouble / b)
-      // The REPORTED north-rule figure is the CROSS-ROUND-MIN pair: ambient
-      // sandbox stalls only ever ADD wall time, so min-of-passes is the
-      // consistent estimator of each level's uncontended wall (the timeit
-      // convention), and the efficiency of the two minima is a single
-      // defensible number — not a max over noisy estimators (the round-2
-      // review flagged reporting the best of 5 pairings as upward-biased
-      // selection). The within-round pairings (back-to-back, immune to
-      // between-round load drift) are reported alongside as labeled
-      // median/best — diagnostics, not the headline.
-      val within14 = byRound.map(effRound(_, 1, 4)).filterNot(_.isNaN).sorted
-      val medianWithin14 =
-        if (within14.isEmpty) Double.NaN else within14(within14.length / 2)
-      val eff14 = eff(1, 4)
-      val eff832 = eff(8, 32)
-      scaling = Map(
-        "t1_sec" -> t(1), "t4_sec" -> t(4),
-        "t8_sec" -> t(8), "t32_sec" -> t(32),
-        "docs_per_sec_1" -> nDocs / t(1), "docs_per_sec_4" -> nDocs / t(4),
-        "docs_per_sec_8" -> nDocs / t(8), "docs_per_sec_32" -> nDocs / t(32),
-        // the north-rule N→4N pair, measured in THIS window (uncontended
-        // 1→4 — one box cannot emulate 4N executors' memory channels at
-        // 8→32; the full curve below carries the saturation evidence)
-        "scaling_efficiency" -> eff14,
-        "scaling_efficiency_within_round_median" -> medianWithin14,
-        "scaling_efficiency_within_round_best" ->
-          (if (within14.isEmpty) Double.NaN else within14.last),
-        "scaling_efficiency_8_32" -> eff832,
-        "rounds_completed" -> byRound.length.toDouble,
-        "n_docs" -> nDocs.toDouble)
-      writeBenchMd(sfDir, nDocs, levels, t, byRound, eff14, medianWithin14, eff832, results)
-    } catch {
-      case e: Throwable =>
-        System.err.println(s"[bench] scaling sweep failed: ${e.getMessage}")
-    }
+    if (scaling.nonEmpty)
+      try writeBenchMd(sfDir, nDocs, sweepRows, scaling, results, extraResults)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] BENCH/BASELINE.md write failed: ${e.getMessage}") }
 
     // NaN/Infinity are not JSON — emit null so the artifact stays parseable
     def num(v: Double): String = if (v.isNaN || v.isInfinite) "null" else f"$v%.3f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
-      .mkString("{", ",", "}")
-    val sc = scaling.map { case (k, v) => "\"" + k + "\":" + num(v) }
-      .mkString("{", ",", "}")
+    def obj(rs: Iterable[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"scaling":$sc,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"extras":${obj(extraResults)},"scaling":${obj(scaling)},"sf":"$sfDir"}""")
+  }
+
+  /** Per-query walls from the latest BENCH_r{N}.json driver artifact (the
+    * bench JSON line is embedded in the artifact's "tail" string with
+    * escaped quotes). Numbers for the delta table come from the artifact,
+    * never hand-written; absent/unparseable → empty map, no delta table. */
+  private def priorQueryWalls(): (String, Map[String, Double]) = {
+    val prior = Files.list(Paths.get(".")).toArray.map(_.toString)
+      .filter(_.matches("\\./BENCH_r\\d+\\.json")).sorted.lastOption
+    prior match {
+      case None => ("", Map.empty)
+      case Some(p) =>
+        val s = Files.readString(Paths.get(p))
+        val at = s.lastIndexOf("queries")
+        if (at < 0) return (p, Map.empty)
+        val open = s.indexOf('{', at)
+        val close = s.indexOf('}', open)
+        if (open < 0 || close < 0) return (p, Map.empty)
+        val body = s.substring(open + 1, close)
+        val re = """\\?"([a-z0-9_]+)\\?":(-?[0-9]+(?:\.[0-9]+)?)""".r
+        (p.stripPrefix("./"),
+          re.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap)
+    }
   }
 
   /** BENCH/BASELINE.md is regenerated ENTIRELY from this invocation's
-    * measurements — no hand-written numbers (a previous revision embedded
-    * a static "recorded curve" that could contradict the live table). */
-  private def writeBenchMd(sfDir: String, nDocs: Long, levels: Seq[Int],
-      t: Map[Int, Double], byRound: Vector[Map[Int, Double]],
-      eff14: Double, medianWithin14: Double, eff832: Double,
-      results: Vector[(String, Double)]): Unit = {
+    * measurements plus the prior round's driver artifact — no hand-written
+    * numbers. */
+  private def writeBenchMd(sfDir: String, nDocs: Long,
+      byRound: Vector[(Seq[Int], Map[Int, Double])],
+      scaling: Map[String, Double],
+      results: Vector[(String, Double)],
+      extraResults: Vector[(String, Double)]): Unit = {
+    val levels = byRound.headOption.map(_._1).getOrElse(Seq(1, 4, 8, 32))
+    def t(n: Int): Double = scaling.getOrElse(s"t${n}_sec", Double.NaN)
     val md = new StringBuilder
     md ++= "# BENCH\n\n"
     md ++= s"Input: synthetic north-rule table, $nDocs docs, seed 42, materialized to\n"
     md ++= s"parquet once; measured job = read -> fan-out -> parse kernel -> assemble\n"
     md ++= s"(full materialization via noop sink; min over ${byRound.length} interleaved\n"
-    md ++= s"fresh-JVM rounds per level, deadline-bounded; tier `$sfDir`). All numbers\n"
-    md ++= s"below are from THIS invocation's window.\n\n"
+    md ++= s"fresh-JVM rounds, deadline-bounded; tier `$sfDir`). The sweep runs FIRST\n"
+    md ++= s"(round 1 = full curve, later rounds = the reported {1,4} pair only), the\n"
+    md ++= s"headline suite runs in the remaining budget. All numbers below are from\n"
+    md ++= s"THIS invocation's window (delta column: prior round's driver artifact).\n\n"
     md ++= "## Scaling (north rule: throughput efficiency >= 0.8 from N to 4N parallelism)\n\n"
     md ++= "| parallelism | wall (s) | docs/sec | per-core docs/sec |\n|---|---|---|---|\n"
     levels.foreach { n =>
       md ++= f"| ${s"local[$n]"}%-9s | ${t(n)}%.2f | ${nDocs / t(n)}%.0f | ${nDocs / t(n) / n}%.0f |\n"
     }
     md ++= "\n| pair (N -> 4N cores) | T_N (s) | T_4N (s) | efficiency |\n|---|---|---|---|\n"
-    md ++= f"| **1 -> 4 (uncontended — the reported pair; cross-round-min walls)** | ${t(1)}%.2f | ${t(4)}%.2f | **$eff14%.3f** |\n"
-    md ++= f"| 8 -> 32 (DRAM-saturated) | ${t(8)}%.2f | ${t(32)}%.2f | $eff832%.3f |\n\n"
+    md ++= f"| **1 -> 4 (uncontended — the reported pair; cross-round-min walls)** | ${t(1)}%.2f | ${t(4)}%.2f | **${scaling.getOrElse("scaling_efficiency", Double.NaN)}%.3f** |\n"
+    md ++= f"| 8 -> 32 (DRAM-saturated) | ${t(8)}%.2f | ${t(32)}%.2f | ${scaling.getOrElse("scaling_efficiency_8_32", Double.NaN)}%.3f |\n\n"
     md ++= f"Within-round 1 -> 4 pairings (back-to-back, immune to between-round load\n"
-    md ++= f"drift): median $medianWithin14%.3f, per round in the table below. The\n"
-    md ++= f"REPORTED figure is the cross-round-min pair — min-of-passes is the\n"
-    md ++= f"consistent estimator under the sandbox's strictly-additive ambient\n"
-    md ++= f"stalls; no max-over-estimators selection.\n\n"
-    md ++= "| round | " + levels.map(n => s"T_$n").mkString(" | ") + " | eff 1->4 within round |\n"
-    md ++= "|---|" + levels.map(_ => "---|").mkString + "---|\n"
-    byRound.zipWithIndex.foreach { case (r, i) =>
-      md ++= f"| ${i + 1} | " + levels.map(n => f"${r(n)}%.2f").mkString(" | ") +
-        f" | ${(r(1) / r(4)) * 0.25}%.3f |\n"
+    md ++= f"drift): median ${scaling.getOrElse("scaling_efficiency_within_round_median", Double.NaN)}%.3f, per round below. The REPORTED figure is the\n"
+    md ++= f"cross-round-min pair — min-of-passes is the consistent estimator under\n"
+    md ++= f"the sandbox's strictly-additive ambient stalls; no max-over-estimators\n"
+    md ++= f"selection.\n\n"
+    md ++= "| round | levels | walls (s) | eff 1->4 within round |\n|---|---|---|---|\n"
+    byRound.zipWithIndex.foreach { case ((ls, w), i) =>
+      val walls = ls.map(n => f"T_$n=${w(n)}%.2f").mkString(", ")
+      val e = if (w.contains(1) && w.contains(4)) f"${(w(1) / w(4)) * 0.25}%.3f" else "—"
+      md ++= s"| ${i + 1} | ${ls.mkString(",")} | $walls | $e |\n"
     }
     md ++= "\n"
     md ++= "Why 1 -> 4 is the honest N -> 4N proxy on one box: the dataflow is map-only\n"
@@ -295,9 +368,29 @@ object Bench {
     md ++= "dataflow. On a real cluster 4N executors bring 4x memory channels — the one\n"
     md ++= "resource a single box cannot multiply. The sandbox also shows minute-scale\n"
     md ++= "ambient stalls (identical configs swing 2-5x wall), hence min-of-passes +\n"
-    md ++= "interleaved fresh-JVM rounds.\n\n"
-    md ++= "## Headline queries (single session, local[cpus], one pass each)\n\n| query | sec |\n|---|---|\n"
-    results.foreach { case (k, v) => md ++= f"| $k | $v%.3f |\n" }
+    md ++= "interleaved fresh-JVM rounds, sweep-first ordering, and {1,4}-only\n"
+    md ++= "re-measurement after round 1.\n\n"
+    val (priorName, prior) = priorQueryWalls()
+    md ++= "## Headline queries (FROZEN 27-query set; single session, local[cpus], one pass each)\n\n"
+    md ++= "-2 = exceeded per-query cap; -3 = budget-truncated (skipped, not hidden).\n\n"
+    if (prior.nonEmpty) {
+      md ++= s"| query | sec | prior ($priorName) | delta |\n|---|---|---|---|\n"
+      results.foreach { case (k, v) =>
+        prior.get(k) match {
+          case Some(pv) if v >= 0 && pv >= 0 =>
+            md ++= f"| $k | $v%.3f | $pv%.3f | ${v - pv}%+.3f |\n"
+          case Some(pv) => md ++= f"| $k | $v%.3f | $pv%.3f | — |\n"
+          case None     => md ++= f"| $k | $v%.3f | — | — |\n"
+        }
+      }
+    } else {
+      md ++= "| query | sec |\n|---|---|\n"
+      results.foreach { case (k, v) => md ++= f"| $k | $v%.3f |\n" }
+    }
+    if (extraResults.nonEmpty) {
+      md ++= "\n## Extras (new this round — NOT in the frozen headline vector)\n\n| query | sec |\n|---|---|\n"
+      extraResults.foreach { case (k, v) => md ++= f"| $k | $v%.3f |\n" }
+    }
     Files.createDirectories(Paths.get("BENCH"))
     Files.writeString(Paths.get("BENCH/BASELINE.md"), md.toString)
   }
