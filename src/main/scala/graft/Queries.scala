@@ -1007,7 +1007,7 @@ object Queries {
       """SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
         |x -> x <> '')) AS BIGINT) AS n_tokens FROM documents ORDER BY doc_id""".stripMargin,
     "q_subword_count" ->
-      """SELECT doc_id, CAST(len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N} ]'))
+      """SELECT doc_id, CAST(len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]'))
         |AS BIGINT) AS n_subwords FROM documents ORDER BY doc_id""".stripMargin,
     "q_repetition" ->
       """SELECT doc_id,

@@ -88,11 +88,24 @@ object ExtractKernel {
     * bboxes stay in original pixel space. Throws on undecodable bytes —
     * [[parsePage]] converts that into the typed error row. */
   def imageToLayout(bytes: Array[Byte], fitzPreprocess: Boolean = false): HtmlExtract.PageLayout = {
-    // header-only dims probe (hot path: no pixel decode); formats the
-    // sniffer doesn't cover fall back to the full decode, and a payload
-    // neither understands throws → typed error row
+    // header-only dims probe (hot path: no pixel decode), gated by a
+    // structural trailer check (Raster.trailerOk): a sniffed-but-TRUNCATED
+    // payload must not yield a successful Picture row whose full-bleed md
+    // embeds broken bytes — the reference's fetch_image decode raises
+    // there (PIL errors on truncated files at load), so a missing trailer
+    // THROWS here → parsePage's typed error row. (It must throw, not fall
+    // back to ImageIO: ImageIO silently returns the partial pixels of a
+    // truncated JPEG.) Residual weakening vs the reference: pixel-data
+    // corruption BEHIND an intact trailer still embeds verbatim (as a
+    // browser would render it) — accepted and documented; catching it
+    // would need the 8×-wall full decode per image that the fast path
+    // exists to avoid. Formats the sniffer doesn't cover take the full
+    // decode, which throws on undecodable bytes → same typed error row.
     val (w, h) = Raster.headerInfo(bytes) match {
-      case Some((wi, hi, _)) => (wi.toLong, hi.toLong)
+      case Some((wi, hi, _)) =>
+        if (!Raster.trailerOk(bytes))
+          throw new IllegalArgumentException("truncated raster: missing trailer")
+        (wi.toLong, hi.toLong)
       case None =>
         val img = Raster.decode(bytes)
         (img.getWidth.toLong, img.getHeight.toLong)

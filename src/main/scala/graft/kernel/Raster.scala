@@ -47,18 +47,62 @@ object Raster {
     } else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
       // scan JPEG segments for a start-of-frame marker (C0–CF minus C4/C8/CC)
       var i = 2
-      while (i + 9 < bytes.length && (bytes(i) & 0xff) == 0xff) {
-        val marker = bytes(i + 1) & 0xff
+      while (i + 1 < bytes.length && (bytes(i) & 0xff) == 0xff) {
+        // skip 0xFF fill/padding bytes before the marker byte (legal per
+        // ITU T.81 §B.1.1.2) — treating a pad byte as the marker would
+        // read a bogus segment length and desynchronize the scan
+        var m = i + 1
+        while (m < bytes.length && (bytes(m) & 0xff) == 0xff) m += 1
+        if (m >= bytes.length) return None
+        val marker = bytes(m) & 0xff
         if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
-          val h = be16(i + 5); val w = be16(i + 7)
+          if (m + 7 >= bytes.length) return None
+          val h = be16(m + 4); val w = be16(m + 6)
           return if (w > 0 && h > 0) Some((w, h, true)) else None
         }
-        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) i += 2 // no-payload markers
-        else if (marker == 0x01) i += 2
-        else i += 2 + be16(i + 2)
+        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01)
+          i = m + 1 // no-payload markers
+        else {
+          if (m + 2 >= bytes.length) return None
+          i = m + 1 + be16(m + 1) // length field includes its own 2 bytes
+        }
       }
       None
     } else None
+  }
+
+  /** Cheap structural completeness check for the header-probe fast path:
+    * a PNG must end with the fixed 12-byte IEND chunk; a JPEG must carry
+    * an EOI marker (FF D9) within its last 64 bytes (trailing junk after
+    * EOI is common in the wild; a conforming encoder ends exactly there).
+    * Catches TRUNCATION — the corruption class real crawls and the fuzz
+    * battery actually produce — without touching pixel data. A payload
+    * that fails this check falls back to the full decode, which throws on
+    * genuinely broken bytes → typed error row. */
+  def trailerOk(bytes: Array[Byte]): Boolean = {
+    val n = bytes.length
+    if (n >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P') {
+      // the full fixed IEND chunk, anywhere in the last 512 bytes
+      // (conforming encoders end exactly there; some files carry junk)
+      val iend = Array[Int](0, 0, 0, 0, 'I', 'E', 'N', 'D', 0xae, 0x42, 0x60, 0x82)
+      var i = n - 12
+      val stop = math.max(0, n - 512)
+      while (i >= stop) {
+        var j = 0
+        while (j < 12 && (bytes(i + j) & 0xff) == iend(j)) j += 1
+        if (j == 12) return true
+        i -= 1
+      }
+      false
+    } else {
+      var i = n - 2
+      val stop = math.max(0, n - 512)
+      while (i >= stop) {
+        if ((bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xd9) return true
+        i -= 1
+      }
+      false
+    }
   }
 
   /** Decode PNG/JPEG bytes; throws on undecodable payloads (callers fall

@@ -385,14 +385,25 @@ object SimilarityOps {
     var cents = expl.join(broadcast(initIds), Seq("id"))
       .select(col("cid"), col("dim"), col("v").as("cv"))
       .localCheckpoint(true)
-    for (_ <- 0 until iters) {
+    for (it <- 0 until iters) {
       val assign = assignTo(cents)
       cents = expl.join(assign.withColumnRenamed("cluster", "cid"), Seq("id"))
         .groupBy("cid", "dim")
         .agg(expr("sum(v) DIV count(1)").as("cv"))
         .localCheckpoint(true)
+      // an empty cluster silently drops out of the centroid table (Lloyd's
+      // standard degeneracy) — log it instead of shrinking k unannounced.
+      // One count() on the just-checkpointed k·d-row table: O(k·d), free.
+      val kNow = cents.select("cid").distinct().count()
+      if (kNow < k)
+        System.err.println(s"[kmeans] iteration ${it + 1}: $kNow of $k clusters " +
+          "non-empty — empty clusters dropped out and k shrank")
     }
-    val out = assignTo(cents)
+    // materialize the FINAL assignment before unpersisting expl: the
+    // returned plan references expl, and unpersisting first would make
+    // the caller's evaluation recompute the exploded+quantized corpus
+    // from scratch — the most expensive pass (round-4 advice)
+    val out = assignTo(cents).localCheckpoint(true)
     expl.unpersist()
     out
   }

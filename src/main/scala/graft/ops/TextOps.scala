@@ -17,13 +17,16 @@ object TextOps {
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   /** BPE-ish subword count: word-piece regex segmentation — letter/number
-    * runs plus individual non-space marks (the standard pre-tokenizer
+    * runs plus individual non-whitespace marks (the standard pre-tokenizer
     * shape for byte-pair encoders). Formulated as a match COUNT instead of
     * a lookaround split so the pattern is RE2-safe and the DuckDB oracle
-    * replays it verbatim (equivalent by construction: the split's tokens
-    * were exactly these matches, with space tokens dropped). */
+    * replays it verbatim. The mark alternative excludes `\s` (not just
+    * ' '): multi-line text joins paragraphs with \n\n, and counting each
+    * newline/tab as a subword token would inflate counts (round-4 advice).
+    * NBSP is outside ASCII `\s` in BOTH engines, so it counts as a mark
+    * consistently — the cross-engine contract is the pattern itself. */
   def subwordCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[\\p{L}\\p{N}]+|[^\\p{L}\\p{N} ]"), lit(0))).cast("long")
+    size(regexp_extract_all(text, lit("[\\p{L}\\p{N}]+|[^\\p{L}\\p{N}\\s]"), lit(0))).cast("long")
 
   /** Integer quality features (kept integral so results are engine-exact):
     * chars, tokens, sentence punctuation, digits, uppercase letters. */
@@ -574,7 +577,12 @@ object TextOps {
   def topKPerStratum(df: DataFrame, idCol: String, stratumCol: String,
       scoreCol: Column, k: Long): DataFrame = {
     require(k > 0L, "k must be positive")
-    val withOrd = df.withColumn("__ord", -scoreCol.cast("long"))
+    // negate on decimal(20,0), not long: -Long.MinValue overflows under
+    // ANSI, and decimal(20,0) holds the full negated long range. Score
+    // contract is INTEGRAL (every caller passes counts/lengths/integer
+    // quality scores); a fractional score is rounded half-up by the
+    // decimal cast — same discretization both engines replay.
+    val withOrd = df.withColumn("__ord", -scoreCol.cast("decimal(20,0)"))
     val quotas = withOrd.groupBy(col(stratumCol))
       .agg(least(count(lit(1)), lit(k)).as("__k"))
     quotaSelect(df, withOrd, idCol, stratumCol, quotas)
@@ -632,7 +640,13 @@ object TextOps {
       .agg(max(struct(col("__ord"), (col("__k") - col("__before")).as("__rem"))).as("__cut0"))
       .select(col(stratumCol), col("__cut0.__ord").as("__cut"),
         col("__cut0.__rem").as("__take"))
-    val joined = withOrd.join(broadcast(cuts), Seq(stratumCol))
+    // NO forced broadcast of `cuts`: it is one row per stratum, and for
+    // per-host strata (capPerStratum/topKPerStratum) the stratum count is
+    // unbounded at crawl scale — a forced hint would bypass AQE's size
+    // check and OOM the executors (the same no-forced-broadcast-of-
+    // caller-sized-tables discipline as decontaminate). AQE broadcasts it
+    // at runtime whenever it is actually small.
+    val joined = withOrd.join(cuts, Seq(stratumCol))
     val below = joined.filter(col("__ord") < col("__cut"))
     val wTie = Window.partitionBy(stratumCol).orderBy(col(idCol).asc)
     val atCut = joined.filter(col("__ord") === col("__cut"))

@@ -119,4 +119,29 @@ class ImageBranchSpec extends AnyFunSuite {
     val layoutMode = ExtractKernel.parsePage(page, PromptMode.LayoutAll)
     assert(layoutMode.filtered || layoutMode.cells_json.nonEmpty)
   }
+
+  test("JPEG header scan tolerates 0xFF fill bytes before markers (T.81 B.1.1.2)") {
+    val orig = jpeg(280, 210)
+    // inject two legal fill bytes before the first post-SOI segment marker
+    val padded = orig.take(2) ++ Array[Byte](0xff.toByte, 0xff.toByte) ++ orig.drop(2)
+    assert(Raster.headerInfo(padded).map { case (w, h, _) => (w, h) }.contains((280, 210)),
+      "fill bytes must be skipped, not parsed as a marker with a bogus length")
+    // and the desync class the fix closes: without the skip, the scan read
+    // the next marker's bytes as a segment length — dims came out wrong or
+    // the scan ran off the segment chain
+  }
+
+  test("truncated image payloads yield a typed error row, not a Picture row embedding broken bytes") {
+    for (bytes <- Seq(png(300, 400), jpeg(280, 210))) {
+      val cut = bytes.take(bytes.length / 2) // valid magic + header, broken body
+      assert(ExtractKernel.isImage(cut), "truncation preserves the magic")
+      assert(!Raster.trailerOk(cut), "structural check must catch the truncation")
+      val page = ExtractKernel.fanOut(doc(cut)).head
+      val parsed = ExtractKernel.parsePage(page, PromptMode.LayoutAll)
+      assert(parsed.error.nonEmpty && parsed.md.isEmpty,
+        s"expected typed error row for truncated payload, got md=${parsed.md.take(60)}")
+    }
+    // intact payloads still pass the structural gate (fast path preserved)
+    assert(Raster.trailerOk(png(30, 40)) && Raster.trailerOk(jpeg(30, 40)))
+  }
 }

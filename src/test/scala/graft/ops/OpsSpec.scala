@@ -753,6 +753,16 @@ class OpsSpec extends AnyFunSuite {
     assert(r4.map(_._1).toSet == Set(1L, 2L, 3L, 4L, 10L))
   }
 
+  test("topKPerStratum: Long.MinValue score does not overflow the negated ord axis (ANSI)") {
+    // -Long.MinValue overflows a long under ANSI; the ord axis is
+    // decimal(20,0) so the extreme score just ranks last
+    val rows = Seq((1L, "h", Long.MinValue), (2L, "h", 5L), (3L, "h", Long.MaxValue))
+      .toDF("doc_id", "host", "score")
+    val r = TextOps.topKPerStratum(rows, "doc_id", "host", col("score"), k = 2L)
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    assert(r.map(_._1) == Seq(2L, 3L), s"top-2 must be the two largest scores, got $r")
+  }
+
   test("c4LineFilter: terminal punct + min words + javascript rules; page flags") {
     val rows = Seq(
       (1L, "This line has enough words here.\nshort one.\nno terminal punct here at all\n" +
