@@ -51,6 +51,28 @@ object Queries {
   // under Spark's partial aggregation vs DuckDB's sequential sum)
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
+  /** Planted meta-robots documents for q_web_pipeline: the synthetic
+    * corpus carries no robots metas, so three hand-checkable docs (single
+    * `<p>` body → md IS the paragraph text; mixed-case name/content,
+    * `none` directive) exercise the fused robots walk end-to-end. The
+    * oracle replays them as SQL literals. */
+  private def plantedRobotsDocs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("https://planted.example/robots/a",
+        "<html><head><meta name=\"ROBOTS\" content=\"NOINDEX, nofollow\"></head>" +
+          "<body><p>Planted alpha paragraph.</p></body></html>"),
+      ("https://planted.example/robots/b",
+        "<html><head><meta name=\"robots\" content=\"nofollow\"></head>" +
+          "<body><p>Planted beta paragraph.</p></body></html>"),
+      ("https://planted.example/robots/c",
+        "<html><head><meta name=\"robots\" content=\"none\"></head>" +
+          "<body><p>Planted gamma paragraph.</p></body></html>"))
+      .toDF("url", "h")
+      .select(col("url"), lit(null).cast("timestamp").as("warc_ts"),
+        encode(col("h"), "UTF-8").as("html"), lit("").as("text"), lit("en").as("lang"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- extraction pipeline surface. x_extract_full now carries a REAL
@@ -470,6 +492,31 @@ object Queries {
       val docs = vt(s, dir, "northrule")
         .select(col("url"), encode(html, "UTF-8").as("html"))
       LinkOps.filterNoindex(docs).select("url").orderBy("url")
+    }),
+
+    // ---- FUSED web-corpus pass (round-5 flagship composition): ONE DOM
+    //      parse per payload feeds extraction + outlinks + anchors +
+    //      robots (WebPipeline.run), where the per-op composition parses
+    //      each payload 3×. The oracle is the strongest equivalence
+    //      available: it reassembles the SEPARATE passes' dumped tables
+    //      (extract_docs / links / anchors) in DuckDB — the fused pass
+    //      must reproduce the independent per-op outputs byte-for-byte.
+    //      Three planted docs with meta-robots exercise the robots walk
+    //      end-to-end (the synthetic corpus carries none); their md is a
+    //      hand-checkable constant, replayed as SQL literals. The real
+    //      rows' n_robots=0/noindex=false IS an assertion: a misfiring
+    //      fused robots walk on real pages would break the hash.
+    "q_web_pipeline" -> ((s, dir) => {
+      val input = vt(s, dir, "northrule").unionByName(plantedRobotsDocs(s))
+      graft.pipeline.WebPipeline.run(input)
+        .select(col("url"), col("n_pages"), col("md"), col("extracted_text"),
+          size(col("links")).cast("long").as("n_links"),
+          size(col("anchors")).cast("long").as("n_anchors"),
+          aggregate(col("anchors"), lit(0L),
+            (a, x) => a + length(x.getField("anchor")).cast("long")).as("n_anchor_chars"),
+          size(col("robots")).cast("long").as("n_robots"),
+          exists(col("robots"), t => t === "noindex" || t === "none").as("noindex"))
+        .orderBy("url")
     }),
 
     // ---- web graph → curation: host-reputation gate — PageRank host
@@ -914,6 +961,21 @@ object Queries {
     s"/tmp/graft_ivf_index_${java.nio.file.Paths.get(dir).getFileName}"
 
   val benchExtras: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- q_web_pipeline's foil: the SAME composed output via the per-op
+    //      entry points (3 DOM parses per HTML payload) — bench-only, to
+    //      measure what the fused single-parse pass saves
+    "q_web_pipeline_separate" -> ((s, dir) => {
+      val input = vt(s, dir, "northrule").unionByName(plantedRobotsDocs(s))
+      graft.pipeline.WebPipeline.runSeparate(input)
+        .select(col("url"), col("n_pages"), col("md"), col("extracted_text"),
+          size(col("links")).cast("long").as("n_links"),
+          size(col("anchors")).cast("long").as("n_anchors"),
+          aggregate(col("anchors"), lit(0L),
+            (a, x) => a + length(x.getField("anchor")).cast("long")).as("n_anchor_chars"),
+          size(col("robots")).cast("long").as("n_robots"),
+          exists(col("robots"), t => t === "noindex" || t === "none").as("noindex"))
+        .orderBy("url")
+    }),
     "q_minhash_e2e" -> ((s, dir) =>
       DedupOps.minhashDupPairs(t(s, dir, "documents"), "doc_id", "text",
         numHashes = 64, bands = 16, threshold = 0.5)
@@ -956,6 +1018,40 @@ object Queries {
     * `read_parquet` globs under VerifyTables' content-keyed root —
     * Verify.main materializes them in the same invocation that dumps this
     * map, so the driver's DuckDB replay reads exactly what Spark read. */
+  /** Shared oracle for q_web_pipeline and its separate-pass foil: the
+    * per-op dumps reassembled + planted-robots literals. */
+  private lazy val webPipelineOracle: String =
+    s"""WITH d AS (SELECT url, n_pages, md, extracted_text
+           |  FROM read_parquet('${VerifyTables.oracleGlob("extract_docs")}')),
+           |l AS (SELECT src, CAST(count(*) AS BIGINT) AS n_links
+           |  FROM read_parquet('${VerifyTables.oracleGlob("links")}') GROUP BY src),
+           |a AS (SELECT src, CAST(count(*) AS BIGINT) AS n_anchors,
+           |  CAST(sum(length(anchor)) AS BIGINT) AS n_anchor_chars
+           |  FROM read_parquet('${VerifyTables.oracleGlob("anchors")}') GROUP BY src),
+           |realrows AS (SELECT d.url, d.n_pages, d.md, d.extracted_text,
+           |  coalesce(l.n_links, 0) AS n_links,
+           |  coalesce(a.n_anchors, 0) AS n_anchors,
+           |  coalesce(a.n_anchor_chars, 0) AS n_anchor_chars,
+           |  CAST(0 AS BIGINT) AS n_robots, false AS noindex
+           |  FROM d LEFT JOIN l ON l.src = d.url LEFT JOIN a ON a.src = d.url),
+           |planted AS (SELECT * FROM (VALUES
+           |  ('https://planted.example/robots/a', CAST(1 AS BIGINT),
+           |   'Planted alpha paragraph.', 'Planted alpha paragraph.',
+           |   CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           |   CAST(2 AS BIGINT), true),
+           |  ('https://planted.example/robots/b', CAST(1 AS BIGINT),
+           |   'Planted beta paragraph.', 'Planted beta paragraph.',
+           |   CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           |   CAST(1 AS BIGINT), false),
+           |  ('https://planted.example/robots/c', CAST(1 AS BIGINT),
+           |   'Planted gamma paragraph.', 'Planted gamma paragraph.',
+           |   CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           |   CAST(1 AS BIGINT), true))
+           |  AS v(url, n_pages, md, extracted_text, n_links, n_anchors,
+           |       n_anchor_chars, n_robots, noindex))
+           |SELECT * FROM realrows UNION ALL SELECT * FROM planted
+           |ORDER BY url""".stripMargin
+
   def oracles: Map[String, String] = staticOracles ++ materializedOracles
 
   private val staticOracles: Map[String, String] = Map(
@@ -1871,6 +1967,15 @@ object Queries {
            |  CAST(regexp_extract(url, 'doc([0-9]+)$$', 1) AS BIGINT) AS n
            |  FROM read_parquet('${VerifyTables.oracleGlob("northrule")}'))
            |WHERE n % 5 <> 0 ORDER BY url""".stripMargin,
+      // fused web pass: the SEPARATE passes' dumps reassembled — the
+      // fused single-DOM-parse output must match the independent per-op
+      // tables (extract_docs / links / anchors) byte-for-byte; planted
+      // robots docs replayed as hand-written literals
+      "q_web_pipeline" -> webPipelineOracle,
+      // the separate-pass bench foil produces IDENTICAL rows by contract
+      // (WebPipelineSpec pins it) — same oracle, so the equivalence is
+      // also checked by the independent engine
+      "q_web_pipeline_separate" -> webPipelineOracle,
       // anchor-text summary: aggregation replayed from the dumped
       // (src, dst, anchor) table; the Spark min(struct(-c, anchor)) top
       // pick is the window's "ORDER BY c DESC, anchor ASC" row 1

@@ -368,6 +368,23 @@ object ExtractKernel {
     }
   }
 
+  /** HTML-branch parse from an already-built DOM — the fused web-pipeline
+    * entry (graft.pipeline.WebPipeline): one `HtmlDom.parse` feeds
+    * extraction AND the link/anchor/robots harvest. Element-wise identical
+    * to `parsePage(RawPage(url, 0, 1, "html", bytes, lang), mode)` when
+    * `root = HtmlDom.parse(HtmlDom.decodeBytes(bytes))` — same layout
+    * pipeline, same generic-catch error row (pinned by WebPipelineSpec).
+    * Caller guarantees the payload dispatched to the HTML branch. */
+  def parseHtmlDoc(doc: PageDoc, mode: PromptMode, root: HtmlDom.Element): ParsedPage = {
+    val page = RawPage(doc.url, 0, 1, "html", null, doc.lang)
+    try parseLayout(page, mode, HtmlExtract.extractFromDom(root))
+    catch {
+      case e: Exception =>
+        ParsedPage(doc.url, 0, 0, 0, 0, 0, "", "", "", "",
+          filtered = false, error = s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+  }
+
   /** Mode dispatch + render from an already-built page layout
     * (the shared tail of parsePage and parseDoc). */
   private def parseLayout(page: RawPage, mode: PromptMode,

@@ -60,11 +60,15 @@ object HtmlExtract {
   def extract(htmlBytes: Array[Byte]): PageLayout =
     extractFromString(HtmlDom.decodeBytes(htmlBytes))
 
-  def extractFromString(html: String): PageLayout = {
-    val root = HtmlDom.parse(html)
-    val blocks = classify(root)
-    layout(blocks)
-  }
+  def extractFromString(html: String): PageLayout =
+    extractFromDom(HtmlDom.parse(html))
+
+  /** Layout from an already-parsed DOM — the fused web-pipeline entry:
+    * extraction, outlink/anchor harvest and robots directives can share
+    * ONE `HtmlDom.parse` per payload instead of re-parsing per operator
+    * (the DOM parse dominates per-page CPU at corpus scale). */
+  def extractFromDom(root: HtmlDom.Element): PageLayout =
+    layout(classify(root))
 
   /** Walk the DOM in document order, emitting classified blocks. */
   def classify(root: HtmlDom.Element): Vector[Block] = {

@@ -122,6 +122,38 @@ object LinkOps {
       s.substring(0, cut)
     }
 
+  /** ONE walk over an already-parsed DOM harvesting everything the
+    * web-graph family needs from a page: (dst, anchor-text) pairs in
+    * document order (anchors' dst sequence IS the outlink sequence — same
+    * element, same resolution) plus the lowercased robots meta directives.
+    * This is the fused-pass worker (graft.pipeline.WebPipeline): a
+    * composed corpus job used to re-parse each HTML payload up to 3× —
+    * extraction, outlinks/anchors, meta-robots — and the DOM parse is the
+    * dominant per-page CPU at 100 TB. [[anchorsOf]] and [[metaRobots]]
+    * delegate here so the separate-pass operators can never diverge from
+    * the fused pass. May throw on a broken DOM — byte-level callers wrap
+    * (the never-throw contract lives one level up). */
+  def artifactsOfDom(baseUrl: String,
+      root: HtmlDom.Element): (Vector[(String, String)], Vector[String]) = {
+    val anchors = Vector.newBuilder[(String, String)]
+    val robots = Vector.newBuilder[String]
+    def walk(n: HtmlDom.Node): Unit = n match {
+      case e: HtmlDom.Element =>
+        if (e.tag == "a") e.attrs.get("href")
+          .flatMap(resolveUrl(baseUrl, _))
+          .foreach(d => anchors += ((d, truncAnchor(HtmlDom.visibleText(e)))))
+        else if (e.tag == "meta" &&
+            e.attrs.get("name").exists(_.equalsIgnoreCase("robots")))
+          e.attrs.get("content").foreach { c =>
+            c.toLowerCase.split("[,\\s]+").foreach(t => if (t.nonEmpty) robots += t)
+          }
+        e.children.foreach(walk)
+      case _ => ()
+    }
+    walk(root)
+    (anchors.result(), robots.result())
+  }
+
   /** (dst, anchor-text) pairs of one payload: every `<a href>` in document
     * order with a resolvable http(s) target, paired with the normalized
     * visible text under the anchor element (entities decoded, whitespace
@@ -130,20 +162,8 @@ object LinkOps {
     * as [[outlinksOf]]. */
   def anchorsOf(baseUrl: String, payload: Array[Byte]): Seq[(String, String)] = {
     if (payload == null || !ExtractKernel.looksLikeHtml(payload)) return Nil
-    try {
-      val dom = HtmlDom.parse(HtmlDom.decodeBytes(payload))
-      val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
-      def walk(n: HtmlDom.Node): Unit = n match {
-        case e: HtmlDom.Element =>
-          if (e.tag == "a") e.attrs.get("href")
-            .flatMap(resolveUrl(baseUrl, _))
-            .foreach(d => out += ((d, truncAnchor(HtmlDom.visibleText(e)))))
-          e.children.foreach(walk)
-        case _ => ()
-      }
-      walk(dom)
-      out.toSeq
-    } catch { case scala.util.control.NonFatal(_) => Nil }
+    try artifactsOfDom(baseUrl, HtmlDom.parse(HtmlDom.decodeBytes(payload)))._1
+    catch { case scala.util.control.NonFatal(_) => Nil }
   }
 
   /** (src, dst, anchor) rows for every document — the anchor-text corpus
@@ -234,22 +254,10 @@ object LinkOps {
     * case-insensitive). Non-HTML payloads yield none. Never throws. */
   def metaRobots(payload: Array[Byte]): Seq[String] = {
     if (payload == null || !ExtractKernel.looksLikeHtml(payload)) return Nil
-    try {
-      val dom = HtmlDom.parse(HtmlDom.decodeBytes(payload))
-      val out = scala.collection.mutable.ArrayBuffer[String]()
-      def walk(n: HtmlDom.Node): Unit = n match {
-        case e: HtmlDom.Element =>
-          if (e.tag == "meta" &&
-              e.attrs.get("name").exists(_.equalsIgnoreCase("robots")))
-            e.attrs.get("content").foreach { c =>
-              c.toLowerCase.split("[,\\s]+").foreach(t => if (t.nonEmpty) out += t)
-            }
-          e.children.foreach(walk)
-        case _ => ()
-      }
-      walk(dom)
-      out.toSeq
-    } catch { case scala.util.control.NonFatal(_) => Nil }
+    // baseUrl is irrelevant to the robots harvest; the shared walk keeps
+    // this byte-identical with the fused pass
+    try artifactsOfDom("https://x.invalid/", HtmlDom.parse(HtmlDom.decodeBytes(payload)))._2
+    catch { case scala.util.control.NonFatal(_) => Nil }
   }
 
   /** Crawl-policy filter: drop documents whose HTML declares

@@ -165,6 +165,26 @@ object ExtractPipeline {
     * duplicates remain the caller's contract). Output is column-identical
     * to [[assemble]] including in-group tie-break order (pinned by
     * PipelineE2ESpec, incl. planted-duplicate equivalence). */
+  /** One document's pages → the assembled per-doc record — the map-side
+    * analog of [[assemble]]'s aggregation, shared verbatim by
+    * [[assembleLocal]] and the fused [[WebPipeline]] so the two paths can
+    * never diverge column-wise. */
+  private[pipeline] def assembleDoc(url: String, group: Vector[ParsedPage]): ParsedDoc = {
+    val ps = group.sorted(pageOrdering)
+    ParsedDoc(
+      url = url,
+      lang = "",
+      n_pages = ps.length,
+      md = ps.map(_.md).mkString("\n\n---\n\n"),
+      md_nohf = ps.map(_.md_nohf).mkString("\n\n---\n\n"),
+      extracted_text = ps.map(_.extracted_text).filter(_.nonEmpty).mkString("\n\n"),
+      cells_json = ps.map(p => "{\"page_no\": " + p.page_no + ", \"cells\": " +
+        (if (p.cells_json.isEmpty) "null" else p.cells_json) + "}")
+        .mkString("[", ", ", "]"),
+      filtered = ps.exists(_.filtered),
+      error = ps.map(_.error).filter(_.nonEmpty).mkString("; "))
+  }
+
   def assembleLocal(pages: Dataset[ParsedPage]): DataFrame = {
     import pages.sparkSession.implicits._
     val docs = pages.mapPartitions { (iter: Iterator[ParsedPage]) =>
@@ -177,19 +197,7 @@ object ExtractPipeline {
           if (!closed.add(url)) throw new DuplicateUrlException(url)
           val group = Vector.newBuilder[ParsedPage]
           while (in.hasNext && in.head.url == url) group += in.next()
-          val ps = group.result().sorted(pageOrdering)
-          ParsedDoc(
-            url = url,
-            lang = "",
-            n_pages = ps.length,
-            md = ps.map(_.md).mkString("\n\n---\n\n"),
-            md_nohf = ps.map(_.md_nohf).mkString("\n\n---\n\n"),
-            extracted_text = ps.map(_.extracted_text).filter(_.nonEmpty).mkString("\n\n"),
-            cells_json = ps.map(p => "{\"page_no\": " + p.page_no + ", \"cells\": " +
-              (if (p.cells_json.isEmpty) "null" else p.cells_json) + "}")
-              .mkString("[", ", ", "]"),
-            filtered = ps.exists(_.filtered),
-            error = ps.map(_.error).filter(_.nonEmpty).mkString("; "))
+          assembleDoc(url, group.result())
         }
       }
     }
