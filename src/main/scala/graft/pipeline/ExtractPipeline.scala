@@ -242,6 +242,23 @@ object ExtractPipeline {
   def snapshotDigests(input: DataFrame): DataFrame =
     input.select(col("url"), xxhash64(col("html")).as("digest"))
 
+  /** Commit a snapshot's digest AND extraction-output tables BUCKETED by
+    * url: the next ingest's [[runIncremental]] over
+    * `(spark.table(digestTable), spark.table(outputTable), current)` then
+    * joins both persisted sides WITHOUT an exchange — only the current
+    * snapshot shuffles, to the buckets' layout. At 100 TB the prior
+    * output is the biggest relation in the incremental job; re-shuffling
+    * it weekly is the cost bucketing exists to delete. Pinned by
+    * BucketedJoinSpec (two fewer exchanges than unbucketed inputs,
+    * identical output). */
+  def commitSnapshotBucketed(input: DataFrame, output: DataFrame,
+      digestTable: String, outputTable: String, buckets: Int = 32): Unit = {
+    snapshotDigests(input).write.mode("overwrite")
+      .bucketBy(buckets, "url").sortBy("url").saveAsTable(digestTable)
+    output.write.mode("overwrite")
+      .bucketBy(buckets, "url").sortBy("url").saveAsTable(outputTable)
+  }
+
   /** Incremental re-extraction for a recurring crawl: given the PREVIOUS
     * snapshot's committed (url, payload-digest) table and its extraction
     * output, process the CURRENT snapshot by re-running the kernel only on
@@ -258,11 +275,12 @@ object ExtractPipeline {
     *
     * Scale shape: the status join carries the current snapshot once and
     * 12 bytes/url of digest state — never two payload copies; the reuse
-    * path is a semi join against a url-only set. In a real deployment both
-    * the snapshot table and the digest/output tables are bucketed by
-    * url-hash, making all three joins co-located (zero shuffle); the
-    * kernel then runs only over the changed slice — on a weekly crawl
-    * that is typically a few percent of 100 TB instead of all of it. */
+    * path is a semi join against a url-only set. Commit snapshots with
+    * [[commitSnapshotBucketed]] and pass `spark.table(...)` here: the
+    * persisted digest/output sides then join WITHOUT an exchange
+    * (BucketedJoinSpec pins the plan); the kernel runs only over the
+    * changed slice — on a weekly crawl that is typically a few percent of
+    * 100 TB instead of all of it. */
   def runIncremental(
       priorDigests: DataFrame,
       priorOutput: DataFrame,
@@ -308,6 +326,10 @@ object ExtractPipeline {
       // payload ≈ 12k docs ≈ 10 s of kernel work per task.
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
+      // bucketed snapshot/index tables (commitSnapshotBucketed,
+      // DedupOps.writeBandIndexBucketed) need a warehouse; keep it out of
+      // the working directory. At cluster scale this is the real catalog.
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
       .getOrCreate()
