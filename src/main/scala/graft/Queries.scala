@@ -559,7 +559,9 @@ object Queries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
-    // ---- fingerprinting (rows-only; determinism gate in OpsSpec)
+    // ---- fingerprinting: oracled against the separately-dumped
+    //      fingerprints table (independent-pass replay, the x_parse_flex
+    //      evidential class); determinism gate in OpsSpec
     "q_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
@@ -1348,6 +1350,11 @@ object Queries {
       "x_parse_flex" ->
         s"""SELECT case_id, parsed, extracted, json_len
            |FROM read_parquet('${g("parse_flex_cases")}') ORDER BY case_id""".stripMargin,
+      // rolling-xxhash64 fingerprint: independent-pass dump replay (the
+      // x_parse_flex evidential class — DuckDB cannot compute xxhash64)
+      "q_fingerprint" ->
+        s"""SELECT doc_id, fp
+           |FROM read_parquet('${g("fingerprints")}') ORDER BY doc_id""".stripMargin,
       // C9 batch repair: same determinism replay over the repair-case dump
       "x_repair_batch" ->
         s"""SELECT case_id, original_length, predict_resized, cleaned_objects, success

@@ -41,7 +41,7 @@ object VerifyTables {
     "extract_pages_layout_only", "extract_docs", "repair_cases",
     "parse_flex_cases", "minhash_sigs", "simhash_sigs", "shingles",
     "doc_vectors", "grounding_cells", "ivf_centroids",
-    "media_features", "frame_samples", "links", "anchors")
+    "media_features", "frame_samples", "links", "anchors", "fingerprints")
 
   /** The grounding-mode query bbox (original space) used by both the
     * x_extract_grounding query and the grounding_cells oracle dump. */
@@ -195,6 +195,14 @@ object VerifyTables {
         // replays independently; resolution correctness is pinned by
         // LinkOpsSpec in sbt test
         graft.ops.LinkOps.extractLinks(read(s, sfDir, "northrule"))
+      case "fingerprints" =>
+        // per-doc rolling-xxhash64 fingerprint, materialized in a separate
+        // pass — the q_fingerprint oracle checks the live query against
+        // this dump row-for-row (an independent JVM's run of the same
+        // deterministic kernel; the x_parse_flex evidential class).
+        // Determinism itself is pinned in OpsSpec.
+        docs(s, sfDir).select(col("doc_id"),
+          TextOps.fingerprint(col("text")).as("fp"))
       case "anchors" =>
         // (src, dst, anchor) from the HTML payloads — the anchor-text
         // corpus whose per-target aggregation (q_anchor_summary) DuckDB
