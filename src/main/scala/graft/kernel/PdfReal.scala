@@ -25,8 +25,12 @@ import graft.core.Categories
   *  - text positioning tracks Tm/Td/TD/T-star/TL translation + Tf size only
   *    (no full CTM, no font widths): bboxes are font-size estimates, which
   *    is all the downstream bbox geometry needs (blocks, not glyphs);
-  *  - strings decode as UTF-16BE when BOM'd, else PDFDocEncoding ≈
-  *    Latin-1; no ToUnicode CMap remapping (simple fonts only);
+  *  - show-strings of fonts carrying a /ToUnicode CMap (CID-keyed Type0,
+  *    symbolic simple fonts) decode through the embedded CMap — bfchar,
+  *    bfrange (incrementing + array forms), 1- and 2-byte codespaces —
+  *    so such PDFs extract TRUE text (the reference gets this via
+  *    PyMuPDF, doc_utils.py:42-60); fonts without one decode as
+  *    UTF-16BE when BOM'd, else PDFDocEncoding ≈ Latin-1;
   *  - every extracted block is `Text` — layout-category inference from
   *    font metrics is the classifier's job, not the loader's.
   */
@@ -156,7 +160,27 @@ object PdfReal {
       // already MediaBox-relative. (Shifting the flipped blocks afterwards
       // double-subtracted the origin and clamped in the wrong frame — a
       // [0 100 612 892] MediaBox put every block 2*mby too low.)
-      val runs = extractRuns(content).map(r => r.copy(x = r.x - mbx, y = r.y - mby))
+      // per-page font → ToUnicode CMap table (ISO 32000 §9.10.3): CID-keyed
+      // and symbolically-encoded fonts carry their code→Unicode mapping in
+      // an embedded CMap stream; without it their show-strings are glyph
+      // codes, not text. PyMuPDF applies this for free (reference
+      // doc_utils.py:42-60); here each /Font resource with a /ToUnicode
+      // stream decodes through the parsed CMap. Fonts without one keep the
+      // round-3 behavior (UTF-16BE BOM sniff, else PDFDocEncoding).
+      val fontCMaps: Map[String, FontCMap] =
+        dictOf(pd.getOrElse("Resources", PNull)).get("Font").map(dictOf) match {
+          case Some(fd) => fd.flatMap { case (name, v) =>
+            dictOf(v).get("ToUnicode").flatMap { tu =>
+              val sb = streamOf(tu, objs, deref)
+              if (sb.isEmpty) None
+              else try Some(name -> parseToUnicodeCMap(
+                new String(sb, StandardCharsets.ISO_8859_1)))
+              catch { case scala.util.control.NonFatal(_) => None }
+            }
+          }
+          case None => Map.empty
+        }
+      val runs = extractRuns(content, fontCMaps).map(r => r.copy(x = r.x - mbx, y = r.y - mby))
       val blocks = runsToBlocks(runs, w.toFloat, h.toFloat)
       val withFallback =
         if (blocks.nonEmpty || !hasImageXObject) blocks
@@ -502,6 +526,88 @@ object PdfReal {
     }
   }
 
+  // ---- ToUnicode CMaps -----------------------------------------------------
+
+  /** Parsed /ToUnicode CMap: `codeBytes` = show-string code width (from
+    * the codespacerange, 1 or 2), `map` = code → Unicode string (bfchar +
+    * expanded bfrange entries; a range dst may be a start value whose LAST
+    * 16-bit unit increments, or an explicit per-code array). */
+  private[kernel] final case class FontCMap(codeBytes: Int, map: Map[Int, String])
+
+  private val HexTok = "<([0-9A-Fa-f]+)>".r
+
+  /** UTF-16BE hex → String (dst side of bfchar/bfrange). */
+  private def hexToUtf16(h: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i + 4 <= h.length) {
+      sb.append(Integer.parseInt(h.substring(i, i + 4), 16).toChar)
+      i += 4
+    }
+    if (i < h.length) // tolerate a 2-digit dst (some writers emit byte values)
+      sb.append(Integer.parseInt(h.substring(i), 16).toChar)
+    sb.toString
+  }
+
+  /** Parse the subset of CMap syntax ToUnicode streams use: codespacerange
+    * (code width), bfchar pairs, bfrange triples (incrementing dst or dst
+    * array). Section-scoped regex scan — ToUnicode streams are generated
+    * boilerplate around exactly these operators (ISO 32000 §9.10.3). */
+  private[kernel] def parseToUnicodeCMap(text: String): FontCMap = {
+    def sections(begin: String, end: String): Iterator[String] = {
+      val re = (java.util.regex.Pattern.quote(begin) + "(?s)(.*?)" +
+        java.util.regex.Pattern.quote(end)).r
+      re.findAllMatchIn(text).map(_.group(1))
+    }
+    val codeBytes = sections("begincodespacerange", "endcodespacerange")
+      .flatMap(s => HexTok.findFirstMatchIn(s).map(_.group(1).length / 2))
+      .toSeq.headOption.getOrElse {
+        // no codespacerange: infer from the first bfchar/bfrange src width
+        val first = sections("beginbfchar", "endbfchar").flatMap(
+          s => HexTok.findFirstMatchIn(s).map(_.group(1).length / 2)).toSeq.headOption
+        first.orElse(sections("beginbfrange", "endbfrange").flatMap(
+          s => HexTok.findFirstMatchIn(s).map(_.group(1).length / 2)).toSeq.headOption)
+          .getOrElse(2)
+      }
+    val map = Map.newBuilder[Int, String]
+    for (sec <- sections("beginbfchar", "endbfchar")) {
+      val toks = HexTok.findAllMatchIn(sec).map(_.group(1)).toVector
+      toks.grouped(2).foreach {
+        case Vector(src, dst) => map += Integer.parseInt(src, 16) -> hexToUtf16(dst)
+        case _                => ()
+      }
+    }
+    for (sec <- sections("beginbfrange", "endbfrange")) {
+      // entries are either `<lo> <hi> <dst>` or `<lo> <hi> [<d0> <d1> ...]`
+      val Entry = ("<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>\\s*" +
+        "(?:<([0-9A-Fa-f]+)>|\\[((?:\\s*<[0-9A-Fa-f]+>)*)\\s*\\])").r
+      for (m <- Entry.findAllMatchIn(sec)) {
+        val lo = Integer.parseInt(m.group(1), 16)
+        val hi = math.min(Integer.parseInt(m.group(2), 16), lo + 65535)
+        if (m.group(3) != null) {
+          val dst = hexToUtf16(m.group(3))
+          // the LAST code unit increments across the range (§9.10.3)
+          var c = lo
+          while (c <= hi) {
+            val d =
+              if (dst.isEmpty) ""
+              else dst.dropRight(1) + (dst.last + (c - lo)).toChar
+            map += c -> d
+            c += 1
+          }
+        } else {
+          val dsts = HexTok.findAllMatchIn(m.group(4)).map(g => hexToUtf16(g.group(1))).toVector
+          var c = lo
+          while (c <= hi && (c - lo) < dsts.length) {
+            map += c -> dsts(c - lo)
+            c += 1
+          }
+        }
+      }
+    }
+    FontCMap(if (codeBytes == 1) 1 else 2, map.result())
+  }
+
   // ---- content-stream text extraction ------------------------------------
 
   private final case class Run(x: Double, y: Double, fs: Double, text: String)
@@ -509,8 +615,11 @@ object PdfReal {
   /** Positioned text runs from one page's (concatenated) content stream.
     * Position model: Tm translation + Td/TD/T-star/TL line moves; Tf size.
     * The x-advance estimate (0.5*fs per char) only orders runs within a
-    * line; glyph metrics are out of scope. */
-  private def extractRuns(content: Array[Byte]): Vector[Run] = {
+    * line; glyph metrics are out of scope. Show-strings of a font with a
+    * /ToUnicode CMap decode through it (code width from the codespace);
+    * unmapped codes fall back to the code value as a char. */
+  private def extractRuns(content: Array[Byte],
+      fonts: Map[String, FontCMap] = Map.empty): Vector[Run] = {
     val s = new String(content, StandardCharsets.ISO_8859_1)
     val lex = new Lexer(s, 0)
     val runs = Vector.newBuilder[Run]
@@ -521,12 +630,29 @@ object PdfReal {
     var lineX = 0.0; var lineY = 0.0 // line matrix translation
     var curX = 0.0; var curY = 0.0   // current show position
     var inText = false
+    var curCMap: Option[FontCMap] = None
 
+    def decodeWithCMap(b: Array[Byte], cm: FontCMap): String = {
+      val sb = new StringBuilder
+      val w = cm.codeBytes
+      var i = 0
+      while (i + w <= b.length) {
+        val code = if (w == 1) b(i) & 0xff else ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+        sb.append(cm.map.getOrElse(code, code.toChar.toString))
+        i += w
+      }
+      if (i < b.length) sb.append((b(i) & 0xff).toChar) // trailing odd byte
+      sb.toString
+    }
     def strOf(v: PVal): String = v match {
       case PStr(b) =>
-        if (b.length >= 2 && (b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff)
-          new String(b, 2, b.length - 2, StandardCharsets.UTF_16BE)
-        else new String(b, StandardCharsets.ISO_8859_1)
+        curCMap match {
+          case Some(cm) => decodeWithCMap(b, cm)
+          case None =>
+            if (b.length >= 2 && (b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff)
+              new String(b, 2, b.length - 2, StandardCharsets.UTF_16BE)
+            else new String(b, StandardCharsets.ISO_8859_1)
+        }
       case _ => ""
     }
     def show(t: String): Unit = if (inText && t.nonEmpty) {
@@ -553,7 +679,13 @@ object PdfReal {
         op match {
           case "BT" => inText = true; fs = math.max(fs, 1.0); lineX = 0; lineY = 0; curX = 0; curY = 0
           case "ET" => inText = false
-          case "Tf" => fs = math.max(n(0), 1.0)
+          case "Tf" =>
+            fs = math.max(n(0), 1.0)
+            // operands: /FontName size → stack is [size, name, ...]
+            curCMap = stack.lift(1) match {
+              case Some(PName(f)) => fonts.get(f)
+              case _              => curCMap
+            }
           case "TL" => tl = n(0)
           case "Td" => newline(n(1), n(0))
           case "TD" => tl = -n(0); newline(n(1), n(0))

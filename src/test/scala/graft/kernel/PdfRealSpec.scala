@@ -384,4 +384,92 @@ class PdfRealSpec extends AnyFunSuite {
     assert(fused(1).md.contains("second page text"))
     assert(fused.forall(p => p.error.isEmpty && !p.filtered))
   }
+
+  /** Minimal hand-authored PDF with one page, one font resource carrying
+    * a /ToUnicode CMap, and one BT/ET block showing `showHex`. */
+  private def cidPdf(cmap: String, showHex: String): Array[Byte] = {
+    val content = s"BT /F1 12 Tf 72 720 Td <$showHex> Tj ET"
+    val pdf =
+      s"""%PDF-1.5
+         |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
+         |2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj
+         |3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]
+         |  /Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >> endobj
+         |4 0 obj << /Type /Font /Subtype /Type0 /BaseFont /Planted-CID
+         |  /Encoding /Identity-H /ToUnicode 6 0 R >> endobj
+         |5 0 obj << /Length ${content.length} >> stream
+         |$content
+         |endstream endobj
+         |6 0 obj << /Length ${cmap.length} >> stream
+         |$cmap
+         |endstream endobj
+         |%%EOF
+         |""".stripMargin
+    pdf.getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  test("ToUnicode CMap: 2-byte CID codes decode to true text (bfchar + incrementing bfrange + array bfrange)") {
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |2 beginbfchar
+        |<0101> <0048>
+        |<0102> <0065>
+        |endbfchar
+        |2 beginbfrange
+        |<0110> <0112> <006C>
+        |<0120> <0121> [<006F0075> <0021>]
+        |endbfrange
+        |end""".stripMargin
+    // codes 0101 0102 (bfchar → "H","e"), 0110 0111 0112 (incrementing
+    // range 006C.. → "l","m","n"), 0120 0121 (array → "ou","!")
+    val bytes = cidPdf(cmap, "0101010201100111011201200121")
+    val pdf = PdfReal.parse(bytes)
+    val text = pdf.pages.head.blocks.map(_.text).mkString
+    assert(text == "Helmnou!", s"CMap-decoded text must be true Unicode, got [$text]")
+    // the same show-string WITHOUT the CMap would be garbage glyph codes —
+    // prove the mapping is doing the work, not the raw bytes
+    assert(!text.contains(1.toChar) && !text.contains(16.toChar))
+  }
+
+  test("ToUnicode CMap: 1-byte symbolic font codespace decodes via bfchar; unmapped codes fall back") {
+    val cmap =
+      """begincodespacerange
+        |<00> <FF>
+        |endcodespacerange
+        |3 beginbfchar
+        |<41> <0057>
+        |<42> <006F0077>
+        |<43> <0021>
+        |endbfchar""".stripMargin
+    // 41 42 43 → "W" "ow" "!", plus unmapped 44 → its code value 'D'
+    val bytes = cidPdf(cmap, "41424344")
+    val pdf = PdfReal.parse(bytes)
+    val text = pdf.pages.head.blocks.map(_.text).mkString
+    assert(text == "Wow!D", s"got [$text]")
+  }
+
+  test("ToUnicode CMap: multi-char dst in an incrementing bfrange (ligatures) and end-to-end md") {
+    val cmap =
+      """begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |1 beginbfrange
+        |<0200> <0201> <00660069>
+        |endbfrange""".stripMargin
+    // 0200 → "fi", 0201 → "fj" (last unit increments: 0069+1 = 006A)
+    val bytes = cidPdf(cmap, "02000201")
+    val pdf = PdfReal.parse(bytes)
+    assert(pdf.pages.head.blocks.map(_.text).mkString == "fifj")
+    // and the whole kernel path: md carries the decoded text
+    val parsed = ExtractKernel.parseDoc(doc(bytes), PromptMode.LayoutAll)
+    assert(parsed.head.error.isEmpty && parsed.head.md.contains("fifj"))
+  }
+
+  test("fonts WITHOUT ToUnicode keep the round-3 decode (BOM'd UTF-16BE / Latin-1) — no regression") {
+    val bytes = PdfWrite.serialize(Vector(page((72, 720, "plain latin text"))), compress = false)
+    assert(PdfReal.parse(bytes).pages.head.blocks.exists(_.text.contains("plain latin text")))
+  }
 }
