@@ -192,10 +192,8 @@ object DedupOps {
     * count drops from 2 to 1 and results are identical). */
   def writeBandIndexBucketed(index: DataFrame, tableName: String,
       buckets: Int = 32): Unit =
-    index.write.mode("overwrite")
-      .bucketBy(buckets, "band", "band_hash")
-      .sortBy("band", "band_hash")
-      .saveAsTable(tableName)
+    CatalogTables.overwriteBucketed(index, tableName, buckets,
+      Seq("band", "band_hash"))
 
   /** Candidate (id_new, id_idx) pairs of an arriving batch against the
     * PERSISTED banded index (the output of [[minhashBandIndex]], read back

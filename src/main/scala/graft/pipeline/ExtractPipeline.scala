@@ -253,10 +253,10 @@ object ExtractPipeline {
     * identical output). */
   def commitSnapshotBucketed(input: DataFrame, output: DataFrame,
       digestTable: String, outputTable: String, buckets: Int = 32): Unit = {
-    snapshotDigests(input).write.mode("overwrite")
-      .bucketBy(buckets, "url").sortBy("url").saveAsTable(digestTable)
-    output.write.mode("overwrite")
-      .bucketBy(buckets, "url").sortBy("url").saveAsTable(outputTable)
+    graft.ops.CatalogTables.overwriteBucketed(
+      snapshotDigests(input), digestTable, buckets, Seq("url"))
+    graft.ops.CatalogTables.overwriteBucketed(
+      output, outputTable, buckets, Seq("url"))
   }
 
   /** Incremental re-extraction for a recurring crawl: given the PREVIOUS

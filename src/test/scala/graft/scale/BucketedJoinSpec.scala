@@ -20,6 +20,11 @@ class BucketedJoinSpec extends AnyFunSuite {
     "Exchange hashpartitioning".r
       .findAllIn(df.queryExecution.executedPlan.toString()).length
 
+  // NOTE: no pre-test cleanup on purpose — the warehouse directory
+  // persists across test JVMs while the in-memory catalog does not, so
+  // every re-run exercises CatalogTables.overwriteBucketed's
+  // stale-location recovery path.
+
   private def noBroadcast[A](f: => A): A = {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
