@@ -279,7 +279,24 @@ object Bench {
         }.getOrElse(-1.0)
       }
       results = headline.map(n => n -> runOne(n))
-      extraResults = extras.map(n => n -> runOne(n))
+      // Extras are fused-vs-foil COMPARISONS, so unlike the frozen
+      // single-pass headline they use the repo's standard noise defense:
+      // min over alternating passes (pass 1 of each, pass 2 of each, ...)
+      // — back-to-back alternation keeps a contention spike from landing
+      // entirely on one side of the comparison (the r5 first window
+      // recorded the fused pass 3x SLOWER than its 3-parse foil purely
+      // from end-of-budget ambient load; isolated min-of-passes measured
+      // fused 1.9s vs separate 4.1s).
+      val extraPasses = sys.env.getOrElse("SPARK_GRAFT_EXTRA_PASSES", "3").toInt
+      val extraWalls = scala.collection.mutable.Map.empty[String, Double]
+      for (_ <- 1 to extraPasses; n <- extras) {
+        val w = runOne(n)
+        val prev = extraWalls.getOrElse(n, Double.MaxValue)
+        // negative sentinels (-2 cap, -3 budget) never overwrite a real wall
+        if (w >= 0 && w < prev) extraWalls(n) = w
+        else if (prev == Double.MaxValue) extraWalls(n) = w
+      }
+      extraResults = extras.map(n => n -> extraWalls.getOrElse(n, -1.0))
       spark.stop()
     }
 
@@ -388,7 +405,7 @@ object Bench {
       results.foreach { case (k, v) => md ++= f"| $k | $v%.3f |\n" }
     }
     if (extraResults.nonEmpty) {
-      md ++= "\n## Extras (new this round — NOT in the frozen headline vector)\n\n| query | sec |\n|---|---|\n"
+      md ++= "\n## Extras (new this round — NOT in the frozen headline vector;\nmin over alternating passes, the comparison-grade estimator)\n\n| query | sec |\n|---|---|\n"
       extraResults.foreach { case (k, v) => md ++= f"| $k | $v%.3f |\n" }
     }
     Files.createDirectories(Paths.get("BENCH"))
