@@ -244,6 +244,19 @@ object Bench {
         VerifyTables.ensure(spark, sfDir, "extract_docs") // q_incremental_extract / q_line_dedup_global
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sig warm-up failed: ${e.getMessage}") }
+      // Unconditional UNTIMED kernel JIT warm pass: when the ensure()
+      // calls above find their dumps already on disk they return without
+      // executing the kernel, and the first timed kernel query then pays
+      // C2 compilation (~4x: x_extract_full 7.4s JIT-cold vs 1.1s warm in
+      // otherwise-identical r5 windows — r4's 1.8s artifact came from a
+      // window whose warmup happened to materialize dumps fresh). A
+      // bounded slice makes headline walls steady-state measurements
+      // regardless of /tmp dump state.
+      try {
+        val warm = VerifyTables.read(spark, sfDir, "northrule").limit(25000)
+        ExtractPipeline.run(warm).write.format("noop").mode("overwrite").save()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] kernel JIT warm-up failed: ${e.getMessage}") }
       def runOne(name: String): Double = {
         if (elapsedSec > budgetSec) return -3.0 // budget-truncated, logged not hidden
         (Queries.all ++ Queries.benchExtras).get(name).map { fn =>

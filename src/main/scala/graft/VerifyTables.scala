@@ -31,8 +31,11 @@ object VerifyTables {
   // would be replayed (r4: image payload kind + scanned-PDF pages in the
   // corpus; OCR/garbled passthrough fix; per-mode page dumps; media
   // determinism dumps; r4e: cross-host outlinks in the corpus + the
-  // extracted links table)
-  private val Version = "r4e"
+  // extracted links table; r5: kernel semantics touched — ToUnicode CMap
+  // decode, truncated-image gate, JPEG fill-byte scan — none of which
+  // alters the synthetic corpus's dumps, but stale-dump insurance is
+  // cheaper than reasoning about it every round)
+  private val Version = "r5"
   val Seed = 42L
 
   /** All table names, in dependency order. */
