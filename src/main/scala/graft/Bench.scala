@@ -257,7 +257,16 @@ object Bench {
         ExtractPipeline.run(warm).write.format("noop").mode("overwrite").save()
       } catch { case e: Throwable =>
         System.err.println(s"[bench] kernel JIT warm-up failed: ${e.getMessage}") }
-      def runOne(name: String): Double = {
+      // `materialize = false` (headline, FROZEN r4 semantics) times
+      // `.count()`; `materialize = true` (extras) times a noop-sink write
+      // of EVERY output column. The fused-vs-foil comparison needs the
+      // latter: under count(), distinct-key propagation (the left-join
+      // keys are groupBy outputs) lets Catalyst ELIMINATE the foil's
+      // links/anchors/robots join legs outright, so the "3-parse" foil
+      // never parsed anything — its count() wall equals x_extract_full's.
+      // noop materialization forces both compositions to produce their
+      // full rows (BenchOne cross-check: fused 1.9s vs separate 4.1s).
+      def runOne(name: String, materialize: Boolean = false): Double = {
         if (elapsedSec > budgetSec) return -3.0 // budget-truncated, logged not hidden
         (Queries.all ++ Queries.benchExtras).get(name).map { fn =>
           // one throwaway executor per query: a driver-side wedge (no
@@ -271,7 +280,10 @@ object Bench {
               // thread-local group: a later cancelJobGroup also kills jobs
               // the abandoned thread submits AFTER the timeout fired
               spark.sparkContext.setJobGroup(s"bench-$name", name, interruptOnCancel = true)
-              timeSec(fn(spark, sfDir).count())
+              val df = fn(spark, sfDir)
+              if (materialize)
+                timeSec(df.write.format("noop").mode("overwrite").save())
+              else timeSec(df.count())
             }
           })
           val sec =
@@ -303,7 +315,7 @@ object Bench {
       val extraPasses = sys.env.getOrElse("SPARK_GRAFT_EXTRA_PASSES", "3").toInt
       val extraWalls = scala.collection.mutable.Map.empty[String, Double]
       for (_ <- 1 to extraPasses; n <- extras) {
-        val w = runOne(n)
+        val w = runOne(n, materialize = true)
         val prev = extraWalls.getOrElse(n, Double.MaxValue)
         // negative sentinels (-2 cap, -3 budget) never overwrite a real wall
         if (w >= 0 && w < prev) extraWalls(n) = w
@@ -418,7 +430,7 @@ object Bench {
       results.foreach { case (k, v) => md ++= f"| $k | $v%.3f |\n" }
     }
     if (extraResults.nonEmpty) {
-      md ++= "\n## Extras (new this round — NOT in the frozen headline vector;\nmin over alternating passes, the comparison-grade estimator)\n\n| query | sec |\n|---|---|\n"
+      md ++= "\n## Extras (new this round — NOT in the frozen headline vector;\nmin over alternating passes of a FULL noop-sink materialization — under\nplain count() Catalyst eliminates the separate foil's joined-in legs via\ndistinct-key propagation and the '3-parse' foil parses nothing)\n\n| query | sec |\n|---|---|\n"
       extraResults.foreach { case (k, v) => md ++= f"| $k | $v%.3f |\n" }
     }
     Files.createDirectories(Paths.get("BENCH"))

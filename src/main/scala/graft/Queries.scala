@@ -73,6 +73,39 @@ object Queries {
         encode(col("h"), "UTF-8").as("html"), lit("").as("text"), lit("en").as("lang"))
   }
 
+  /** Deterministic redirect edges derived from the corpus urls — the
+    * scaffolding for q_redirect_resolve (the synthetic table carries no
+    * redirects of its own). A 16% docId sample shrinks MAP-SIDE before
+    * the per-host window (the window never sees the full corpus); within
+    * each host the first up-to-8 sampled urls chain head→…→tail, and
+    * hosts whose 5th authority character (the first digit of the
+    * synthetic `hostN.example` names — host LENGTHS barely vary) has an
+    * ascii code divisible by 3 close the chain into a CYCLE, so both
+    * statuses appear at every tier. Pure Column algebra, replayed
+    * verbatim by the oracle. */
+  private def syntheticRedirectEdges(df: DataFrame): DataFrame = {
+    val ranked = df
+      .select(col("url"), LinkOps.hostOf(col("url")).as("host"),
+        regexp_extract(col("url"), "doc([0-9]+)$", 1).cast("long").as("did"))
+      .filter(pmod(col("did"), lit(100L)) < 16L)
+      .withColumn("rn", row_number().over(Window.partitionBy("host").orderBy("url")))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("host")))
+      .filter(col("rn") <= 8)
+      .select(col("host"), col("url"), col("rn"),
+        least(col("cnt"), lit(8L)).as("tail_rn"))
+    val a = ranked.select(col("host"), col("url").as("src"), col("rn"), col("tail_rn"))
+    val b = ranked.select(col("host").as("host_b"), col("url").as("dst"),
+      col("rn").as("rn_b"))
+    val chain = a.filter(col("rn") < col("tail_rn"))
+      .join(b, a("host") === b("host_b") && b("rn_b") === a("rn") + 1)
+      .select(col("src"), col("dst"))
+    val back = a.filter(col("rn") === col("tail_rn") && col("tail_rn") >= 2 &&
+        ascii(substring(col("host"), 5, 1)) % 3 === 0)
+      .join(b, a("host") === b("host_b") && b("rn_b") === 1)
+      .select(col("src"), col("dst"))
+    chain.unionByName(back)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- extraction pipeline surface. x_extract_full now carries a REAL
@@ -493,6 +526,27 @@ object Queries {
         .select(col("url"), encode(html, "UTF-8").as("html"))
       LinkOps.filterNoindex(docs).select("url").orderBy("url")
     }),
+
+    // ---- crawl policy: robots.txt Disallow/Allow enforcement — the
+    //      RFC 9309 longest-match decision per url over the dumped
+    //      per-host rules table (each host's planted /robots.txt body
+    //      parsed by the REAL parser in a separate pass; parse fixtures
+    //      pinned in RobotsSpec). DuckDB replays host join + prefix match
+    //      + longest-wins/allow-on-tie + anti join from the same dump.
+    "q_robots_filter" -> ((s, dir) =>
+      LinkOps.filterByRobots(vt(s, dir, "northrule"), "url",
+        vt(s, dir, "robots_rules"))
+        .select(col("url"), col("lang")).orderBy("url")),
+
+    // ---- crawl consolidation: redirect-chain resolution — every
+    //      synthetic redirect source mapped to its final destination via
+    //      distance-doubling pointer jumping (O(log chain) rounds, string
+    //      pairs only); per-host chains with planted CYCLES exercise the
+    //      loop detector. DuckDB rebuilds the same edges and walks them
+    //      with a recursive CTE — hop counts must match EXACTLY.
+    "q_redirect_resolve" -> ((s, dir) =>
+      LinkOps.resolveRedirects(syntheticRedirectEdges(vt(s, dir, "northrule")))
+        .orderBy("url")),
 
     // ---- FUSED web-corpus pass (round-5 flagship composition): ONE DOM
     //      parse per payload feeds extraction + outlinks + anchors +
@@ -1974,6 +2028,64 @@ object Queries {
            |  CAST(regexp_extract(url, 'doc([0-9]+)$$', 1) AS BIGINT) AS n
            |  FROM read_parquet('${VerifyTables.oracleGlob("northrule")}'))
            |WHERE n % 5 <> 0 ORDER BY url""".stripMargin,
+      // robots.txt enforcement: the RFC 9309 decision — longest matching
+      // prefix wins, Allow wins length ties — replayed from the dumped
+      // per-host rules (the parse is pinned by RobotsSpec; Spark's
+      // max(struct(len, is_allow, prefix)) IS this window's row 1)
+      "q_robots_filter" ->
+        s"""WITH u AS (
+           |  SELECT url, lang,
+           |    regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+           |    CASE WHEN length(regexp_extract(url, '^https?://[^/?#]+(/[^?#]*)', 1)) = 0
+           |         THEN '/' ELSE regexp_extract(url, '^https?://[^/?#]+(/[^?#]*)', 1)
+           |    END AS p
+           |  FROM read_parquet('${VerifyTables.oracleGlob("northrule")}')),
+           |m AS (
+           |  SELECT u.url, r.is_allow,
+           |    row_number() OVER (PARTITION BY u.url
+           |      ORDER BY length(r.prefix) DESC, r.is_allow DESC, r.prefix DESC) AS rn
+           |  FROM u JOIN read_parquet('${VerifyTables.oracleGlob("robots_rules")}') r
+           |    ON u.host = r.host AND starts_with(u.p, r.prefix)),
+           |dis AS (SELECT url FROM m WHERE rn = 1 AND NOT is_allow)
+           |SELECT u.url, u.lang FROM u
+           |LEFT JOIN dis ON u.url = dis.url
+           |WHERE dis.url IS NULL ORDER BY u.url""".stripMargin,
+      // redirect resolution: the SAME deterministic edge construction
+      // (16% sample -> per-host ranking -> chains + first-digit cycles),
+      // then a recursive walk — the terminal node and EXACT hop count
+      // must match Spark's distance-doubling ladder; cycle rows never
+      // find a terminal within the 64-hop cap (chains here are <= 8)
+      "q_redirect_resolve" ->
+        s"""WITH RECURSIVE s AS (
+           |  SELECT url, regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+           |    CAST(regexp_extract(url, 'doc([0-9]+)$$', 1) AS BIGINT) AS did
+           |  FROM read_parquet('${VerifyTables.oracleGlob("northrule")}')),
+           |f AS (SELECT url, host FROM s WHERE did % 100 < 16),
+           |r AS (SELECT url, host,
+           |    row_number() OVER (PARTITION BY host ORDER BY url) AS rn,
+           |    count(*) OVER (PARTITION BY host) AS cnt FROM f),
+           |r8 AS (SELECT host, url, rn, LEAST(cnt, 8) AS tail_rn FROM r WHERE rn <= 8),
+           |chain AS (SELECT a.url AS src, b.url AS dst FROM r8 a JOIN r8 b
+           |  ON a.host = b.host AND b.rn = a.rn + 1 WHERE a.rn < a.tail_rn),
+           |back AS (SELECT a.url AS src, b.url AS dst FROM r8 a JOIN r8 b
+           |  ON a.host = b.host AND b.rn = 1
+           |  WHERE a.rn = a.tail_rn AND a.tail_rn >= 2
+           |    AND ascii(substr(a.host, 5, 1)) % 3 = 0),
+           |edges AS (SELECT src AS url, min(dst) AS nxt
+           |  FROM (SELECT * FROM chain UNION ALL SELECT * FROM back)
+           |  WHERE src <> dst GROUP BY src),
+           |walk AS (
+           |  SELECT url, nxt AS cur, CAST(1 AS BIGINT) AS hops FROM edges
+           |  UNION ALL
+           |  SELECT w.url, e.nxt, w.hops + 1 FROM walk w
+           |  JOIN edges e ON w.cur = e.url WHERE w.hops < 64),
+           |fin AS (SELECT w.url, w.cur AS final_url, w.hops FROM walk w
+           |  LEFT JOIN edges e ON w.cur = e.url WHERE e.url IS NULL)
+           |SELECT e.url, coalesce(f.final_url, '') AS final_url,
+           |  coalesce(f.hops, 0) AS hops,
+           |  CASE WHEN f.url IS NULL THEN 'cycle' ELSE 'resolved' END AS status
+           |FROM edges e LEFT JOIN fin f ON e.url = f.url
+           |ORDER BY e.url""".stripMargin,
       // fused web pass: the SEPARATE passes' dumps reassembled — the
       // fused single-DOM-parse output must match the independent per-op
       // tables (extract_docs / links / anchors) byte-for-byte; planted

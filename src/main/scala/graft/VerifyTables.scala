@@ -44,7 +44,8 @@ object VerifyTables {
     "extract_pages_layout_only", "extract_docs", "repair_cases",
     "parse_flex_cases", "minhash_sigs", "simhash_sigs", "shingles",
     "doc_vectors", "grounding_cells", "ivf_centroids",
-    "media_features", "frame_samples", "links", "anchors", "fingerprints")
+    "media_features", "frame_samples", "links", "anchors", "fingerprints",
+    "robots_rules")
 
   /** The grounding-mode query bbox (original space) used by both the
     * x_extract_grounding query and the grounding_cells oracle dump. */
@@ -212,10 +213,49 @@ object VerifyTables {
         // replays independently; extraction + normalization + truncation
         // are pinned by LinkOpsSpec in sbt test
         graft.ops.LinkOps.extractAnchors(read(s, sfDir, "northrule"))
+      case "robots_rules" =>
+        // per-host (prefix, is_allow) rules: each corpus host's planted
+        // /robots.txt body run through the REAL parser
+        // (LinkOps.parseRobotsTxt) in a separate pass — the
+        // q_robots_filter oracle replays the RFC 9309 longest-match
+        // DECISION from this dump in SQL; the parse itself is pinned by
+        // RobotsSpec fixtures in sbt test (the x_parse_flex evidential
+        // class: parser output dumped, decision logic cross-engine)
+        import s.implicits._
+        read(s, sfDir, "northrule")
+          .select(graft.ops.LinkOps.hostOf(col("url")).as("host"))
+          .distinct()
+          .as[String]
+          .flatMap(h => graft.ops.LinkOps.parseRobotsTxt(plantedRobotsTxt(h))
+            .map { case (prefix, isAllow) => (h, prefix, isAllow) })
+          .toDF("host", "prefix", "is_allow")
       case other => throw new IllegalArgumentException(s"unknown table $other")
     }
     df.write.mode("overwrite").parquet(p)
   }
+
+  /** Deterministic planted robots.txt body for a corpus host (a pure
+    * function of the host string — the synthetic corpus carries no
+    * /robots.txt payloads of its own). The five variants exercise every
+    * branch of the parser + decision: plain disallow, longer allow
+    * override, EQUAL-length allow-vs-disallow tie (allow wins), root
+    * block with a carve-out, an inapplicable bot-specific group, an
+    * empty disallow no-op, comments, a skipped wildcard rule, and a
+    * rule-free file. */
+  def plantedRobotsTxt(host: String): String =
+    math.floorMod(host.map(_.toInt).sum, 5) match {
+      case 0 =>
+        "User-agent: *\nDisallow: /pdf/\nAllow: /pdf/doc1\n" +
+          "Allow: /image/\nDisallow: /image/\n"
+      case 1 => "User-agent: *\nDisallow: /\nAllow: /html/\n"
+      case 2 =>
+        "User-agent: specialbot\nDisallow: /\n\n" +
+          "User-agent: *\nDisallow: /garbled/\nDisallow:\n# comment line\n"
+      case 3 => "# no rules at all\nSitemap: https://" + host + "/sitemap.xml\n"
+      case _ =>
+        "User-agent: *\nDisallow: /*.gif$\nDisallow: /truncated/\n" +
+          "Allow: /truncated/doc\n"
+    }
 
   private def docs(s: SparkSession, sfDir: String): DataFrame =
     s.read.parquet(s"$sfDir/documents.parquet")
