@@ -538,6 +538,19 @@ object Queries {
         vt(s, dir, "robots_rules"))
         .select(col("url"), col("lang")).orderBy("url")),
 
+    // ---- extraction QA: per-doc token-overlap precision/recall/F1 of
+    //      the pipeline's extracted text against the table's sidecar
+    //      text — the quality signal a 100-TB extraction run monitors.
+    //      Map-only multiset counting (never a per-token shuffle); all
+    //      integral (counts + truncating-DIV ppm ratios), so DuckDB's
+    //      unnest+join replay is engine-exact.
+    "q_extract_quality" -> ((s, dir) => {
+      val pair = vt(s, dir, "extract_docs").select(col("url"), col("extracted_text"))
+        .join(vt(s, dir, "northrule").select(col("url"), col("text")), Seq("url"))
+      TextOps.extractionQuality(pair, "url", "extracted_text", "text")
+        .orderBy("url")
+    }),
+
     // ---- crawl consolidation: redirect-chain resolution — every
     //      synthetic redirect source mapped to its final destination via
     //      distance-doubling pointer jumping (O(log chain) rounds, string
@@ -2050,6 +2063,38 @@ object Queries {
            |SELECT u.url, u.lang FROM u
            |LEFT JOIN dis ON u.url = dis.url
            |WHERE dis.url IS NULL ORDER BY u.url""".stripMargin,
+      // extraction QA: both token multisets rebuilt by unnest+count, the
+      // intersection by a per-token least() join, ratios by the same
+      // truncating integer division (DuckDB sums CAST to BIGINT — they
+      // widen to HUGEINT and would break the pandas dtype compare)
+      "q_extract_quality" ->
+        s"""WITH d AS (SELECT d.url, d.extracted_text, n.text
+           |  FROM read_parquet('${VerifyTables.oracleGlob("extract_docs")}') d
+           |  JOIN read_parquet('${VerifyTables.oracleGlob("northrule")}') n
+           |    ON d.url = n.url),
+           |et AS (SELECT url, unnest(regexp_split_to_array(
+           |  lower(coalesce(extracted_text, '')), '[ \\t\\n\\r\\f]+')) AS tok FROM d),
+           |rt AS (SELECT url, unnest(regexp_split_to_array(
+           |  lower(coalesce(text, '')), '[ \\t\\n\\r\\f]+')) AS tok FROM d),
+           |ec AS (SELECT url, tok, count(*) AS c FROM et WHERE tok <> '' GROUP BY 1, 2),
+           |rc AS (SELECT url, tok, count(*) AS c FROM rt WHERE tok <> '' GROUP BY 1, 2),
+           |ex AS (SELECT url, CAST(sum(c) AS BIGINT) AS n_ext FROM ec GROUP BY 1),
+           |rx AS (SELECT url, CAST(sum(c) AS BIGINT) AS n_ref FROM rc GROUP BY 1),
+           |iv AS (SELECT ec.url, CAST(sum(least(ec.c, rc.c)) AS BIGINT) AS n_inter
+           |  FROM ec JOIN rc ON ec.url = rc.url AND ec.tok = rc.tok GROUP BY 1),
+           |j AS (SELECT d.url, coalesce(ex.n_ext, 0) AS n_ext,
+           |    coalesce(rx.n_ref, 0) AS n_ref, coalesce(iv.n_inter, 0) AS n_inter
+           |  FROM d LEFT JOIN ex ON d.url = ex.url
+           |  LEFT JOIN rx ON d.url = rx.url LEFT JOIN iv ON d.url = iv.url),
+           |p AS (SELECT url, n_ext, n_ref, n_inter,
+           |  CASE WHEN n_ext = 0 THEN 0 ELSE n_inter * 1000000 // n_ext END AS precision_ppm,
+           |  CASE WHEN n_ref = 0 THEN 0 ELSE n_inter * 1000000 // n_ref END AS recall_ppm
+           |  FROM j)
+           |SELECT url, n_ext, n_ref, n_inter, precision_ppm, recall_ppm,
+           |  CASE WHEN precision_ppm + recall_ppm = 0 THEN 0
+           |       ELSE 2 * precision_ppm * recall_ppm // (precision_ppm + recall_ppm)
+           |  END AS f1_ppm
+           |FROM p ORDER BY url""".stripMargin,
       // redirect resolution: the SAME deterministic edge construction
       // (16% sample -> per-host ranking -> chains + first-digit cycles),
       // then a recursive walk — the terminal node and EXACT hop count

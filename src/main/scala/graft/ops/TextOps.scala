@@ -794,6 +794,64 @@ object TextOps {
       .withColumn("keep", col("logit") > 0)
   }
 
+  /** The extraction-QA tokenizer class, shared VERBATIM by
+    * [[extractionQuality]] (java.util.regex split) and the
+    * q_extract_quality DuckDB oracle (RE2 regexp_split_to_array): an
+    * EXPLICIT whitespace class because java `\s` and RE2 `\s` disagree on
+    * U+000B. */
+  val QaTokenSplit = "[ \\t\\n\\r\\f]+"
+
+  /** Extraction-quality report — the QA signal a 100-TB extraction run
+    * monitors continuously: integral token-overlap precision/recall/F1
+    * between the pipeline's extracted text and a reference text column
+    * (the north-rule table carries the fetch-time sidecar text for
+    * exactly this). Tokens are lowercased [[QaTokenSplit]] splits; the
+    * overlap is the MULTISET intersection (Σ per-token min of the two
+    * counts), so repeated content can't inflate precision. All outputs
+    * are integral — counts plus ppm ratios via the same truncating DIV
+    * on both engines:
+    *
+    *   precision_ppm = n_inter·10⁶ DIV n_ext   (0 when n_ext = 0)
+    *   recall_ppm    = n_inter·10⁶ DIV n_ref   (0 when n_ref = 0)
+    *   f1_ppm        = 2·p·r DIV (p + r)       (0 when p + r = 0)
+    *
+    * Scale shape: MAP-ONLY — one typed pass counts both token multisets
+    * in a per-row hash map (the kernel-style escape hatch; a relational
+    * formulation would shuffle a (doc, token) pair per token, the
+    * per-line-text shuffle this library never does). Never throws; null
+    * columns count as empty. */
+  def extractionQuality(df: DataFrame, idCol: String,
+      extractedCol: String, referenceCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val split = java.util.regex.Pattern.compile(QaTokenSplit)
+    def counts(s: String): collection.Map[String, Long] = {
+      if (s == null) return Map.empty
+      val m = collection.mutable.HashMap.empty[String, Long]
+      split.split(s.toLowerCase(java.util.Locale.ROOT)).foreach { t =>
+        if (t.nonEmpty) m.update(t, m.getOrElse(t, 0L) + 1L)
+      }
+      m
+    }
+    df.select(col(idCol).cast("string").as("id"),
+        col(extractedCol).cast("string").as("e"),
+        col(referenceCol).cast("string").as("r"))
+      .as[(String, String, String)]
+      .map { case (id, e, r) =>
+        val ce = counts(e); val cr = counts(r)
+        val nExt = ce.valuesIterator.sum
+        val nRef = cr.valuesIterator.sum
+        val inter = ce.iterator.map { case (t, n) =>
+          math.min(n, cr.getOrElse(t, 0L)) }.sum
+        val p = if (nExt == 0) 0L else inter * 1000000L / nExt
+        val rr = if (nRef == 0) 0L else inter * 1000000L / nRef
+        val f1 = if (p + rr == 0) 0L else 2L * p * rr / (p + rr)
+        (id, nExt, nRef, inter, p, rr, f1)
+      }
+      .toDF(idCol, "n_ext", "n_ref", "n_inter",
+        "precision_ppm", "recall_ppm", "f1_ppm")
+  }
+
   /** The PII patterns, shared VERBATIM by [[TextOps.redactPii]] (java.util
     * .regex) and the q_pii_redact DuckDB oracle (RE2): every construct is
     * in the common subset of the two engines (character classes, bounded

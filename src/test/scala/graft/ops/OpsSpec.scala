@@ -1164,4 +1164,27 @@ class OpsSpec extends AnyFunSuite {
     assert(phys.contains("BroadcastHashJoin") || phys.contains("BroadcastNestedLoopJoin"))
     assert(!phys.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$phys")
   }
+
+  test("extractionQuality: multiset overlap, integral ppm ratios, empty/null edges, case folding") {
+    val rows = Seq(
+      ("same",    "alpha beta gamma", "alpha beta gamma"),      // perfect
+      ("disjoint","alpha beta",       "gamma delta"),           // zero overlap
+      ("multiset","a a a b",          "a b b"),                 // min counts: a->1? no: min(3,1)+min(1,2)=2
+      ("partial", "one two three four", "two three"),           // p=2/4, r=2/2
+      ("caseWs",  "Foo\tBar\nbaz",    "foo bar BAZ"),           // fold + ws classes
+      ("emptyE",  "",                 "x y"),
+      ("nullRef", "x y",              null)
+    ).toDF("url", "e", "r")
+    val out = TextOps.extractionQuality(rows, "url", "e", "r")
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5), x.getLong(6))))
+      .toMap
+    assert(out("same")     == ((3L, 3L, 3L, 1000000L, 1000000L, 1000000L)))
+    assert(out("disjoint") == ((2L, 2L, 0L, 0L, 0L, 0L)))
+    assert(out("multiset") == ((4L, 3L, 2L, 500000L, 666666L, 571428L)))
+    assert(out("partial")  == ((4L, 2L, 2L, 500000L, 1000000L, 666666L)))
+    assert(out("caseWs")   == ((3L, 3L, 3L, 1000000L, 1000000L, 1000000L)))
+    assert(out("emptyE")   == ((0L, 2L, 0L, 0L, 0L, 0L)))
+    assert(out("nullRef")  == ((2L, 0L, 0L, 0L, 0L, 0L)))
+  }
 }
