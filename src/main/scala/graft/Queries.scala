@@ -538,6 +538,67 @@ object Queries {
         vt(s, dir, "robots_rules"))
         .select(col("url"), col("lang")).orderBy("url")),
 
+    // ---- crawl metadata: page-metadata extraction (title / description /
+    //      rel=canonical, first-wins DOM walk) over the corpus + the
+    //      planted canonical docs — the oracle checks the live kernel run
+    //      against the independently-dumped page_meta table row-for-row
+    //      (the x_parse_flex evidential class; walk + resolution pinned
+    //      in LinkOpsSpec)
+    "q_page_meta" -> ((s, dir) =>
+      LinkOps.extractPageMeta(
+          vt(s, dir, "northrule").unionByName(VerifyTables.plantedCanonicalDocs(s)))
+        .orderBy("url")),
+
+    // ---- crawl dedup: rel=canonical consolidation — pages declaring the
+    //      same canonical target collapse to one representative (self if
+    //      present, else min url); corpus pages without a declaration are
+    //      their own group. DuckDB replays the grouping + self-first pick
+    //      from the dumped page_meta table.
+    "q_canonical_dedup" -> ((s, dir) =>
+      LinkOps.canonicalConsolidate(
+          LinkOps.extractPageMeta(
+            vt(s, dir, "northrule").unionByName(VerifyTables.plantedCanonicalDocs(s))))
+        .orderBy("canonical_url")),
+
+    // ---- crawl policy: frontier generation — undiscovered outlink
+    //      targets, robots.txt + blocklist enforced, per-host politeness
+    //      top-5 by inlink count. Planted edges aim at /pdf/ and
+    //      /truncated/ paths so the robots rules actually DROP candidates
+    //      (the synthetic outlinks are all /html/, which every planted
+    //      rules variant allows). DuckDB replays every stage from the
+    //      dumped links + robots_rules + northrule tables.
+    "q_frontier" -> ((s, dir) => {
+      import s.implicits._
+      val nr = vt(s, dir, "northrule")
+      val planted = nr
+        .select(col("url"),
+          regexp_extract(col("url"), "doc([0-9]+)$", 1).cast("long").as("did"))
+        .filter(col("did") % 23 === 0)
+        .select(col("url").as("src"),
+          concat(regexp_extract(col("url"), "^(https?://[^/]+)", 1),
+            when(col("did") % 2 === 0, lit("/pdf/frontier"))
+              .otherwise(lit("/truncated/frontier")),
+            col("did").cast("string")).as("dst"))
+      val links = vt(s, dir, "links").select("src", "dst").unionByName(planted)
+      val blk = Seq("host7.example", "host13.example").toDF("domain")
+      LinkOps.crawlFrontier(nr.select("url"), links,
+          vt(s, dir, "robots_rules"), blk, perHostK = 5L)
+        .orderBy("url")
+    }),
+
+    // ---- decontamination, large-eval-set scale path: Bloom prefilter +
+    //      exact verify — result is EXACTLY q_decontaminate's (no false
+    //      negatives in the sketch; false positives die in the verify
+    //      join), so the same SQL oracles both
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.decontaminateBloom(
+          docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 97 === 0), "text", n = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ---- extraction QA: per-doc token-overlap precision/recall/F1 of
     //      the pipeline's extracted text against the table's sidecar
     //      text — the quality signal a 100-TB extraction run monitors.
@@ -1123,6 +1184,26 @@ object Queries {
 
   def oracles: Map[String, String] = staticOracles ++ materializedOracles
 
+  /** Shared by q_decontaminate and q_decontaminate_bloom (identical
+    * results by contract — the Bloom path is an exactness-preserving
+    * prefilter). */
+  private val decontaminateSql: String =
+    """WITH tok AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |  ELSE list_distinct(list_transform(range(0, len(toks) - 2),
+      |    i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))) END AS shs
+      |  FROM tok),
+      |bench AS (SELECT DISTINCT unnest(shs) AS s FROM sh WHERE doc_id % 97 = 0),
+      |corpus AS (SELECT doc_id, unnest(shs) AS s FROM sh WHERE doc_id % 97 <> 0),
+      |hits AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      |  FROM corpus c JOIN bench b ON c.s = b.s GROUP BY c.doc_id)
+      |SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+      |  coalesce(h.n_hits, 0) >= 1 AS contaminated
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+      |LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin
+
   private val staticOracles: Map[String, String] = Map(
     "q_page_assembly" ->
       """SELECT l_orderkey, string_agg(l_returnflag, '|' ORDER BY l_linenumber, l_returnflag) AS flags,
@@ -1194,22 +1275,12 @@ object Queries {
         |SELECT shard, CAST(floor(cum_before / 2048.0) AS BIGINT) AS pack_id,
         |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
         |FROM c GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin,
-    "q_decontaminate" ->
-      """WITH tok AS (SELECT doc_id,
-        |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-        |  ELSE list_distinct(list_transform(range(0, len(toks) - 2),
-        |    i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))) END AS shs
-        |  FROM tok),
-        |bench AS (SELECT DISTINCT unnest(shs) AS s FROM sh WHERE doc_id % 97 = 0),
-        |corpus AS (SELECT doc_id, unnest(shs) AS s FROM sh WHERE doc_id % 97 <> 0),
-        |hits AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
-        |  FROM corpus c JOIN bench b ON c.s = b.s GROUP BY c.doc_id)
-        |SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
-        |  coalesce(h.n_hits, 0) >= 1 AS contaminated
-        |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
-        |LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" -> decontaminateSql,
+    // the Bloom-prefilter scale path is exactness-preserving by contract
+    // (no false negatives in the sketch, false positives killed by the
+    // exact verify join) — the SAME SQL oracles it, so the equivalence
+    // is checked by the independent engine too
+    "q_decontaminate_bloom" -> decontaminateSql,
     // integral k-means: the same quantize + 2-round Lloyd ladder replayed
     // in pure integer arithmetic (round_even ≡ bround, // ≡ DIV)
     "q_kmeans" -> kmeansSql(4, 2),
@@ -2063,6 +2134,75 @@ object Queries {
            |SELECT u.url, u.lang FROM u
            |LEFT JOIN dis ON u.url = dis.url
            |WHERE dis.url IS NULL ORDER BY u.url""".stripMargin,
+      // page metadata: the live kernel run checked row-for-row against
+      // the independently-dumped page_meta table (the x_parse_flex
+      // evidential class; first-wins walk + href resolution pinned in
+      // LinkOpsSpec)
+      "q_page_meta" ->
+        s"""SELECT url, title, description, canonical
+           |FROM read_parquet('${VerifyTables.oracleGlob("page_meta")}')
+           |ORDER BY url""".stripMargin,
+      // canonical consolidation: grouping + self-first representative
+      // pick replayed from the dumped page_meta table (Spark's
+      // min(struct(url != key, url)) IS this window's row 1 — boolean
+      // false < true in both engines)
+      "q_canonical_dedup" ->
+        s"""WITH m AS (SELECT url,
+           |  CASE WHEN canonical = '' THEN url ELSE canonical END AS k
+           |  FROM read_parquet('${VerifyTables.oracleGlob("page_meta")}')),
+           |r AS (SELECT k, url,
+           |  row_number() OVER (PARTITION BY k ORDER BY (url <> k), url) AS rn,
+           |  count(*) OVER (PARTITION BY k) AS n FROM m)
+           |SELECT k AS canonical_url, url AS kept_url,
+           |  CAST(n AS BIGINT) AS n_members
+           |FROM r WHERE rn = 1 ORDER BY canonical_url""".stripMargin,
+      // crawl frontier: every stage replayed — planted /pdf/ + /truncated/
+      // edges rebuilt as SQL, inlink counts from the dumped links table,
+      // anti-join vs the corpus urls, the RFC 9309 robots decision, the
+      // equals-or-subdomain blocklist, and the per-host top-5 (Spark's
+      // bounded-histogram selector ≡ ORDER BY -score, url row_number)
+      "q_frontier" ->
+        s"""WITH nr AS (SELECT url
+           |  FROM read_parquet('${VerifyTables.oracleGlob("northrule")}')),
+           |pl AS (SELECT url AS src,
+           |    regexp_extract(url, '^(https?://[^/]+)', 1) ||
+           |    CASE WHEN did % 2 = 0 THEN '/pdf/frontier'
+           |         ELSE '/truncated/frontier' END || CAST(did AS VARCHAR) AS dst
+           |  FROM (SELECT url,
+           |    CAST(regexp_extract(url, 'doc([0-9]+)$$', 1) AS BIGINT) AS did
+           |    FROM nr)
+           |  WHERE did % 23 = 0),
+           |l AS (SELECT src, dst
+           |    FROM read_parquet('${VerifyTables.oracleGlob("links")}')
+           |  UNION ALL SELECT src, dst FROM pl),
+           |cand AS (SELECT dst AS url, CAST(count(*) AS BIGINT) AS n_inlinks
+           |  FROM l GROUP BY 1),
+           |und AS (SELECT c.url, c.n_inlinks FROM cand c
+           |  LEFT JOIN nr ON c.url = nr.url WHERE nr.url IS NULL),
+           |u AS (SELECT url, n_inlinks,
+           |    regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+           |    CASE WHEN length(regexp_extract(url, '^https?://[^/?#]+(/[^?#]*)', 1)) = 0
+           |         THEN '/' ELSE regexp_extract(url, '^https?://[^/?#]+(/[^?#]*)', 1)
+           |    END AS p
+           |  FROM und),
+           |m AS (SELECT u.url, r.is_allow,
+           |    row_number() OVER (PARTITION BY u.url
+           |      ORDER BY length(r.prefix) DESC, r.is_allow DESC, r.prefix DESC) AS rn
+           |  FROM u JOIN read_parquet('${VerifyTables.oracleGlob("robots_rules")}') r
+           |    ON u.host = r.host AND starts_with(u.p, r.prefix)),
+           |dis AS (SELECT url FROM m WHERE rn = 1 AND NOT is_allow),
+           |rob AS (SELECT u.url, u.n_inlinks, u.host FROM u
+           |  LEFT JOIN dis ON u.url = dis.url WHERE dis.url IS NULL),
+           |blk(domain) AS (VALUES ('host7.example'), ('host13.example')),
+           |blocked AS (SELECT DISTINCT r.url FROM rob r JOIN blk b
+           |  ON r.host = b.domain OR r.host LIKE '%.' || b.domain),
+           |f AS (SELECT * FROM rob
+           |  WHERE url NOT IN (SELECT url FROM blocked)),
+           |r2 AS (SELECT url, host, n_inlinks,
+           |    row_number() OVER (PARTITION BY host ORDER BY -n_inlinks, url) AS rn
+           |  FROM f)
+           |SELECT url, host, n_inlinks FROM r2 WHERE rn <= 5
+           |ORDER BY url""".stripMargin,
       // extraction QA: both token multisets rebuilt by unnest+count, the
       // intersection by a per-token least() join, ratios by the same
       // truncating integer division (DuckDB sums CAST to BIGINT — they

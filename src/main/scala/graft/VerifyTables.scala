@@ -34,8 +34,8 @@ object VerifyTables {
   // extracted links table; r5: kernel semantics touched — ToUnicode CMap
   // decode, truncated-image gate, JPEG fill-byte scan — none of which
   // alters the synthetic corpus's dumps, but stale-dump insurance is
-  // cheaper than reasoning about it every round)
-  private val Version = "r5"
+  // cheaper than reasoning about it every round; r5b: + page_meta)
+  private val Version = "r5b"
   val Seed = 42L
 
   /** All table names, in dependency order. */
@@ -45,7 +45,7 @@ object VerifyTables {
     "parse_flex_cases", "minhash_sigs", "simhash_sigs", "shingles",
     "doc_vectors", "grounding_cells", "ivf_centroids",
     "media_features", "frame_samples", "links", "anchors", "fingerprints",
-    "robots_rules")
+    "robots_rules", "page_meta")
 
   /** The grounding-mode query bbox (original space) used by both the
     * x_extract_grounding query and the grounding_cells oracle dump. */
@@ -229,6 +229,16 @@ object VerifyTables {
           .flatMap(h => graft.ops.LinkOps.parseRobotsTxt(plantedRobotsTxt(h))
             .map { case (prefix, isAllow) => (h, prefix, isAllow) })
           .toDF("host", "prefix", "is_allow")
+      case "page_meta" =>
+        // (url, title, description, canonical) from the HTML payloads,
+        // over the corpus PLUS the planted canonical-declaring docs (the
+        // synthetic corpus carries titles but no rel=canonical) — the
+        // q_page_meta oracle checks the live query against this dump
+        // row-for-row (independent-pass replay, the x_parse_flex class;
+        // first-wins walk + resolution pinned by LinkOpsSpec), and
+        // q_canonical_dedup replays the consolidation grouping from it
+        graft.ops.LinkOps.extractPageMeta(
+          read(s, sfDir, "northrule").unionByName(plantedCanonicalDocs(s)))
       case other => throw new IllegalArgumentException(s"unknown table $other")
     }
     df.write.mode("overwrite").parquet(p)
@@ -256,6 +266,65 @@ object VerifyTables {
         "User-agent: *\nDisallow: /*.gif$\nDisallow: /truncated/\n" +
           "Allow: /truncated/doc\n"
     }
+
+  /** Planted canonical-declaring documents (north-rule schema): the
+    * synthetic corpus has `<title>`s but no `<link rel=canonical>` or
+    * meta descriptions, so seven hand-checkable docs exercise every
+    * branch of the page-meta walk and the consolidation grouping —
+    * root-relative / absolute / path-relative+fragment hrefs, a
+    * case-insensitive multi-token rel list, a group whose canonical
+    * target is NOT a member (kept = min url), a canonical-free page, an
+    * unresolvable (mailto:) canonical, entity/whitespace normalization
+    * in title and description, and a first-wins duplicate declaration.
+    * Shared verbatim by the page_meta dump and the live queries. */
+  def plantedCanonicalDocs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, encode, lit}
+    Seq(
+      // the canonical page itself: self-referential root-relative href;
+      // entities + whitespace in title and description
+      ("https://planted.example/canon/a",
+        "<html><head><title> Canon   A&amp;B </title>" +
+          "<meta name=\"Description\" content=\" Alpha &amp; beta   page \">" +
+          "<link rel=\"canonical\" href=\"/canon/a\"></head>" +
+          "<body><p>Canon body.</p></body></html>"),
+      // duplicate variant: absolute href, uppercase multi-token rel;
+      // a SECOND canonical declaration must lose (first wins)
+      ("https://planted.example/canon/a?utm_source=x",
+        "<html><head><title>Canon A dup</title>" +
+          "<link rel=\"CANONICAL alternate\" href=\"https://planted.example/canon/a\">" +
+          "<link rel=\"canonical\" href=\"https://planted.example/wrong\"></head>" +
+          "<body><p>Dup body.</p></body></html>"),
+      // AMP-style variant: path-relative href with dot segments + fragment
+      ("https://planted.example/amp/canon-a",
+        "<html><head><title>Canon A amp</title>" +
+          "<link rel=\"canonical\" href=\"../canon/a#top\"></head>" +
+          "<body><p>Amp body.</p></body></html>"),
+      // group whose canonical target is not itself in the corpus:
+      // kept_url = lexicographically smallest member
+      ("https://planted.example/mirror/d",
+        "<html><head><title>Mirror D</title>" +
+          "<link rel=\"canonical\" href=\"https://elsewhere.example/d0\"></head>" +
+          "<body><p>Mirror body.</p></body></html>"),
+      ("https://planted.example/mirror/e",
+        "<html><head><title>Mirror E</title>" +
+          "<link rel=\"canonical\" href=\"https://elsewhere.example/d0\"></head>" +
+          "<body><p>Mirror body.</p></body></html>"),
+      // no canonical at all (a stylesheet link must not match)
+      ("https://planted.example/plain/f",
+        "<html><head><title>Plain F</title>" +
+          "<link rel=\"stylesheet\" href=\"/css/main.css\"></head>" +
+          "<body><p>Plain body.</p></body></html>"),
+      // unresolvable canonical scheme → treated as undeclared
+      ("https://planted.example/plain/g",
+        "<html><head><title>Plain G</title>" +
+          "<link rel=\"canonical\" href=\"mailto:x@y.example\"></head>" +
+          "<body><p>Plain body.</p></body></html>"))
+      .toDF("url", "h")
+      .select(col("url"), lit(null).cast("timestamp").as("warc_ts"),
+        encode(col("h"), "UTF-8").as("html"), lit("").as("text"),
+        lit("en").as("lang"))
+  }
 
   private def docs(s: SparkSession, sfDir: String): DataFrame =
     s.read.parquet(s"$sfDir/documents.parquet")

@@ -487,4 +487,118 @@ object LinkOps {
     withDeg.unpersist()
     ranks
   }
+
+  /** First-wins page metadata of one parsed DOM: (title, description,
+    * canonical). title = normalized visible text of the first `<title>`;
+    * description = the first `<meta name=description>` content
+    * (whitespace-collapsed; entities were decoded at attribute parse);
+    * canonical = the first `<link rel=canonical>` href resolved against
+    * the page url ([[resolveUrl]] — http(s)-only, fragment stripped).
+    * `rel` is an HTML space-separated token list, matched
+    * case-insensitively. Absent fields are '' (the no-nullable-columns
+    * oracle discipline). May throw on a broken DOM — byte-level callers
+    * wrap, like [[artifactsOfDom]]. */
+  def pageMetaOfDom(baseUrl: String, root: HtmlDom.Element): (String, String, String) = {
+    var title = ""; var desc = ""; var canon = ""
+    def walk(n: HtmlDom.Node): Unit = n match {
+      case e: HtmlDom.Element =>
+        if (e.tag == "title" && title.isEmpty)
+          title = HtmlDom.visibleText(e)
+        else if (e.tag == "meta" && desc.isEmpty &&
+            e.attrs.get("name").exists(_.equalsIgnoreCase("description")))
+          desc = HtmlDom.collapseWs(e.attrs.getOrElse("content", ""))
+        else if (e.tag == "link" && canon.isEmpty &&
+            e.attrs.get("rel").exists(_.toLowerCase.split("\\s+").contains("canonical")))
+          canon = e.attrs.get("href").flatMap(resolveUrl(baseUrl, _)).getOrElse("")
+        e.children.foreach(walk)
+      case _ => ()
+    }
+    walk(root)
+    (title, desc, canon)
+  }
+
+  /** Never-throw byte-level wrapper for [[pageMetaOfDom]]; non-HTML
+    * payloads (PDF, image, garbled) carry no DOM metadata → ("","",""). */
+  def pageMetaOf(baseUrl: String, payload: Array[Byte]): (String, String, String) = {
+    if (payload == null || !ExtractKernel.looksLikeHtml(payload)) return ("", "", "")
+    try pageMetaOfDom(baseUrl, HtmlDom.parse(HtmlDom.decodeBytes(payload)))
+    catch { case scala.util.control.NonFatal(_) => ("", "", "") }
+  }
+
+  /** (url, title, description, canonical) per document — the page-metadata
+    * sheet a crawl pipeline extracts alongside the content (titles for
+    * retrieval training pairs, descriptions for snippet features,
+    * rel=canonical for duplicate consolidation). Map-only, one kernel
+    * parse per row, one output row per input row. */
+  def extractPageMeta(df: DataFrame, urlCol: String = "url",
+      payloadCol: String = "html"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(urlCol).cast("string"), col(payloadCol))
+      .as[(String, Array[Byte])]
+      .map { case (u, p) =>
+        val (t, d, c) = pageMetaOf(u, p)
+        (u, t, d, c)
+      }
+      .toDF("url", "title", "description", "canonical")
+  }
+
+  /** rel=canonical duplicate consolidation — the crawl-side dedup step
+    * that runs BEFORE any content hashing: pages declaring the same
+    * canonical target collapse to one representative. Effective key =
+    * the declared canonical url, or the page's own url when none is
+    * declared (most pages); the kept member is the canonical page itself
+    * when it is in the group, else the lexicographically smallest url
+    * (deterministic, engine-replayable). One row per canonical group:
+    * (canonical_url, kept_url, n_members).
+    *
+    * Scale shape: one hash aggregation over (key, url) string pairs —
+    * payloads never shuffle (callers re-attach them to kept_url by join,
+    * the attach-survivors-last shape of the dedup family). The self-first
+    * pick is a `min(struct(url != key, url))` — boolean false < true —
+    * NOT a per-group window, so a million-member duplicate group (a
+    * template site declaring one canonical everywhere) costs one combiner
+    * path, never a single-task sort. */
+  def canonicalConsolidate(meta: DataFrame, urlCol: String = "url",
+      canonicalCol: String = "canonical"): DataFrame = {
+    val key = when(col(canonicalCol) === "", col(urlCol)).otherwise(col(canonicalCol))
+    meta.select(key.as("canonical_url"), col(urlCol).as("__u"))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_members"),
+        min(struct((col("__u") =!= col("canonical_url")).as("nk"),
+          col("__u").as("u"))).as("__kept"))
+      .select(col("canonical_url"), col("__kept.u").as("kept_url"),
+        col("n_members"))
+  }
+
+  /** Crawl-frontier generation — the next-batch URL selection a recurring
+    * crawl runs over the current snapshot: outlink targets not yet in the
+    * corpus, prioritized by inlink count, with crawl policy (robots.txt
+    * rules, domain blocklist) enforced and a per-host politeness cap so
+    * no single host dominates the batch.
+    *
+    * Stages (all payload-free — nothing wider than a url string crosses
+    * any shuffle):
+    *   1. candidate counts: links grouped by dst (map-side-combined);
+    *   2. undiscovered: anti-join against the corpus url set;
+    *   3. robots.txt enforcement ([[filterByRobots]] — RFC 9309
+    *      longest-match over the per-host rules table);
+    *   4. domain blocklist ([[filterBlockedHosts]] — equals-or-subdomain
+    *      suffix join);
+    *   5. per-host top-k by inlink count ([[TextOps.topKPerStratum]] —
+    *      bounded-histogram cutoff, ties by url; a host with millions of
+    *      candidates never sorts in one task).
+    * Output: (url, host, n_inlinks), the selected frontier. */
+  def crawlFrontier(corpusUrls: DataFrame, links: DataFrame,
+      rules: DataFrame, blocklist: DataFrame, perHostK: Long,
+      urlCol: String = "url", dstCol: String = "dst"): DataFrame = {
+    val cand = links.groupBy(col(dstCol).as("url"))
+      .agg(count(lit(1)).as("n_inlinks"))
+      .join(corpusUrls.select(col(urlCol).as("url")), Seq("url"), "left_anti")
+    val allowed = filterBlockedHosts(
+      filterByRobots(cand, "url", rules), "url", blocklist)
+      .withColumn("host", hostOf(col("url")))
+    TextOps.topKPerStratum(allowed, "url", "host", col("n_inlinks"), perHostK)
+      .select("url", "host", "n_inlinks")
+  }
 }

@@ -135,6 +135,51 @@ object TextOps {
         (coalesce(col("n_hits"), lit(0L)) >= 1).as("contaminated"))
   }
 
+  /** [[decontaminate]]'s large-eval-set scale path: identical output (the
+    * OpsSpec equivalence pin and a shared oracle), different join
+    * machinery. When the eval set grows past the comfortable
+    * broadcast-hash-join regime (tens of millions of n-grams — a full
+    * eval-suite sweep), the exact semi-join either stops broadcasting or
+    * shuffles the CORPUS n-gram explosion, the one thing this op must
+    * never do. A Bloom filter over the benchmark shingles is ~100×
+    * smaller than the hash relation (~1.2 B/item at 1% fpp), so the
+    * corpus side stays a map-only prefilter far beyond that point; Bloom
+    * filters have NO false negatives, so every true hit survives the
+    * prefilter, and the exact semi-join then runs over only the ~fpp
+    * sliver of candidate (id, shingle) rows — false positives die there,
+    * making the result exactly [[decontaminate]]'s. (Spark's own runtime
+    * bloom-join rewrite — spark.sql.optimizer.runtime.bloomFilter — is
+    * the same idea applied blindly; this is the explicit,
+    * exactness-preserving form.) The Row-lambda prefilter is the
+    * documented typed-filter escape hatch (a sketch probe has no Column
+    * form), kept off the oracled result columns. */
+  def decontaminateBloom(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 3,
+      fpp: Double = 0.01): DataFrame = {
+    // pin the distinct benchmark shingles: they feed BOTH the sketch
+    // build and the exact verify join, and their lineage is the eval-set
+    // explode (tiny relative to the corpus — the localCheckpoint
+    // discipline of surpriseBuckets)
+    val benchSh = bench
+      .select(explode(shingles(col(benchTextCol), n)).as("sh")).distinct()
+      .localCheckpoint(true)
+    val bf = benchSh.stat.bloomFilter("sh", math.max(1L, benchSh.count()), fpp)
+    val bfB = corpus.sparkSession.sparkContext.broadcast(bf)
+    val exploded = corpus
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+    val shIdx = exploded.schema.fieldIndex("sh")
+    val hits = exploded
+      .filter((r: org.apache.spark.sql.Row) =>
+        bfB.value.mightContainString(r.getString(shIdx)))
+      .join(benchSh, Seq("sh"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+    corpus.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) >= 1).as("contaminated"))
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget training
     * rows ("sample packing"). Documents are sharded by `id % nShards`,
     * ordered by id within the shard, and cut greedily: a document opens a

@@ -223,4 +223,79 @@ class LinkOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("pageMetaOf: first-wins walk, entity/ws normalization, rel token list, resolution") {
+    def meta(u: String, h: String) =
+      LinkOps.pageMetaOf(u, h.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // entities + whitespace collapse in title and description; first
+    // canonical wins over a later declaration
+    assert(meta("https://h.example/a",
+      "<html><head><title> A&amp;B   C </title>" +
+        "<meta name=\"DESCRIPTION\" content=\" d&amp;e   f \">" +
+        "<link rel=\"canonical\" href=\"/x\">" +
+        "<link rel=\"canonical\" href=\"/wrong\"></head><body></body></html>") ==
+      ("A&B C", "d&e f", "https://h.example/x"))
+    // multi-token case-insensitive rel; path-relative href + fragment strip
+    assert(meta("https://h.example/amp/p",
+      "<html><head><link rel=\"CANONICAL alternate\" href=\"../c#top\"></head></html>") ==
+      ("", "", "https://h.example/c"))
+    // stylesheet rel must not match; mailto: canonical is unresolvable;
+    // first <title> wins over a second
+    assert(meta("https://h.example/a",
+      "<html><head><title>T1</title><title>T2</title>" +
+        "<link rel=\"stylesheet\" href=\"/css\">" +
+        "<link rel=\"canonical\" href=\"mailto:x@y\"></head></html>") ==
+      ("T1", "", ""))
+    // non-HTML payloads carry no metadata; broken bytes never throw
+    assert(meta("https://h.example/p", "%PDF-1.4 garbage") == ("", "", ""))
+    assert(LinkOps.pageMetaOf("https://h.example/p", null) == ("", "", ""))
+    assert(meta("https://h.example/p", "<html><head><<<") == ("", "", ""))
+  }
+
+  test("canonicalConsolidate: self-first pick, min-url fallback, undeclared singleton groups") {
+    val meta = Seq(
+      // group keyed by /canon/a, canonical page itself present → kept
+      ("https://p.example/canon/a", "https://p.example/canon/a"),
+      ("https://p.example/canon/a?utm=x", "https://p.example/canon/a"),
+      ("https://p.example/zz-amp", "https://p.example/canon/a"),
+      // group whose target is NOT a member → min url kept
+      ("https://p.example/mirror/d", "https://elsewhere.example/d0"),
+      ("https://p.example/mirror/e", "https://elsewhere.example/d0"),
+      // no declaration → own group
+      ("https://p.example/plain/f", ""))
+      .toDF("url", "canonical")
+      .withColumn("title", lit("")).withColumn("description", lit(""))
+    val r = LinkOps.canonicalConsolidate(meta).orderBy("canonical_url")
+      .as[(String, String, Long)].collect().toSeq
+    assert(r == Seq(
+      ("https://elsewhere.example/d0", "https://p.example/mirror/d", 2L),
+      ("https://p.example/canon/a", "https://p.example/canon/a", 3L),
+      ("https://p.example/plain/f", "https://p.example/plain/f", 1L)))
+  }
+
+  test("crawlFrontier: anti-join, robots drop, blocklist drop, per-host top-k by inlinks") {
+    val corpus = Seq("https://a.example/html/doc1").toDF("url")
+    val links = Seq(
+      // already crawled → excluded by the anti-join
+      ("https://a.example/p", "https://a.example/html/doc1"),
+      // 3 inlinks → top candidate on a.example
+      ("https://s1/x", "https://a.example/html/new1"),
+      ("https://s2/x", "https://a.example/html/new1"),
+      ("https://s3/x", "https://a.example/html/new1"),
+      // 1 inlink each; url order breaks the tie for the k=2 cap
+      ("https://s1/x", "https://a.example/html/new2"),
+      ("https://s1/y", "https://a.example/html/new3"),
+      // robots-disallowed path on a.example
+      ("https://s1/z", "https://a.example/private/secret"),
+      // blocked host (subdomain of the blocklist entry)
+      ("https://s1/w", "https://sub.bad.example/page"))
+      .toDF("src", "dst")
+    val rules = Seq(("a.example", "/private/", false)).toDF("host", "prefix", "is_allow")
+    val blk = Seq("bad.example").toDF("domain")
+    val r = LinkOps.crawlFrontier(corpus, links, rules, blk, perHostK = 2L)
+      .orderBy("url").as[(String, String, Long)].collect().toSeq
+    assert(r == Seq(
+      ("https://a.example/html/new1", "a.example", 3L),
+      ("https://a.example/html/new2", "a.example", 1L)))
+  }
 }

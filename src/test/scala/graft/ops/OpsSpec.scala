@@ -1165,6 +1165,27 @@ class OpsSpec extends AnyFunSuite {
     assert(!phys.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$phys")
   }
 
+  test("decontaminateBloom: exact equivalence to decontaminate, including under heavy sketch fpp") {
+    // a corpus big enough that a Bloom false positive is likely at high
+    // fpp — the exact verify join must kill every one (result identity,
+    // not probabilistic agreement)
+    val corpus = spark.range(300).selectExpr("id AS doc_id",
+      "concat('w', id, ' w', id+1, ' w', id+2, ' w', id+3, ' filler tail') AS text")
+    val bench = Seq(
+      (1000L, "w10 w11 w12 w13"),            // contaminates docs 10 (and neighbors)
+      (1001L, "totally disjoint bench text")
+    ).toDF("doc_id", "text")
+    val exact = TextOps.decontaminate(corpus, "doc_id", "text", bench, "text", n = 3)
+      .orderBy("id").collect().toSeq
+    for (fpp <- Seq(0.01, 0.4)) {
+      val bloom = TextOps.decontaminateBloom(corpus, "doc_id", "text",
+          bench, "text", n = 3, fpp = fpp)
+        .orderBy("id").collect().toSeq
+      assert(bloom == exact, s"bloom path diverged at fpp=$fpp")
+    }
+    assert(exact.count(_.getBoolean(2)) > 0) // the planted hit is real
+  }
+
   test("extractionQuality: multiset overlap, integral ppm ratios, empty/null edges, case folding") {
     val rows = Seq(
       ("same",    "alpha beta gamma", "alpha beta gamma"),      // perfect
