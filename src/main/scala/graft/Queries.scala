@@ -586,6 +586,17 @@ object Queries {
         .orderBy("url")
     }),
 
+    // ---- crawl policy: sitemap-driven recrawl scheduling — each planted
+    //      sitemap entry classified new / stale / index against the
+    //      corpus snapshot (lastmod vs warc_ts). The live query re-parses
+    //      the planted bodies with the REAL parser; DuckDB replays the
+    //      decision from the separately-dumped sitemap_entries table, so
+    //      the dump doubles as an independent-pass parse replay.
+    "q_sitemap_recrawl" -> ((s, dir) =>
+      LinkOps.sitemapRecrawl(VerifyTables.sitemapEntries(s, dir),
+          vt(s, dir, "northrule"))
+        .orderBy("url")),
+
     // ---- decontamination, large-eval-set scale path: Bloom prefilter +
     //      exact verify — result is EXACTLY q_decontaminate's (no false
     //      negatives in the sketch; false positives die in the verify
@@ -2134,6 +2145,23 @@ object Queries {
            |SELECT u.url, u.lang FROM u
            |LEFT JOIN dis ON u.url = dis.url
            |WHERE dis.url IS NULL ORDER BY u.url""".stripMargin,
+      // sitemap recrawl: the new/stale/index decision replayed from the
+      // dumped per-host entries (parsed by the real parser in a separate
+      // pass; parse fixtures pinned in LinkOpsSpec) against the corpus
+      // snapshot's warc_ts
+      "q_sitemap_recrawl" ->
+        s"""WITH e AS (SELECT host, loc, lastmod, is_index
+           |  FROM read_parquet('${VerifyTables.oracleGlob("sitemap_entries")}')),
+           |n AS (SELECT url, warc_ts
+           |  FROM read_parquet('${VerifyTables.oracleGlob("northrule")}')),
+           |u AS (SELECT e.loc AS url,
+           |    CASE WHEN e.is_index THEN 'index'
+           |         WHEN n.url IS NULL THEN 'new'
+           |         WHEN e.lastmod > n.warc_ts THEN 'stale' END AS status,
+           |    e.lastmod
+           |  FROM e LEFT JOIN n ON e.loc = n.url)
+           |SELECT url, status, lastmod FROM u WHERE status IS NOT NULL
+           |ORDER BY url""".stripMargin,
       // page metadata: the live kernel run checked row-for-row against
       // the independently-dumped page_meta table (the x_parse_flex
       // evidential class; first-wins walk + href resolution pinned in

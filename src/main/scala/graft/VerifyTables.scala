@@ -45,7 +45,7 @@ object VerifyTables {
     "parse_flex_cases", "minhash_sigs", "simhash_sigs", "shingles",
     "doc_vectors", "grounding_cells", "ivf_centroids",
     "media_features", "frame_samples", "links", "anchors", "fingerprints",
-    "robots_rules", "page_meta")
+    "robots_rules", "page_meta", "sitemap_entries")
 
   /** The grounding-mode query bbox (original space) used by both the
     * x_extract_grounding query and the grounding_cells oracle dump. */
@@ -229,6 +229,14 @@ object VerifyTables {
           .flatMap(h => graft.ops.LinkOps.parseRobotsTxt(plantedRobotsTxt(h))
             .map { case (prefix, isAllow) => (h, prefix, isAllow) })
           .toDF("host", "prefix", "is_allow")
+      case "sitemap_entries" =>
+        // per-host parsed sitemap entries (the planted sitemap.xml bodies
+        // run through the REAL parser in a separate pass) — the
+        // q_sitemap_recrawl oracle replays the new/stale/index DECISION
+        // from this dump in SQL, and the live query re-parses the same
+        // bodies so the dump doubles as an independent-pass parse replay
+        // (the robots_rules / x_parse_flex evidential class)
+        sitemapEntries(s, sfDir)
       case "page_meta" =>
         // (url, title, description, canonical) from the HTML payloads,
         // over the corpus PLUS the planted canonical-declaring docs (the
@@ -324,6 +332,58 @@ object VerifyTables {
       .select(col("url"), lit(null).cast("timestamp").as("warc_ts"),
         encode(col("h"), "UTF-8").as("html"), lit("").as("text"),
         lit("en").as("lang"))
+  }
+
+  /** Deterministic planted sitemap.xml body for a corpus host (a pure
+    * function of the host string, like [[plantedRobotsTxt]]). Three of
+    * four variants publish a `<urlset>` whose doc0..doc7 locs overlap
+    * the host's REAL corpus urls wherever that docId actually lives on
+    * the host (→ matched entries exercise the stale-vs-fresh lastmod
+    * compare; unmatched ones exercise `new`), with lastmod cycling
+    * through a future full-ISO-offset timestamp, a stale date-only
+    * value, and absent; the fourth variant is a `<sitemapindex>` (→
+    * `index` rows, the follow-up fetch list). An XML prolog and an
+    * entity-escaped query url exercise the parser's lenient path. */
+  def plantedSitemapXml(host: String): String = {
+    math.floorMod(host.map(_.toInt).sum, 4) match {
+      case 3 =>
+        "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+          "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+          s"<sitemap><loc>https://$host/sitemap-a.xml</loc><lastmod>2024-03-01</lastmod></sitemap>\n" +
+          s"<sitemap><loc>https://$host/sitemap-b.xml</loc></sitemap>\n" +
+          "</sitemapindex>\n"
+      case _ =>
+        val sb = new StringBuilder
+        sb ++= "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"
+        sb ++= "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"
+        for (d <- 0 until 8) {
+          sb ++= s"<url><loc>https://$host/html/doc$d</loc>"
+          math.floorMod(d, 3) match {
+            case 0 => sb ++= "<lastmod>2025-06-15T12:30:00+02:00</lastmod>"
+            case 1 => sb ++= "<lastmod>2023-01-01</lastmod>"
+            case _ => () // absent → epoch-0 sentinel, never stale
+          }
+          sb ++= "</url>\n"
+        }
+        sb ++= s"<url><loc>https://$host/fresh/page?a=1&amp;b=2</loc>" +
+          "<lastmod>2024-05-05</lastmod></url>\n"
+        sb ++= "</urlset>\n"
+        sb.toString
+    }
+  }
+
+  /** (host, loc, lastmod, is_index) from the planted sitemap bodies via
+    * the real parser — shared verbatim by the sitemap_entries dump and
+    * the live q_sitemap_recrawl query. */
+  def sitemapEntries(s: SparkSession, sfDir: String): DataFrame = {
+    import s.implicits._
+    read(s, sfDir, "northrule")
+      .select(graft.ops.LinkOps.hostOf(org.apache.spark.sql.functions.col("url")).as("host"))
+      .distinct()
+      .as[String]
+      .flatMap(h => graft.ops.LinkOps.parseSitemap(plantedSitemapXml(h))
+        .map { case (loc, ts, ix) => (h, loc, ts, ix) })
+      .toDF("host", "loc", "lastmod", "is_index")
   }
 
   private def docs(s: SparkSession, sfDir: String): DataFrame =

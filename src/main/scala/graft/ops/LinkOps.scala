@@ -571,6 +571,73 @@ object LinkOps {
         col("n_members"))
   }
 
+  /** Parse a sitemap.xml body (sitemaps.org protocol): `<urlset>` page
+    * entries and `<sitemapindex>` child-sitemap references, each as
+    * (loc, lastmod, isIndex). loc is the normalized visible text of the
+    * first `<loc>` child (entities decoded — XML-escaped `&amp;` urls
+    * come back literal), http(s)-only; lastmod accepts the W3C datetime
+    * profile the protocol specifies (date-only → midnight UTC, full
+    * ISO-8601 with offset → that instant), absent/unparsable → the
+    * epoch-0 sentinel (no nullable columns, the cross-engine-oracle
+    * discipline). The shared lenient DOM parser handles the XML prolog
+    * and unknown tags; junk bodies yield no entries. Never throws. */
+  def parseSitemap(xml: String): Seq[(String, java.sql.Timestamp, Boolean)] = {
+    def parseLastmod(s: String): java.sql.Timestamp = {
+      val t = s.trim
+      val instant =
+        try java.time.OffsetDateTime.parse(t).toInstant
+        catch {
+          case _: Exception =>
+            try java.time.LocalDate.parse(t)
+              .atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+            catch { case _: Exception => java.time.Instant.EPOCH }
+        }
+      java.sql.Timestamp.from(instant)
+    }
+    def childText(e: HtmlDom.Element, tag: String): String =
+      e.children.collectFirst {
+        case c: HtmlDom.Element if c.tag == tag => HtmlDom.visibleText(c)
+      }.getOrElse("")
+    val out = Vector.newBuilder[(String, java.sql.Timestamp, Boolean)]
+    def walk(n: HtmlDom.Node): Unit = n match {
+      case e: HtmlDom.Element =>
+        if (e.tag == "url" || e.tag == "sitemap") {
+          val loc = childText(e, "loc")
+          if (loc.startsWith("http://") || loc.startsWith("https://"))
+            out += ((loc, parseLastmod(childText(e, "lastmod")), e.tag == "sitemap"))
+        } else e.children.foreach(walk)
+      case _ => ()
+    }
+    try walk(HtmlDom.parse(xml))
+    catch { case scala.util.control.NonFatal(_) => () }
+    out.result()
+  }
+
+  /** Sitemap-driven recrawl scheduling — what a recurring crawl does with
+    * the hosts' published sitemaps: each page entry is classified `new`
+    * (not in the current snapshot — fetch it), `stale` (sitemap lastmod
+    * is strictly newer than our crawl timestamp — refetch it) or dropped
+    * (we already have a copy at least as fresh); child-sitemap references
+    * surface as `index` rows (the follow-up fetch list). One row per
+    * scheduled url: (url, status, lastmod).
+    *
+    * Scale shape: ONE left join of (loc, lastmod) pairs against the
+    * snapshot's (url, warc_ts) projection — payloads never shuffle at any
+    * snapshot size, and the classification is a map-side CASE. Epoch-0
+    * lastmod sentinels (absent `<lastmod>`) are never `stale` by
+    * construction — strictly older than any real crawl timestamp. */
+  def sitemapRecrawl(entries: DataFrame, snapshot: DataFrame,
+      urlCol: String = "url", tsCol: String = "warc_ts"): DataFrame = {
+    val snap = snapshot.select(col(urlCol).as("__u"), col(tsCol).as("__ts"))
+    entries.join(snap, entries("loc") === snap("__u"), "left")
+      .select(col("loc").as("url"),
+        when(col("is_index"), lit("index"))
+          .when(col("__u").isNull, lit("new"))
+          .when(col("lastmod") > col("__ts"), lit("stale")).as("status"),
+        col("lastmod"))
+      .filter(col("status").isNotNull)
+  }
+
   /** Crawl-frontier generation — the next-batch URL selection a recurring
     * crawl runs over the current snapshot: outlink targets not yet in the
     * corpus, prioritized by inlink count, with crawl policy (robots.txt

@@ -271,6 +271,69 @@ class LinkOpsSpec extends AnyFunSuite {
       ("https://elsewhere.example/d0", "https://p.example/mirror/d", 2L),
       ("https://p.example/canon/a", "https://p.example/canon/a", 3L),
       ("https://p.example/plain/f", "https://p.example/plain/f", 1L)))
+    // plan: only (key, url) reach the aggregate — title/description (the
+    // stand-ins for any wide payload column) must be pruned before the
+    // exchange
+    val plan = LinkOps.canonicalConsolidate(meta).queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    plan.collect { case a: Aggregate => a }.foreach { a =>
+      val attrs = a.child.output.map(_.name).toSet
+      assert(!attrs.contains("title") && !attrs.contains("description"),
+        s"payload columns reached the aggregate: $attrs")
+    }
+  }
+
+  test("parseSitemap: urlset entries, lastmod formats, index files, entities, junk safe") {
+    val xml =
+      "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+        "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+        "<url><loc> https://h.example/a </loc><lastmod>2024-03-05</lastmod></url>\n" +
+        "<url><loc>https://h.example/q?a=1&amp;b=2</loc>" +
+        "<lastmod>2025-06-15T12:30:00+02:00</lastmod></url>\n" +
+        "<url><loc>https://h.example/nolastmod</loc></url>\n" +
+        "<url><loc>ftp://h.example/skip</loc></url>\n" +
+        "<url><lastmod>2024-01-01</lastmod></url>\n" + // no loc → skipped
+        "</urlset>"
+    val r = LinkOps.parseSitemap(xml)
+    assert(r.map(_._1) == Seq("https://h.example/a",
+      "https://h.example/q?a=1&b=2", "https://h.example/nolastmod"))
+    assert(r(0)._2 == java.sql.Timestamp.from(java.time.Instant.parse("2024-03-05T00:00:00Z")))
+    assert(r(1)._2 == java.sql.Timestamp.from(java.time.Instant.parse("2025-06-15T10:30:00Z")))
+    assert(r(2)._2 == java.sql.Timestamp.from(java.time.Instant.EPOCH)) // sentinel
+    assert(r.forall(!_._3))
+    // sitemap index
+    val idx = LinkOps.parseSitemap(
+      "<sitemapindex><sitemap><loc>https://h.example/s-a.xml</loc>" +
+        "<lastmod>bogus-date</lastmod></sitemap></sitemapindex>")
+    assert(idx == Seq(("https://h.example/s-a.xml",
+      java.sql.Timestamp.from(java.time.Instant.EPOCH), true)))
+    // junk never throws, yields nothing
+    assert(LinkOps.parseSitemap("not xml at all <<<").isEmpty)
+    assert(LinkOps.parseSitemap("").isEmpty)
+  }
+
+  test("sitemapRecrawl: new / stale / fresh-dropped / index classification") {
+    val t = (s: String) => java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val entries = Seq(
+      ("h.example", "https://h.example/new1", t("2024-05-05T00:00:00Z"), false),
+      ("h.example", "https://h.example/stale1", t("2025-01-01T00:00:00Z"), false),
+      ("h.example", "https://h.example/fresh1", t("2023-01-01T00:00:00Z"), false),
+      // absent lastmod (epoch sentinel) on a crawled url → never stale
+      ("h.example", "https://h.example/fresh2",
+        java.sql.Timestamp.from(java.time.Instant.EPOCH), false),
+      ("h.example", "https://h.example/child.xml", t("2024-03-01T00:00:00Z"), true))
+      .toDF("host", "loc", "lastmod", "is_index")
+    val snap = Seq(
+      ("https://h.example/stale1", t("2024-06-01T00:00:00Z")),
+      ("https://h.example/fresh1", t("2024-06-01T00:00:00Z")),
+      ("https://h.example/fresh2", t("2024-06-01T00:00:00Z")))
+      .toDF("url", "warc_ts")
+    val r = LinkOps.sitemapRecrawl(entries, snap).orderBy("url")
+      .select("url", "status").as[(String, String)].collect().toSeq
+    assert(r == Seq(
+      ("https://h.example/child.xml", "index"),
+      ("https://h.example/new1", "new"),
+      ("https://h.example/stale1", "stale")))
   }
 
   test("crawlFrontier: anti-join, robots drop, blocklist drop, per-host top-k by inlinks") {
