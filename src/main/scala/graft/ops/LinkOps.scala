@@ -79,23 +79,16 @@ object LinkOps {
   }
 
   /** Outlinks of one payload: every `<a href>` in document order, resolved
-    * against the page url; non-HTML payloads (PDF, images, garbled bytes)
-    * yield none. Never throws — same contract as the extraction kernel. */
+    * against the document's effective base (`<base href>` honored);
+    * non-HTML payloads (PDF, images, garbled bytes) yield none. Delegates
+    * to [[artifactsOfDom]] — the anchor table's dst sequence IS the
+    * outlink sequence, so the two can never diverge. Never throws — same
+    * contract as the extraction kernel. */
   def outlinksOf(baseUrl: String, payload: Array[Byte]): Seq[String] = {
     if (payload == null || !ExtractKernel.looksLikeHtml(payload)) return Nil
-    try {
-      val dom = HtmlDom.parse(HtmlDom.decodeBytes(payload))
-      val out = scala.collection.mutable.ArrayBuffer[String]()
-      def walk(n: HtmlDom.Node): Unit = n match {
-        case e: HtmlDom.Element =>
-          if (e.tag == "a") e.attrs.get("href")
-            .flatMap(resolveUrl(baseUrl, _)).foreach(out += _)
-          e.children.foreach(walk)
-        case _ => ()
-      }
-      walk(dom)
-      out.toSeq
-    } catch { case scala.util.control.NonFatal(_) => Nil }
+    try artifactsOfDom(baseUrl,
+      HtmlDom.parse(HtmlDom.decodeBytes(payload)))._1.map(_._1)
+    catch { case scala.util.control.NonFatal(_) => Nil }
   }
 
   /** (src, dst) outlink edges for every document — map-only, one kernel
@@ -135,13 +128,19 @@ object LinkOps {
     * (the never-throw contract lives one level up). */
   def artifactsOfDom(baseUrl: String,
       root: HtmlDom.Element): (Vector[(String, String)], Vector[String]) = {
-    val anchors = Vector.newBuilder[(String, String)]
+    // raw hrefs first: `<base href>` (the FIRST base element, HTML spec
+    // §4.2.3 — browsers apply it document-wide, including links that
+    // precede it) rebases every reference, so resolution happens after
+    // the walk against the effective base
+    val raw = Vector.newBuilder[(String, String)]
     val robots = Vector.newBuilder[String]
+    var baseHref = ""
     def walk(n: HtmlDom.Node): Unit = n match {
       case e: HtmlDom.Element =>
         if (e.tag == "a") e.attrs.get("href")
-          .flatMap(resolveUrl(baseUrl, _))
-          .foreach(d => anchors += ((d, truncAnchor(HtmlDom.visibleText(e)))))
+          .foreach(h => raw += ((h, truncAnchor(HtmlDom.visibleText(e)))))
+        else if (e.tag == "base" && baseHref.isEmpty)
+          baseHref = e.attrs.getOrElse("href", "")
         else if (e.tag == "meta" &&
             e.attrs.get("name").exists(_.equalsIgnoreCase("robots")))
           e.attrs.get("content").foreach { c =>
@@ -151,8 +150,19 @@ object LinkOps {
       case _ => ()
     }
     walk(root)
-    (anchors.result(), robots.result())
+    val effBase = effectiveBase(baseUrl, baseHref)
+    val anchors = raw.result().flatMap { case (h, a) =>
+      resolveUrl(effBase, h).map(d => (d, a))
+    }
+    (anchors, robots.result())
   }
+
+  /** The document-wide resolution base: the first `<base href>` resolved
+    * against the page url (a relative base is itself a reference, RFC
+    * 3986 §5.1.2); absent or unresolvable → the page url. */
+  private def effectiveBase(pageUrl: String, baseHref: String): String =
+    if (baseHref.isEmpty) pageUrl
+    else resolveUrl(pageUrl, baseHref).getOrElse(pageUrl)
 
   /** (dst, anchor-text) pairs of one payload: every `<a href>` in document
     * order with a resolvable http(s) target, paired with the normalized
@@ -499,21 +509,28 @@ object LinkOps {
     * oracle discipline). May throw on a broken DOM — byte-level callers
     * wrap, like [[artifactsOfDom]]. */
   def pageMetaOfDom(baseUrl: String, root: HtmlDom.Element): (String, String, String) = {
-    var title = ""; var desc = ""; var canon = ""
+    var title = ""; var desc = ""; var canonHref: Option[String] = None
+    var baseHref = ""
     def walk(n: HtmlDom.Node): Unit = n match {
       case e: HtmlDom.Element =>
         if (e.tag == "title" && title.isEmpty)
           title = HtmlDom.visibleText(e)
+        else if (e.tag == "base" && baseHref.isEmpty)
+          baseHref = e.attrs.getOrElse("href", "")
         else if (e.tag == "meta" && desc.isEmpty &&
             e.attrs.get("name").exists(_.equalsIgnoreCase("description")))
           desc = HtmlDom.collapseWs(e.attrs.getOrElse("content", ""))
-        else if (e.tag == "link" && canon.isEmpty &&
+        else if (e.tag == "link" && canonHref.isEmpty &&
             e.attrs.get("rel").exists(_.toLowerCase.split("\\s+").contains("canonical")))
-          canon = e.attrs.get("href").flatMap(resolveUrl(baseUrl, _)).getOrElse("")
+          canonHref = Some(e.attrs.getOrElse("href", ""))
         e.children.foreach(walk)
       case _ => ()
     }
     walk(root)
+    // canonical resolves against the document-wide <base href> too (the
+    // same first-base rule as artifactsOfDom)
+    val canon = canonHref
+      .flatMap(resolveUrl(effectiveBase(baseUrl, baseHref), _)).getOrElse("")
     (title, desc, canon)
   }
 

@@ -283,6 +283,34 @@ class LinkOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("base href: first base rebases links document-wide (incl. earlier ones) and canonical") {
+    def links(u: String, h: String) =
+      LinkOps.outlinksOf(u, h.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // absolute base; a link BEFORE the base element is rebased too; a
+    // second base is ignored (first-base rule)
+    assert(links("https://h.example/dir/p",
+      "<html><body><a href=\"early\">e</a>" +
+        "<base href=\"https://cdn.example/sub/\">" +
+        "<base href=\"https://wrong.example/\">" +
+        "<a href=\"x\">x</a><a href=\"/y\">y</a></body></html>") ==
+      Seq("https://cdn.example/sub/early", "https://cdn.example/sub/x",
+        "https://cdn.example/y"))
+    // relative base resolves against the page url first
+    assert(links("https://h.example/dir/p",
+      "<html><head><base href=\"/en/\"></head><body><a href=\"x\">x</a></body></html>") ==
+      Seq("https://h.example/en/x"))
+    // unresolvable base (mailto:) falls back to the page url
+    assert(links("https://h.example/dir/p",
+      "<html><head><base href=\"mailto:x@y\"></head><body><a href=\"x\">x</a></body></html>") ==
+      Seq("https://h.example/dir/x"))
+    // canonical honors the base too
+    val m = LinkOps.pageMetaOf("https://h.example/dir/p",
+      ("<html><head><base href=\"https://cdn.example/sub/\">" +
+        "<link rel=\"canonical\" href=\"c\"></head></html>")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(m == ("", "", "https://cdn.example/sub/c"))
+  }
+
   test("parseSitemap: urlset entries, lastmod formats, index files, entities, junk safe") {
     val xml =
       "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
