@@ -597,6 +597,31 @@ object Queries {
           vt(s, dir, "northrule"))
         .orderBy("url")),
 
+    // ---- WARC archive ingestion (graft.sources.Warc): the corpus
+    //      re-serialized as synthetic crawl-archive files (warc_files
+    //      dump) and parsed BACK into the input-table shape by the real
+    //      parser — warcinfo records skipped, HTTP headers stripped,
+    //      WARC-Date round-tripped. The oracle is the ORIGINAL northrule
+    //      parquet itself: url, timestamp, byte length and payload
+    //      md5(hex) must all survive the archive round-trip. Map-only
+    //      flatMap per file — no shuffle (one task holds one file's
+    //      bytes, the binary-ingest bound; archives are ~1 GiB files at
+    //      crawl scale precisely so this holds).
+    "q_warc_roundtrip" -> ((s, dir) =>
+      graft.sources.Warc.readWarcTable(vt(s, dir, "warc_files"), "data")
+        .select(col("url"), col("warc_ts"), length(col("html")).cast("long").as("n_bytes"),
+          md5(hex(col("html"))).as("payload_md5"))
+        .orderBy("url")),
+
+    // ---- same round-trip through the member-per-record gzip layout
+    //      (.warc.gz, the Common Crawl file format) — exercises the
+    //      concatenated-member inflation path at verify scale
+    "q_warc_gz_roundtrip" -> ((s, dir) =>
+      graft.sources.Warc.readWarcTable(vt(s, dir, "warc_files"), "data_gz")
+        .select(col("url"), col("warc_ts"), length(col("html")).cast("long").as("n_bytes"),
+          md5(hex(col("html"))).as("payload_md5"))
+        .orderBy("url")),
+
     // ---- decontamination, large-eval-set scale path: Bloom prefilter +
     //      exact verify — result is EXACTLY q_decontaminate's (no false
     //      negatives in the sketch; false positives die in the verify
@@ -2161,6 +2186,23 @@ object Queries {
            |    e.lastmod
            |  FROM e LEFT JOIN n ON e.loc = n.url)
            |SELECT url, status, lastmod FROM u WHERE status IS NOT NULL
+           |ORDER BY url""".stripMargin,
+      // WARC round-trip: the parser's output over the synthesized
+      // archive files must reproduce the ORIGINAL northrule table —
+      // url, timestamp, byte length and payload digest checked straight
+      // against the source parquet (the strongest oracle class here:
+      // nothing on the oracle side touches the archive bytes at all).
+      // hex() is uppercase-no-separator in both engines, so
+      // md5(hex(blob)) is engine-portable where md5(blob) is not.
+      "q_warc_roundtrip" ->
+        s"""SELECT url, warc_ts, octet_length(html) AS n_bytes,
+           |  md5(hex(html)) AS payload_md5
+           |FROM read_parquet('${VerifyTables.oracleGlob("northrule")}')
+           |ORDER BY url""".stripMargin,
+      "q_warc_gz_roundtrip" ->
+        s"""SELECT url, warc_ts, octet_length(html) AS n_bytes,
+           |  md5(hex(html)) AS payload_md5
+           |FROM read_parquet('${VerifyTables.oracleGlob("northrule")}')
            |ORDER BY url""".stripMargin,
       // page metadata: the live kernel run checked row-for-row against
       // the independently-dumped page_meta table (the x_parse_flex

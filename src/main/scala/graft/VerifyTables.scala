@@ -45,7 +45,7 @@ object VerifyTables {
     "parse_flex_cases", "minhash_sigs", "simhash_sigs", "shingles",
     "doc_vectors", "grounding_cells", "ivf_centroids",
     "media_features", "frame_samples", "links", "anchors", "fingerprints",
-    "robots_rules", "page_meta", "sitemap_entries")
+    "robots_rules", "page_meta", "sitemap_entries", "warc_files")
 
   /** The grounding-mode query bbox (original space) used by both the
     * x_extract_grounding query and the grounding_cells oracle dump. */
@@ -237,6 +237,26 @@ object VerifyTables {
         // bodies so the dump doubles as an independent-pass parse replay
         // (the robots_rules / x_parse_flex evidential class)
         sitemapEntries(s, sfDir)
+      case "warc_files" =>
+        // the corpus re-serialized as synthetic crawl archives: ~64 docs
+        // per file in doc_id order, one plain `.warc` byte blob and one
+        // member-per-record `.warc.gz` blob per file (graft.sources.Warc
+        // writer — deterministic bytes). The q_warc_roundtrip /
+        // q_warc_gz_roundtrip oracles then check the PARSER's output
+        // against the ORIGINAL northrule parquet directly in DuckDB —
+        // url, timestamp, byte length and payload md5 all round-trip
+        // through the archive format, a fully independent content check
+        import s.implicits._
+        read(s, sfDir, "northrule")
+          .select(col("url"), unix_millis(col("warc_ts")).as("ms"), col("html"),
+            regexp_extract(col("url"), "doc(\\d+)$", 1).cast("long").as("doc_id"))
+          .as[(String, Long, Array[Byte], Long)]
+          .groupByKey(_._4 / 64)
+          .mapGroups { (fid, it) =>
+            val rows = it.toVector.sortBy(_._4).map(r => (r._1, r._2, r._3))
+            (fid, graft.sources.Warc.buildFile(rows, gzip = false),
+              graft.sources.Warc.buildFile(rows, gzip = true))
+          }.toDF("file_id", "data", "data_gz")
       case "page_meta" =>
         // (url, title, description, canonical) from the HTML payloads,
         // over the corpus PLUS the planted canonical-declaring docs (the
