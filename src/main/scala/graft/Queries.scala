@@ -116,6 +116,22 @@ object Queries {
     //      rows-only (their byte-identity gate is the golden suites).
     "x_extract_full" -> ((s, dir) =>
       ExtractPipeline.run(vt(s, dir, "northrule")).orderBy("url")),
+    // transparent Content-Encoding: the SAME corpus with every payload
+    // gzip-wrapped must extract byte-identically to the plain table (the
+    // kernel sniffs RFC 1952 magic and strictly inflates before S1
+    // dispatch) — the oracle is x_extract_full's page-dump re-assembly
+    // verbatim, computed from the PLAIN corpus, so every output byte is
+    // cross-checked against the uncompressed twin
+    "q_gzip_extract" -> ((s, dir) => {
+      import s.implicits._
+      val gz = vt(s, dir, "northrule")
+        .select(col("url"), col("warc_ts"), col("html"), col("text"), col("lang"))
+        .as[(String, java.sql.Timestamp, Array[Byte], String, String)]
+        .map { case (u, t, h, x, l) =>
+          (u, t, if (h == null) h else graft.sources.Warc.gzipMember(h), x, l) }
+        .toDF("url", "warc_ts", "html", "text", "lang")
+      ExtractPipeline.run(gz).orderBy("url")
+    }),
     // OCR / layout-only modes now run the FULL pipeline (parse + per-doc
     // assembly) and carry real oracles: DuckDB re-assembles the documents
     // from the per-mode page dumps exactly like x_extract_full
@@ -596,6 +612,27 @@ object Queries {
       LinkOps.sitemapRecrawl(VerifyTables.sitemapEntries(s, dir),
           vt(s, dir, "northrule"))
         .orderBy("url")),
+
+    // ---- sitemap discovery: the sitemaps.org robots.txt `Sitemap:`
+    //      mechanism — each host's planted robots body parsed by the
+    //      REAL harvester (non-group field, absolute-http(s)-only),
+    //      joined against per-host doc counts; DuckDB replays the
+    //      count-join from the independently-dumped robots_sitemaps
+    //      table. Scale shape: discovery is map-only over a hosts-sized
+    //      relation; the count agg is payload-free; the join is
+    //      host-keyed (AQE broadcasts the small side).
+    "q_sitemap_discovery" -> ((s, dir) => {
+      import s.implicits._
+      val hosts = vt(s, dir, "northrule")
+        .groupBy(LinkOps.hostOf(col("url")).as("host"))
+        .agg(count(lit(1)).as("n_docs"))
+      val robots = hosts.select(col("host")).as[String]
+        .map(h => (h, VerifyTables.plantedRobotsTxt(h)))
+        .toDF("host", "body")
+      LinkOps.discoverSitemaps(robots)
+        .join(hosts, Seq("host"))
+        .orderBy("host", "sitemap_url")
+    }),
 
     // ---- WARC archive ingestion (graft.sources.Warc): the corpus
     //      re-serialized as synthetic crawl-archive files (warc_files
@@ -1480,6 +1517,20 @@ object Queries {
            |coalesce(string_agg(CASE WHEN error <> '' THEN error END, '; ' ORDER BY page_no), '') AS error
            |FROM read_parquet('${g("extract_pages")}')
            |GROUP BY url ORDER BY url""".stripMargin,
+      // gzip-wrapped corpus: byte-identical to the plain corpus's
+      // re-assembly (same SQL as x_extract_full — the oracle side never
+      // sees compressed bytes)
+      "q_gzip_extract" ->
+        s"""SELECT url,
+           |CAST(count(*) AS BIGINT) AS n_pages,
+           |string_agg(md, e'\\n\\n---\\n\\n' ORDER BY page_no) AS md,
+           |string_agg(md_nohf, e'\\n\\n---\\n\\n' ORDER BY page_no) AS md_nohf,
+           |coalesce(string_agg(CASE WHEN extracted_text <> '' THEN extracted_text END, e'\\n\\n' ORDER BY page_no), '') AS extracted_text,
+           |'[' || string_agg('{"page_no": ' || CAST(page_no AS VARCHAR) || ', "cells": ' || CASE WHEN cells_json = '' THEN 'null' ELSE cells_json END || '}', ', ' ORDER BY page_no) || ']' AS cells_json,
+           |bool_or(filtered) AS filtered,
+           |coalesce(string_agg(CASE WHEN error <> '' THEN error END, '; ' ORDER BY page_no), '') AS error
+           |FROM read_parquet('${g("extract_pages")}')
+           |GROUP BY url ORDER BY url""".stripMargin,
       // OCR mode: per-doc assembly replayed from the OCR-mode page dump
       "x_extract_ocr" ->
         s"""SELECT url, CAST(count(*) AS BIGINT) AS n_pages,
@@ -2187,6 +2238,19 @@ object Queries {
            |  FROM e LEFT JOIN n ON e.loc = n.url)
            |SELECT url, status, lastmod FROM u WHERE status IS NOT NULL
            |ORDER BY url""".stripMargin,
+      // sitemap discovery: the host-join replayed from the dumped
+      // robots_sitemaps table against counts computed straight from the
+      // corpus parquet (parse pinned by RobotsRedirectSpec fixtures)
+      "q_sitemap_discovery" ->
+        s"""WITH h AS (
+           |  SELECT regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+           |    CAST(count(*) AS BIGINT) AS n_docs
+           |  FROM read_parquet('${VerifyTables.oracleGlob("northrule")}')
+           |  GROUP BY 1)
+           |SELECT r.host, r.sitemap_url, h.n_docs
+           |FROM read_parquet('${VerifyTables.oracleGlob("robots_sitemaps")}') r
+           |JOIN h ON r.host = h.host
+           |ORDER BY r.host, r.sitemap_url""".stripMargin,
       // WARC round-trip: the parser's output over the synthesized
       // archive files must reproduce the ORIGINAL northrule table —
       // url, timestamp, byte length and payload digest checked straight

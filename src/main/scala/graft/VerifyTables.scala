@@ -45,7 +45,8 @@ object VerifyTables {
     "parse_flex_cases", "minhash_sigs", "simhash_sigs", "shingles",
     "doc_vectors", "grounding_cells", "ivf_centroids",
     "media_features", "frame_samples", "links", "anchors", "fingerprints",
-    "robots_rules", "page_meta", "sitemap_entries", "warc_files")
+    "robots_rules", "robots_sitemaps", "page_meta", "sitemap_entries",
+    "warc_files")
 
   /** The grounding-mode query bbox (original space) used by both the
     * x_extract_grounding query and the grounding_cells oracle dump. */
@@ -229,6 +230,20 @@ object VerifyTables {
           .flatMap(h => graft.ops.LinkOps.parseRobotsTxt(plantedRobotsTxt(h))
             .map { case (prefix, isAllow) => (h, prefix, isAllow) })
           .toDF("host", "prefix", "is_allow")
+      case "robots_sitemaps" =>
+        // per-host Sitemap: declarations harvested from the planted
+        // robots bodies by the REAL parser in a separate pass — the
+        // q_sitemap_discovery oracle replays the host-join DECISION from
+        // this dump (the robots_rules evidential class; the parse itself
+        // is pinned by RobotsRedirectSpec fixtures)
+        import s.implicits._
+        read(s, sfDir, "northrule")
+          .select(graft.ops.LinkOps.hostOf(col("url")).as("host"))
+          .distinct()
+          .as[String]
+          .flatMap(h => graft.ops.LinkOps.sitemapsOfRobots(plantedRobotsTxt(h))
+            .map(u => (h, u)))
+          .toDF("host", "sitemap_url")
       case "sitemap_entries" =>
         // per-host parsed sitemap entries (the planted sitemap.xml bodies
         // run through the REAL parser in a separate pass) — the

@@ -31,7 +31,16 @@ object ExtractKernel {
     * Pruning happens HERE, before any page is parsed — skipped pages cost
     * nothing (the kernel analog of partition pruning). */
   def fanOut(doc: PageDoc, startPageId: Int, endPageId: Int): Vector[RawPage] = {
-    val bytes = doc.html
+    val bytes = decodePayload(doc.html) match {
+      case Right(b) => b
+      case Left(err) =>
+        // transparent Content-Encoding, strict: a corrupt/truncated gzip
+        // body (or a decompression bomb past the cap) must become a TYPED
+        // error row, never a partial document — the byte-identity
+        // discipline (a browser refuses a bad CRC the same way)
+        return Vector(RawPage(doc.url, 0, 1, "error",
+          err.getBytes(StandardCharsets.UTF_8), doc.lang))
+    }
     if (bytes == null || bytes.isEmpty) {
       Vector(RawPage(doc.url, 0, 1, "error", "empty payload".getBytes(StandardCharsets.UTF_8), doc.lang))
     } else if (isRealPdf(bytes) || PdfLite.isPdfLite(bytes)) {
@@ -61,6 +70,61 @@ object ExtractKernel {
       // neither HTML nor PDF-lite nor image: treat the decoded payload as a
       // raw model response — drives the OutputCleaner repair path end-to-end
       Vector(RawPage(doc.url, 0, 1, "garbled", bytes, doc.lang))
+    }
+  }
+
+  /** gzip magic (RFC 1952) — a crawl table can carry
+    * Content-Encoding-compressed bodies verbatim. */
+  def isGzip(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 2 &&
+      (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b
+
+  /** Inflation cap per payload (decompression-bomb guard): 256 MiB —
+    * far above any real page body, far below executor memory. */
+  val MaxInflatedPayload: Int = 1 << 28
+
+  /** Nested-gzip dispatch bound (a gzip quine exists; real bodies are
+    * at most double-wrapped by misconfigured proxies). */
+  val MaxGzipDepth: Int = 4
+
+  /** Transparent Content-Encoding: gzip payloads (sniffed, not
+    * header-driven — the table stores no response headers) inflate
+    * before S1 dispatch, so a compressed crawl table extracts
+    * byte-identically to its inflated twin. Identity for everything
+    * else. STRICT on the payload path: corrupt bytes, a bad CRC, or a
+    * body past [[MaxInflatedPayload]] yield Left → the kernel's typed
+    * error row (unlike the WARC file parser's parsed-prefix tolerance —
+    * there a torn tail loses records; here it would silently truncate a
+    * document). */
+  def decodePayload(bytes: Array[Byte]): Either[String, Array[Byte]] = {
+    var cur = bytes
+    var depth = 0
+    while (isGzip(cur)) {
+      if (depth >= MaxGzipDepth)
+        return Left(s"nested gzip deeper than $MaxGzipDepth")
+      gunzipStrict(cur) match {
+        case Right(r) => cur = r; depth += 1
+        case left => return left
+      }
+    }
+    Right(cur)
+  }
+
+  private def gunzipStrict(bytes: Array[Byte]): Either[String, Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(math.min(bytes.length * 4, 1 << 20))
+    try {
+      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
+      val tmp = new Array[Byte](64 * 1024)
+      var n = in.read(tmp)
+      while (n >= 0) {
+        out.write(tmp, 0, n)
+        if (out.size() > MaxInflatedPayload)
+          return Left(s"gzip payload exceeds $MaxInflatedPayload inflated bytes")
+        n = in.read(tmp)
+      }
+      Right(out.toByteArray)
+    } catch {
+      case e: java.io.IOException => Left(s"undecodable gzip payload: ${e.getMessage}")
     }
   }
 

@@ -78,18 +78,27 @@ object LinkOps {
     (if (trailingSlash && joined != "/") joined + "/" else joined) + query
   }
 
+  /** Gzip-transparent HTML sniff shared by every byte-level entry point:
+    * inflate a Content-Encoding-compressed body (the kernel's strict
+    * decode — corrupt gzip yields None, matching the kernel's typed
+    * error row carrying no web artifacts), then require the HTML magic. */
+  private def htmlPayload(payload: Array[Byte]): Option[Array[Byte]] =
+    if (payload == null) None
+    else ExtractKernel.decodePayload(payload).toOption
+      .filter(b => b != null && ExtractKernel.looksLikeHtml(b))
+
   /** Outlinks of one payload: every `<a href>` in document order, resolved
     * against the document's effective base (`<base href>` honored);
     * non-HTML payloads (PDF, images, garbled bytes) yield none. Delegates
     * to [[artifactsOfDom]] — the anchor table's dst sequence IS the
     * outlink sequence, so the two can never diverge. Never throws — same
     * contract as the extraction kernel. */
-  def outlinksOf(baseUrl: String, payload: Array[Byte]): Seq[String] = {
-    if (payload == null || !ExtractKernel.looksLikeHtml(payload)) return Nil
-    try artifactsOfDom(baseUrl,
-      HtmlDom.parse(HtmlDom.decodeBytes(payload)))._1.map(_._1)
-    catch { case scala.util.control.NonFatal(_) => Nil }
-  }
+  def outlinksOf(baseUrl: String, payload: Array[Byte]): Seq[String] =
+    htmlPayload(payload).fold(Seq.empty[String]) { b =>
+      try artifactsOfDom(baseUrl,
+        HtmlDom.parse(HtmlDom.decodeBytes(b)))._1.map(_._1)
+      catch { case scala.util.control.NonFatal(_) => Nil }
+    }
 
   /** (src, dst) outlink edges for every document — map-only, one kernel
     * pass per partition, no shuffle. */
@@ -170,11 +179,11 @@ object LinkOps {
     * collapsed — [[HtmlDom.visibleText]]), capped at [[MaxAnchorChars]].
     * Image-only links yield an empty string. Never throws — same contract
     * as [[outlinksOf]]. */
-  def anchorsOf(baseUrl: String, payload: Array[Byte]): Seq[(String, String)] = {
-    if (payload == null || !ExtractKernel.looksLikeHtml(payload)) return Nil
-    try artifactsOfDom(baseUrl, HtmlDom.parse(HtmlDom.decodeBytes(payload)))._1
-    catch { case scala.util.control.NonFatal(_) => Nil }
-  }
+  def anchorsOf(baseUrl: String, payload: Array[Byte]): Seq[(String, String)] =
+    htmlPayload(payload).fold(Seq.empty[(String, String)]) { b =>
+      try artifactsOfDom(baseUrl, HtmlDom.parse(HtmlDom.decodeBytes(b)))._1
+      catch { case scala.util.control.NonFatal(_) => Nil }
+    }
 
   /** (src, dst, anchor) rows for every document — the anchor-text corpus
     * (the classic web-scale signal for target-page description / query-
@@ -262,13 +271,13 @@ object LinkOps {
     * lowercased tokens of every `<meta name="robots" content="...">` in
     * the document head or body (crawlers honor all of them; name match is
     * case-insensitive). Non-HTML payloads yield none. Never throws. */
-  def metaRobots(payload: Array[Byte]): Seq[String] = {
-    if (payload == null || !ExtractKernel.looksLikeHtml(payload)) return Nil
-    // baseUrl is irrelevant to the robots harvest; the shared walk keeps
-    // this byte-identical with the fused pass
-    try artifactsOfDom("https://x.invalid/", HtmlDom.parse(HtmlDom.decodeBytes(payload)))._2
-    catch { case scala.util.control.NonFatal(_) => Nil }
-  }
+  def metaRobots(payload: Array[Byte]): Seq[String] =
+    htmlPayload(payload).fold(Seq.empty[String]) { b =>
+      // baseUrl is irrelevant to the robots harvest; the shared walk keeps
+      // this byte-identical with the fused pass
+      try artifactsOfDom("https://x.invalid/", HtmlDom.parse(HtmlDom.decodeBytes(b)))._2
+      catch { case scala.util.control.NonFatal(_) => Nil }
+    }
 
   /** Crawl-policy filter: drop documents whose HTML declares
     * `<meta name="robots">` with a `noindex` or `none` directive — the
@@ -370,6 +379,41 @@ object LinkOps {
     val chosen = if (exact.nonEmpty) exact
       else groups.result().filter(_._1.contains("*"))
     chosen.flatMap(_._2)
+  }
+
+  /** `Sitemap:` declarations of a robots.txt body — the sitemaps.org
+    * discovery mechanism (a NON-group field, RFC 9309 §2.2.4: it applies
+    * regardless of user-agent and may appear anywhere in the file). The
+    * protocol requires an absolute URL; only http(s) values qualify
+    * (the crawler fetches them), and exact duplicates collapse keeping
+    * first position. Field match is case-insensitive ("Sitemap",
+    * "SITEMAP", "sitemap" all appear in the wild). Never throws. */
+  def sitemapsOfRobots(text: String): Seq[String] = {
+    if (text == null) return Nil
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    for (raw <- text.linesIterator) {
+      val line = raw.takeWhile(_ != '#').trim
+      val colon = line.indexOf(':')
+      if (colon > 0 && line.substring(0, colon).trim.equalsIgnoreCase("sitemap")) {
+        val v = line.substring(colon + 1).trim
+        val lower = v.toLowerCase
+        if (lower.startsWith("http://") || lower.startsWith("https://")) seen += v
+      }
+    }
+    seen.toVector
+  }
+
+  /** (host, sitemap_url) per robots.txt body — map-only sitemap
+    * discovery over a (host, body) robots table; feeds [[parseSitemap]]
+    * /[[sitemapRecrawl]] with the per-host sitemap fetch list. */
+  def discoverSitemaps(robots: DataFrame, hostCol: String = "host",
+      bodyCol: String = "body"): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots.select(col(hostCol).cast("string"), col(bodyCol).cast("string"))
+      .as[(String, String)]
+      .flatMap { case (h, b) => sitemapsOfRobots(b).map(u => (h, u)) }
+      .toDF("host", "sitemap_url")
   }
 
   /** Crawl-policy filter over a parsed robots-rules table — the RFC 9309
@@ -536,11 +580,11 @@ object LinkOps {
 
   /** Never-throw byte-level wrapper for [[pageMetaOfDom]]; non-HTML
     * payloads (PDF, image, garbled) carry no DOM metadata → ("","",""). */
-  def pageMetaOf(baseUrl: String, payload: Array[Byte]): (String, String, String) = {
-    if (payload == null || !ExtractKernel.looksLikeHtml(payload)) return ("", "", "")
-    try pageMetaOfDom(baseUrl, HtmlDom.parse(HtmlDom.decodeBytes(payload)))
-    catch { case scala.util.control.NonFatal(_) => ("", "", "") }
-  }
+  def pageMetaOf(baseUrl: String, payload: Array[Byte]): (String, String, String) =
+    htmlPayload(payload).fold(("", "", "")) { b =>
+      try pageMetaOfDom(baseUrl, HtmlDom.parse(HtmlDom.decodeBytes(b)))
+      catch { case scala.util.control.NonFatal(_) => ("", "", "") }
+    }
 
   /** (url, title, description, canonical) per document — the page-metadata
     * sheet a crawl pipeline extracts alongside the content (titles for

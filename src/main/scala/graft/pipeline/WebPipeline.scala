@@ -54,7 +54,15 @@ object WebPipeline {
     * empty) take the ordinary [[ExtractKernel.parseDoc]] branch and carry
     * no web artifacts — exactly what outlinksOf/anchorsOf/metaRobots
     * return for them (Nil). Never throws. */
-  def parseFused(doc: PageDoc, mode: PromptMode): WebDoc = {
+  def parseFused(doc0: PageDoc, mode: PromptMode): WebDoc = {
+    // transparent Content-Encoding, decoded ONCE for both halves (the
+    // separate passes decode independently; a corrupt gzip stays on the
+    // original bytes → kernel typed error row + no web artifacts, exactly
+    // what the per-op entry points produce)
+    val doc = ExtractKernel.decodePayload(doc0.html) match {
+      case Right(b) if !(b eq doc0.html) => doc0.copy(html = b)
+      case _ => doc0
+    }
     val bytes = doc.html
     val htmlBranch = bytes != null && bytes.nonEmpty &&
       !ExtractKernel.isRealPdf(bytes) && !PdfLite.isPdfLite(bytes) &&

@@ -71,6 +71,33 @@ class RobotsRedirectSpec extends AnyFunSuite {
     assert(LinkOps.parseRobotsTxt("# only comments\nSitemap: x\n") == Nil)
   }
 
+  test("sitemapsOfRobots: non-group field, case-insensitive, absolute http(s) only, first-position dedupe") {
+    val txt =
+      """# header comment
+        |SITEMAP: https://h.example/a.xml
+        |User-agent: *
+        |Disallow: /x/
+        |sitemap: http://h.example/b.xml   # trailing comment
+        |Sitemap: /relative/rejected.xml
+        |Sitemap: ftp://h.example/rejected.xml
+        |Sitemap: https://h.example/a.xml
+        |""".stripMargin
+    assert(LinkOps.sitemapsOfRobots(txt) ==
+      Seq("https://h.example/a.xml", "http://h.example/b.xml"))
+    assert(LinkOps.sitemapsOfRobots(null) == Nil)
+    assert(LinkOps.sitemapsOfRobots("User-agent: *\nDisallow: /\n") == Nil)
+  }
+
+  test("discoverSitemaps: (host, sitemap_url) rows, map-only over the robots table") {
+    val robots = Seq(
+      ("h1.example", "Sitemap: https://h1.example/s.xml\nSitemap: https://h1.example/t.xml\n"),
+      ("h2.example", "User-agent: *\nDisallow: /\n")).toDF("host", "body")
+    val out = LinkOps.discoverSitemaps(robots)
+      .as[(String, String)].collect().sorted.toSeq
+    assert(out == Seq(("h1.example", "https://h1.example/s.xml"),
+      ("h1.example", "https://h1.example/t.xml")))
+  }
+
   // ---- filterByRobots --------------------------------------------------
 
   private val rules = Seq(
