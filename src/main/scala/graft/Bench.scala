@@ -49,7 +49,8 @@ object Bench {
     * frozen. q_web_pipeline_separate exists only as q_web_pipeline's foil:
     * the same composed web-corpus job with per-op kernel passes (3 DOM
     * parses per payload) vs the fused single-parse pass. */
-  private val extras = Vector("q_web_pipeline", "q_web_pipeline_separate")
+  private val extras = Vector("q_web_pipeline", "q_web_pipeline_separate",
+    "q_warc_pipeline", "q_gzip_extract")
 
   def main(args: Array[String]): Unit = {
     val startNanos = System.nanoTime()
@@ -272,6 +273,7 @@ object Bench {
         VerifyTables.ensure(spark, sfDir, "anchors")      // q_anchor_summary
         VerifyTables.ensure(spark, sfDir, "northrule")    // q_noindex_filter
         VerifyTables.ensure(spark, sfDir, "extract_docs") // q_incremental_extract / q_line_dedup_global
+        VerifyTables.ensure(spark, sfDir, "warc_files")   // q_warc_pipeline (extras)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sig warm-up failed: ${e.getMessage}") }
       // Unconditional UNTIMED kernel JIT warm pass: when the ensure()

@@ -659,6 +659,19 @@ object Queries {
           md5(hex(col("html"))).as("payload_md5"))
         .orderBy("url")),
 
+    // ---- archive-to-extraction composition: the FULL pipeline run
+    //      straight off .warc.gz bytes (parse → dispatch → extract →
+    //      assemble, one map-only job end to end) must equal the run
+    //      over the table — the oracle is x_extract_full's page-dump
+    //      re-assembly verbatim. This is the real ingest story at 100
+    //      TB: no intermediate table materialization between the
+    //      archive scan and the extraction kernel.
+    "q_warc_pipeline" -> ((s, dir) =>
+      ExtractPipeline.run(
+        graft.sources.Warc.readWarcTable(vt(s, dir, "warc_files"), "data_gz")
+          .withColumn("text", lit("")).withColumn("lang", lit("")))
+        .orderBy("url")),
+
     // ---- decontamination, large-eval-set scale path: Bloom prefilter +
     //      exact verify — result is EXACTLY q_decontaminate's (no false
     //      negatives in the sketch; false positives die in the verify
@@ -2268,6 +2281,20 @@ object Queries {
            |  md5(hex(html)) AS payload_md5
            |FROM read_parquet('${VerifyTables.oracleGlob("northrule")}')
            |ORDER BY url""".stripMargin,
+      // archive-to-extraction composition: extraction off .warc.gz bytes
+      // must equal the plain-corpus page-dump re-assembly (same SQL as
+      // x_extract_full)
+      "q_warc_pipeline" ->
+        s"""SELECT url,
+           |CAST(count(*) AS BIGINT) AS n_pages,
+           |string_agg(md, e'\\n\\n---\\n\\n' ORDER BY page_no) AS md,
+           |string_agg(md_nohf, e'\\n\\n---\\n\\n' ORDER BY page_no) AS md_nohf,
+           |coalesce(string_agg(CASE WHEN extracted_text <> '' THEN extracted_text END, e'\\n\\n' ORDER BY page_no), '') AS extracted_text,
+           |'[' || string_agg('{"page_no": ' || CAST(page_no AS VARCHAR) || ', "cells": ' || CASE WHEN cells_json = '' THEN 'null' ELSE cells_json END || '}', ', ' ORDER BY page_no) || ']' AS cells_json,
+           |bool_or(filtered) AS filtered,
+           |coalesce(string_agg(CASE WHEN error <> '' THEN error END, '; ' ORDER BY page_no), '') AS error
+           |FROM read_parquet('${VerifyTables.oracleGlob("extract_pages")}')
+           |GROUP BY url ORDER BY url""".stripMargin,
       // page metadata: the live kernel run checked row-for-row against
       // the independently-dumped page_meta table (the x_parse_flex
       // evidential class; first-wins walk + href resolution pinned in
