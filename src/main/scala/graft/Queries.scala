@@ -613,6 +613,20 @@ object Queries {
           vt(s, dir, "northrule"))
         .orderBy("url")),
 
+    // ---- hreflang multilingual clusters: alternate declarations
+    //      harvested by the live parser over corpus + planted docs, then
+    //      clustered via connected components (asymmetric declarations
+    //      and chains close transitively); DuckDB replays closure +
+    //      min-representative + langs aggregation from the
+    //      independently-dumped alternates table with a recursive CTE
+    //      over url STRINGS — a hash-free cross-check of the xxhash64
+    //      node-id plumbing
+    "q_hreflang_clusters" -> ((s, dir) =>
+      LinkOps.hreflangClusters(
+        LinkOps.extractAlternates(
+          vt(s, dir, "northrule").unionByName(VerifyTables.plantedHreflangDocs(s))))
+        .orderBy("url")),
+
     // ---- sitemap discovery: the sitemaps.org robots.txt `Sitemap:`
     //      mechanism — each host's planted robots body parsed by the
     //      REAL harvester (non-group field, absolute-http(s)-only),
@@ -2251,6 +2265,26 @@ object Queries {
            |  FROM e LEFT JOIN n ON e.loc = n.url)
            |SELECT url, status, lastmod FROM u WHERE status IS NOT NULL
            |ORDER BY url""".stripMargin,
+      // hreflang clusters: symmetric-transitive closure over the dumped
+      // alternates edges with STRING urls (min-reachable-url label), so
+      // the live query's hash-id internals are replayed hash-free
+      "q_hreflang_clusters" ->
+        s"""WITH RECURSIVE
+           |a AS (SELECT url, hreflang, alt_url
+           |  FROM read_parquet('${VerifyTables.oracleGlob("alternates")}')),
+           |sym AS (SELECT url AS x, alt_url AS y FROM a
+           |        UNION SELECT alt_url, url FROM a),
+           |reach AS (
+           |  SELECT x, x AS r FROM (SELECT DISTINCT x FROM sym)
+           |  UNION
+           |  SELECT sym.x, reach.r FROM sym JOIN reach ON reach.x = sym.y),
+           |lab AS (SELECT x AS url, min(r) AS cluster_url FROM reach GROUP BY x),
+           |langs AS (SELECT alt_url AS url,
+           |  string_agg(DISTINCT hreflang, ',' ORDER BY hreflang) AS langs
+           |  FROM a GROUP BY alt_url)
+           |SELECT l.url, l.cluster_url, coalesce(g.langs, '') AS langs
+           |FROM lab l LEFT JOIN langs g ON l.url = g.url
+           |ORDER BY l.url""".stripMargin,
       // sitemap discovery: the host-join replayed from the dumped
       // robots_sitemaps table against counts computed straight from the
       // corpus parquet (parse pinned by RobotsRedirectSpec fixtures)

@@ -46,7 +46,7 @@ object VerifyTables {
     "doc_vectors", "grounding_cells", "ivf_centroids",
     "media_features", "frame_samples", "links", "anchors", "fingerprints",
     "robots_rules", "robots_sitemaps", "page_meta", "sitemap_entries",
-    "warc_files")
+    "warc_files", "alternates")
 
   /** The grounding-mode query bbox (original space) used by both the
     * x_extract_grounding query and the grounding_cells oracle dump. */
@@ -272,6 +272,16 @@ object VerifyTables {
             (fid, graft.sources.Warc.buildFile(rows, gzip = false),
               graft.sources.Warc.buildFile(rows, gzip = true))
           }.toDF("file_id", "data", "data_gz")
+      case "alternates" =>
+        // (url, hreflang, alt_url) hreflang edges of the corpus PLUS the
+        // planted multilingual docs, harvested by the REAL parser in a
+        // separate pass — the q_hreflang_clusters oracle replays the
+        // symmetric-transitive closure + min-representative + langs
+        // aggregation from this dump with a recursive CTE over url
+        // STRINGS (so the live query's xxhash64 node-id plumbing is
+        // cross-checked against a hash-free replay)
+        graft.ops.LinkOps.extractAlternates(
+          read(s, sfDir, "northrule").unionByName(plantedHreflangDocs(s)))
       case "page_meta" =>
         // (url, title, description, canonical) from the HTML payloads,
         // over the corpus PLUS the planted canonical-declaring docs (the
@@ -363,6 +373,60 @@ object VerifyTables {
         "<html><head><title>Plain G</title>" +
           "<link rel=\"canonical\" href=\"mailto:x@y.example\"></head>" +
           "<body><p>Plain body.</p></body></html>"))
+      .toDF("url", "h")
+      .select(col("url"), lit(null).cast("timestamp").as("warc_ts"),
+        encode(col("h"), "UTF-8").as("html"), lit("").as("text"),
+        lit("en").as("lang"))
+  }
+
+  /** Planted multilingual documents (north-rule schema) for the hreflang
+    * family — the synthetic corpus declares no alternates, so five
+    * hand-checkable clusters exercise every closure branch: a full
+    * mutual 3-language cluster with self-references and an x-default; an
+    * ASYMMETRIC pair (only one side declares — the closure must still
+    * cluster both); a 3-hop CHAIN (transitivity); a self-reference-only
+    * singleton; and a page with an unresolvable (mailto:) alternate, an
+    * external never-fetched target, and a base-href-rebased relative
+    * alternate. */
+  def plantedHreflangDocs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, encode, lit}
+    def alt(lang: String, href: String) =
+      s"""<link rel="alternate" hreflang="$lang" href="$href">"""
+    def page(title: String, links: String) =
+      s"<html><head><title>$title</title>$links</head><body><p>$title body.</p></body></html>"
+    Seq(
+      // full mutual cluster: en/nl/zh each list all three + x-default
+      ("https://ml.example/alt/doc10",
+        page("ML ten en", alt("en", "/alt/doc10") + alt("nl", "/alt/doc11") +
+          alt("zh", "/alt/doc12") + alt("x-default", "/alt/doc10"))),
+      ("https://ml.example/alt/doc11",
+        page("ML ten nl", alt("EN", "https://ml.example/alt/doc10") +
+          alt("nl", "/alt/doc11") + alt("zh", "/alt/doc12"))),
+      ("https://ml.example/alt/doc12",
+        page("ML ten zh", alt("en", "/alt/doc10") + alt("nl", "/alt/doc11") +
+          alt("zh", "/alt/doc12"))),
+      // asymmetric: only doc20 declares; doc21 carries no links at all
+      ("https://ml.example/alt/doc20",
+        page("ML twenty", alt("en", "/alt/doc20") + alt("ru", "/alt/doc21"))),
+      ("https://ml.example/alt/doc21", page("ML twenty-one", "")),
+      // chain: 30 -> 31 -> 32, no back edges
+      ("https://ml.example/alt/doc30",
+        page("ML thirty", alt("kn", "/alt/doc31"))),
+      ("https://ml.example/alt/doc31",
+        page("ML thirty-one", alt("bo", "/alt/doc32"))),
+      ("https://ml.example/alt/doc32", page("ML thirty-two", "")),
+      // self-reference-only singleton
+      ("https://ml.example/alt/doc40",
+        page("ML forty", alt("en", "/alt/doc40"))),
+      // unresolvable + external + base-rebased relative alternate
+      ("https://ml.example/alt/doc50",
+        "<html><head><title>ML fifty</title>" +
+          "<base href=\"https://ml.example/alt/\">" +
+          alt("de", "mailto:x@y.example") +
+          alt("fr", "https://other.example/alt/doc99") +
+          alt("nl", "doc51") + "</head><body><p>ML fifty body.</p></body></html>"),
+      ("https://ml.example/alt/doc51", page("ML fifty-one", "")))
       .toDF("url", "h")
       .select(col("url"), lit(null).cast("timestamp").as("warc_ts"),
         encode(col("h"), "UTF-8").as("html"), lit("").as("text"),

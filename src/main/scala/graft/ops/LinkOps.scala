@@ -632,6 +632,95 @@ object LinkOps {
         col("n_members"))
   }
 
+  /** hreflang alternate declarations of one payload: (hreflang, url) for
+    * every `<link rel="alternate" hreflang=... href=...>` — the
+    * multilingual-cluster signal (translated variants of one page
+    * declare each other; search-engine hreflang semantics). hreflang is
+    * lowercased (BCP 47 tags compare case-insensitively; `x-default`
+    * passes through), hrefs resolve against the document-wide base
+    * ([[effectiveBase]], same first-base rule as the link walk),
+    * exact (hreflang, url) duplicates collapse keeping first position.
+    * Gzip-transparent, never throws. */
+  def alternatesOf(baseUrl: String, payload: Array[Byte]): Seq[(String, String)] =
+    htmlPayload(payload).fold(Seq.empty[(String, String)]) { b =>
+      try {
+        val raw = Vector.newBuilder[(String, String)]
+        var baseHref = ""
+        def walk(n: HtmlDom.Node): Unit = n match {
+          case e: HtmlDom.Element =>
+            if (e.tag == "base" && baseHref.isEmpty)
+              baseHref = e.attrs.getOrElse("href", "")
+            else if (e.tag == "link" &&
+                e.attrs.get("rel").exists(_.toLowerCase.split("\\s+").contains("alternate")) &&
+                e.attrs.contains("hreflang"))
+              raw += ((e.attrs("hreflang").trim.toLowerCase,
+                e.attrs.getOrElse("href", "")))
+            e.children.foreach(walk)
+          case _ => ()
+        }
+        walk(HtmlDom.parse(HtmlDom.decodeBytes(b)))
+        val eff = effectiveBase(baseUrl, baseHref)
+        val seen = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
+        raw.result().foreach { case (l, h) =>
+          if (l.nonEmpty) resolveUrl(eff, h).foreach(u => seen += ((l, u)))
+        }
+        seen.toVector
+      } catch { case scala.util.control.NonFatal(_) => Nil }
+    }
+
+  /** (url, hreflang, alt_url) rows for every document — map-only, the
+    * hreflang edge table. */
+  def extractAlternates(df: DataFrame, urlCol: String = "url",
+      payloadCol: String = "html"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(urlCol).cast("string"), col(payloadCol))
+      .as[(String, Array[Byte])]
+      .flatMap { case (u, p) => alternatesOf(u, p).map { case (l, a) => (u, l, a) } }
+      .toDF("url", "hreflang", "alt_url")
+  }
+
+  /** Multilingual page clusters from the hreflang edge table: connected
+    * components over the (url, alt_url) graph (declarations are often
+    * ASYMMETRIC in the wild — one variant lists all siblings, the others
+    * none — so the symmetric-transitive closure IS the cluster), one row
+    * per participating url: (url, cluster_url, langs) where cluster_url
+    * is the lexicographic minimum of the cluster (the stable
+    * representative, like [[canonicalConsolidate]]) and langs is the
+    * sorted comma-joined set of hreflang tags under which the url is
+    * declared ('' when only ever a source, never a target).
+    *
+    * Scale shape: rides [[DedupOps.connectedComponents]] (edge-subgraph
+    * iteration, pointer jumping, O(log diameter) rounds) over
+    * xxhash64(url) node ids — string labels would break the monotone
+    * label-sum convergence check, so urls translate to 64-bit ids at the
+    * boundary and back via one join (the digest-equality evidential
+    * class: a 64-bit collision would merge two clusters — the birthday
+    * bound makes stray collisions EXPECTED once the participating-url
+    * set passes ~2^32, so at full 10^12-corpus scale this is a grouping
+    * signal, not a correctness-critical key; a run that needs exactness
+    * there should assign collision-free dense ids first — same call as
+    * the dedup digests). Cluster size is bounded by a site's language
+    * count — no hot-key risk. */
+  def hreflangClusters(alts: DataFrame, urlCol: String = "url",
+      langCol: String = "hreflang", altCol: String = "alt_url"): DataFrame = {
+    val e = alts.select(col(urlCol).as("u"), col(altCol).as("a"))
+    val nodes = e.select(col("u").as("url")).union(e.select(col("a").as("url")))
+      .distinct()
+    val labeled = graft.ops.DedupOps.connectedComponents(
+      nodes.select(xxhash64(col("url")).as("nid")), "nid",
+      e.select(xxhash64(col("u")).as("id_a"), xxhash64(col("a")).as("id_b")))
+    val urlLabels = nodes.join(labeled, xxhash64(col("url")) === col("id"))
+      .select(col("url"), col("cluster_id"))
+    val reps = urlLabels.groupBy("cluster_id").agg(min("url").as("cluster_url"))
+    val langs = alts.groupBy(col(altCol).as("url"))
+      .agg(array_join(array_sort(collect_set(col(langCol))), ",").as("langs"))
+    urlLabels.join(reps, Seq("cluster_id"))
+      .join(langs, Seq("url"), "left")
+      .select(col("url"), col("cluster_url"),
+        coalesce(col("langs"), lit("")).as("langs"))
+  }
+
   /** Parse a sitemap.xml body (sitemaps.org protocol): `<urlset>` page
     * entries and `<sitemapindex>` child-sitemap references, each as
     * (loc, lastmod, isIndex). loc is the normalized visible text of the

@@ -311,6 +311,43 @@ class LinkOpsSpec extends AnyFunSuite {
     assert(m == ("", "", "https://cdn.example/sub/c"))
   }
 
+  test("alternatesOf: rel-token match, lowercased hreflang, base rebase, unresolvable dropped, dedupe") {
+    val html = ("<html><head>" +
+      "<base href=\"https://ml.example/sub/\">" +
+      "<link rel=\"ALTERNATE stylesheet\" hreflang=\"EN\" href=\"a\">" +
+      "<link rel=\"alternate\" hreflang=\"nl-BE\" href=\"/b\">" +
+      "<link rel=\"alternate\" hreflang=\"de\" href=\"mailto:x@y\">" +
+      "<link rel=\"alternate\" type=\"application/rss+xml\" href=\"/feed\">" + // no hreflang
+      "<link rel=\"alternate\" hreflang=\"en\" href=\"a\">" + // dup collapses
+      "</head></html>").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    assert(LinkOps.alternatesOf("https://ml.example/dir/p", html) ==
+      Seq(("en", "https://ml.example/sub/a"), ("nl-be", "https://ml.example/b")))
+    assert(LinkOps.alternatesOf("https://x.example/p",
+      "%PDF-1.4 not html".getBytes(java.nio.charset.StandardCharsets.UTF_8)).isEmpty)
+  }
+
+  test("hreflangClusters: asymmetric + chain closure, min representative, langs aggregation") {
+    val alts = Seq(
+      // asymmetric pair: only A declares B
+      ("https://s.example/a", "en", "https://s.example/b"),
+      ("https://s.example/a", "en", "https://s.example/a"), // self
+      // chain: c -> d -> e
+      ("https://s.example/c", "kn", "https://s.example/d"),
+      ("https://s.example/d", "bo", "https://s.example/e"),
+      // singleton self-reference
+      ("https://s.example/z", "en", "https://s.example/z"))
+      .toDF("url", "hreflang", "alt_url")
+    val out = LinkOps.hreflangClusters(alts)
+      .as[(String, String, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      ("https://s.example/a", "https://s.example/a", "en"),
+      ("https://s.example/b", "https://s.example/a", "en"),
+      ("https://s.example/c", "https://s.example/c", ""),
+      ("https://s.example/d", "https://s.example/c", "kn"),
+      ("https://s.example/e", "https://s.example/c", "bo"),
+      ("https://s.example/z", "https://s.example/z", "en")))
+  }
+
   test("parseSitemap: urlset entries, lastmod formats, index files, entities, junk safe") {
     val xml =
       "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
