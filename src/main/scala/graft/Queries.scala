@@ -686,6 +686,21 @@ object Queries {
           .withColumn("text", lit("")).withColumn("lang", lit("")))
         .orderBy("url")),
 
+    // ---- CDX capture index off the .warc.gz member layout: the archive
+    //      store's random-access sidecar (Common Crawl publishes exactly
+    //      this). Map-only per file like the ingest scan itself — index
+    //      generation rides the same pass. The oracle recomputes the
+    //      SURT urlkey (documented subset), the 14-digit UTC timestamp
+    //      and the md5(hex(payload)) digest from the ORIGINAL northrule
+    //      parquet — so url canonicalization, date round-trip and body
+    //      identity are all independently replayed; the (offset, length)
+    //      random-access slice contract is pinned byte-level in CdxSpec
+    //      (not SQL-expressible — DuckDB never sees the archive bytes).
+    "q_cdx_index" -> ((s, dir) =>
+      graft.sources.Warc.cdxTable(vt(s, dir, "warc_files"), "data_gz")
+        .select(col("urlkey"), col("ts14"), col("url"), col("digest"))
+        .orderBy("url")),
+
     // ---- decontamination, large-eval-set scale path: Bloom prefilter +
     //      exact verify — result is EXACTLY q_decontaminate's (no false
     //      negatives in the sketch; false positives die in the verify
@@ -2315,6 +2330,33 @@ object Queries {
            |  md5(hex(html)) AS payload_md5
            |FROM read_parquet('${VerifyTables.oracleGlob("northrule")}')
            |ORDER BY url""".stripMargin,
+      // CDX index: SURT urlkey (same documented subset as Warc.surt),
+      // UTC ts14 and payload digest all recomputed from the ORIGINAL
+      // corpus parquet — fully independent of the archive bytes
+      "q_cdx_index" ->
+        s"""WITH t AS (
+           |  SELECT url, warc_ts, html,
+           |    regexp_replace(regexp_replace(url, '^[Hh][Tt][Tt][Pp][Ss]?://', ''),
+           |                   '#.*$$', '') AS s
+           |  FROM read_parquet('${VerifyTables.oracleGlob("northrule")}')
+           |), p AS (
+           |  SELECT url, warc_ts, html,
+           |    regexp_extract(s, '^([^/?]*)', 1) AS hostport,
+           |    substr(s, length(regexp_extract(s, '^([^/?]*)', 1)) + 1) AS rest
+           |  FROM t
+           |), h AS (
+           |  SELECT url, warc_ts, html,
+           |    CASE WHEN starts_with(regexp_replace(lower(hostport), ':(80|443)$$', ''), 'www.')
+           |         THEN substr(regexp_replace(lower(hostport), ':(80|443)$$', ''), 5)
+           |         ELSE regexp_replace(lower(hostport), ':(80|443)$$', '') END AS host,
+           |    CASE WHEN rest = '' THEN '/'
+           |         WHEN substr(rest, 1, 1) = '?' THEN '/' || rest
+           |         ELSE rest END AS rest2
+           |  FROM p
+           |)
+           |SELECT array_to_string(list_reverse(string_split(host, '.')), ',') || ')' || rest2 AS urlkey,
+           |  strftime(warc_ts, '%Y%m%d%H%M%S') AS ts14, url, md5(hex(html)) AS digest
+           |FROM h ORDER BY url""".stripMargin,
       // archive-to-extraction composition: extraction off .warc.gz bytes
       // must equal the plain-corpus page-dump re-assembly (same SQL as
       // x_extract_full)

@@ -205,7 +205,162 @@ object Warc {
       catch { case scala.util.control.NonFatal(_) => None }
     }.getOrElse(0L))
 
+  // ------------------------------------------------------------------ cdx
+
+  /** One CDX capture-index row: where a response record lives inside its
+    * archive file. `offset`/`length` delimit the smallest byte slice of
+    * the file that independently re-parses to exactly this capture — the
+    * whole gzip member for `.warc.gz` (the Common Crawl random-access
+    * contract), the header+block record bytes for plain `.warc`. */
+  final case class CdxRow(urlkey: String, ts14: String, url: String,
+      digest: String, offset: Long, length: Long)
+
+  private val ts14Fmt = DateTimeFormatter.ofPattern("yyyyMMddHHmmss")
+    .withZone(java.time.ZoneOffset.UTC)
+
+  /** SURT-style url key (the CDX sort key), documented subset of the
+    * archive-tools canonicalization: scheme and fragment dropped, host
+    * lowercased, leading `www.` label and default `:80`/`:443` ports
+    * stripped, host labels reversed with commas, `)` + path (missing or
+    * query-only paths become `/`; query kept verbatim, params unsorted).
+    * `https://WWW.News.Example:443/a/b?q=1#top` → `example,news)/a/b?q=1`.
+    * The q_cdx_index oracle replays this exact subset in SQL. */
+  def surt(url: String): String = {
+    val noScheme = url.replaceFirst("^[Hh][Tt][Tt][Pp][Ss]?://", "")
+    val noFrag = { val h = noScheme.indexOf('#'); if (h < 0) noScheme else noScheme.take(h) }
+    val cut = noFrag.indexWhere(c => c == '/' || c == '?')
+    val hostPort = if (cut < 0) noFrag else noFrag.take(cut)
+    val rest0 = if (cut < 0) "" else noFrag.drop(cut)
+    val rest = if (rest0.isEmpty) "/" else if (rest0.charAt(0) == '?') "/" + rest0 else rest0
+    var host = hostPort.toLowerCase(java.util.Locale.ROOT)
+      .replaceFirst(":(80|443)$", "")
+    if (host.startsWith("www.")) host = host.substring(4)
+    host.split("\\.", -1).reverse.mkString(",") + ")" + rest
+  }
+
+  /** md5 (lowercase hex) of the UPPERCASE-hex rendering of the body —
+    * the repo's replayable digest convention (DuckDB `md5(hex(html))`,
+    * same as the round-trip oracles; CC's sha1-b32 is not replayable). */
+  def payloadDigest(body: Array[Byte]): String = {
+    val up = "0123456789ABCDEF"
+    val hexU = new Array[Byte](body.length * 2)
+    var i = 0
+    while (i < body.length) {
+      hexU(2 * i) = up.charAt((body(i) >> 4) & 0xf).toByte
+      hexU(2 * i + 1) = up.charAt(body(i) & 0xf).toByte
+      i += 1
+    }
+    val d = java.security.MessageDigest.getInstance("MD5").digest(hexU)
+    val lo = "0123456789abcdef"
+    val out = new Array[Char](32)
+    i = 0
+    while (i < 16) {
+      out(2 * i) = lo.charAt((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = lo.charAt(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Per-member scan of a concatenated-member gzip file: (byte offset,
+    * compressed member length, inflated bytes). Walks each RFC 1952
+    * header (FEXTRA/FNAME/FCOMMENT/FHCRC honored), inflates the raw
+    * deflate stream to find where the member ends, and steps over the
+    * 8-byte trailer. Never throws; a torn/corrupt tail or the
+    * [[MaxInflatedBytes]] cap keeps the members scanned so far. */
+  def gzipMemberScan(bytes: Array[Byte]): Seq[(Long, Long, Array[Byte])] = {
+    val out = Vector.newBuilder[(Long, Long, Array[Byte])]
+    var pos = 0
+    var total = 0L
+    try {
+      while (pos + 18 <= bytes.length &&
+          (bytes(pos) & 0xff) == 0x1f && (bytes(pos + 1) & 0xff) == 0x8b) {
+        val flg = bytes(pos + 3) & 0xff
+        var p = pos + 10
+        if ((flg & 4) != 0) {
+          if (p + 2 > bytes.length) return out.result()
+          p += 2 + ((bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8))
+        }
+        if ((flg & 8) != 0) { while (p < bytes.length && bytes(p) != 0) p += 1; p += 1 }
+        if ((flg & 16) != 0) { while (p < bytes.length && bytes(p) != 0) p += 1; p += 1 }
+        if ((flg & 2) != 0) p += 2
+        if (p >= bytes.length) return out.result()
+        val inf = new java.util.zip.Inflater(true)
+        inf.setInput(bytes, p, bytes.length - p)
+        val bos = new ByteArrayOutputStream(4096)
+        val tmp = new Array[Byte](64 * 1024)
+        var stuck = false
+        while (!stuck && !inf.finished() && total < MaxInflatedBytes) {
+          val n = inf.inflate(tmp)
+          if (n > 0) { bos.write(tmp, 0, n); total += n }
+          else if (!inf.finished()) stuck = true // truncated input / needs dictionary
+        }
+        val done = inf.finished()
+        val consumed = inf.getBytesRead
+        inf.end()
+        if (!done) return out.result() // torn deflate or inflation cap
+        val end = p + consumed.toInt + 8 // CRC32 + ISIZE trailer
+        if (end > bytes.length) return out.result()
+        out += ((pos.toLong, (end - pos).toLong, bos.toByteArray))
+        pos = end
+      }
+      out.result()
+    } catch { case scala.util.control.NonFatal(_) => out.result() }
+  }
+
+  /** CDX capture index of one archive file — the Common-Crawl-style
+    * `cdx` sidecar a 100 TB archive store needs for random access
+    * (re-fetch one capture without rescanning the file). Response
+    * records only, file order; every row satisfies the slice contract:
+    * `parseAll(bytes.slice(offset, offset+length))` yields exactly this
+    * capture (pinned in CdxSpec). Never throws; torn tails index the
+    * records before the tear. */
+  def cdxOf(bytes: Array[Byte]): Seq[CdxRow] = {
+    if (bytes == null || bytes.length < 4) return Nil
+    def row(d: WarcDoc, off: Long, len: Long) =
+      CdxRow(surt(d.url), ts14Fmt.format(java.time.Instant.ofEpochMilli(d.warc_ts.getTime)),
+        d.url, payloadDigest(d.html), off, len)
+    try {
+      if ((bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
+        gzipMemberScan(bytes).flatMap { case (off, len, inflated) =>
+          parseAll(inflated).map(row(_, off, len))
+        }
+      else {
+        val out = Vector.newBuilder[CdxRow]
+        var i = 0
+        var torn = false
+        while (!torn && i < bytes.length) {
+          while (i + 1 < bytes.length && bytes(i) == '\r' && bytes(i + 1) == '\n') i += 2
+          val start = i
+          nextRecord(bytes, i) match {
+            case Some((doc, next)) =>
+              doc.foreach(d => out += row(d, start.toLong, (next - start).toLong))
+              i = if (next > i) next else bytes.length
+            case None => torn = true
+          }
+        }
+        out.result()
+      }
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+  }
+
   // ---------------------------------------------------------------- spark
+
+  /** Archive-files table → CDX capture index: map-only flatMap of
+    * [[cdxOf]] per file — the same no-shuffle bound as [[readWarcTable]]
+    * (index generation rides the ingest scan; sorting/partitioning the
+    * index is the caller's write-side choice). */
+  def cdxTable(files: DataFrame, dataCol: String = "data",
+      fileIdCol: String = "file_id"): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col(fileIdCol).cast("long"), col(dataCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (fid, b) =>
+        cdxOf(b).map(r => (fid, r.urlkey, r.ts14, r.url, r.digest, r.offset, r.length))
+      }
+      .toDF("file_id", "urlkey", "ts14", "url", "digest", "offset", "length")
+  }
 
   /** Archive-files table → input table: map-only flatMap of [[parseAll]]
     * over the binary column; emits exactly the north-rule ingest shape
