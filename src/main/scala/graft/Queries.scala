@@ -686,6 +686,21 @@ object Queries {
           .withColumn("text", lit("")).withColumn("lang", lit("")))
         .orderBy("url")),
 
+    // ---- image near-dup by perceptual hash: dHash64 over the planted
+    //      image corpus (recomputed live — the dump is a SEPARATE pass
+    //      over the same seeded payloads), then 4×16-bit band LSH +
+    //      popcount verify. Pigeonhole-exact for hamming ≤3 (3 flipped
+    //      bits can't touch all 4 bands), so this IS the all-pairs
+    //      answer without the O(n²) join; only (id, band, 16-bit, hash)
+    //      ever shuffles. Oracle replays banding + distinct + popcount
+    //      from the independently-dumped hash table in SQL.
+    "q_image_neardup" -> ((s, dir) =>
+      MultimodalOps.imageNearDupPairs(
+          MultimodalOps.imageDHash(
+            MultimodalOps.plantedNearDupMedia(s, VerifyTables.mediaDocs(dir) / 4,
+              VerifyTables.Seed)))
+        .orderBy("id_a", "id_b")),
+
     // ---- CDX capture index off the .warc.gz member layout: the archive
     //      store's random-access sidecar (Common Crawl publishes exactly
     //      this). Map-only per file like the ingest scan itself — index
@@ -2330,6 +2345,28 @@ object Queries {
            |  md5(hex(html)) AS payload_md5
            |FROM read_parquet('${VerifyTables.oracleGlob("northrule")}')
            |ORDER BY url""".stripMargin,
+      // image near-dup: band LSH + popcount verify replayed from the
+      // independently-dumped perceptual-hash table (shift+mask band
+      // extraction identical on both engines; the sign-extending >> is
+      // masked to the low 16 bits so arithmetic-vs-logical shift can't
+      // diverge)
+      "q_image_neardup" ->
+        s"""WITH h AS (
+           |  SELECT media_id, dhash
+           |  FROM read_parquet('${VerifyTables.oracleGlob("image_dhash")}')
+           |  WHERE error = ''
+           |), b AS (
+           |  SELECT media_id, dhash, band, (dhash >> (16 * band)) & 65535 AS bv
+           |  FROM h, (SELECT unnest([0, 1, 2, 3]) AS band)
+           |), cand AS (
+           |  SELECT DISTINCT a.media_id AS id_a, c.media_id AS id_b,
+           |    a.dhash AS da, c.dhash AS db
+           |  FROM b a JOIN b c ON a.band = c.band AND a.bv = c.bv
+           |    AND a.media_id < c.media_id
+           |)
+           |SELECT id_a, id_b, CAST(bit_count(xor(da, db)) AS BIGINT) AS hamming
+           |FROM cand WHERE bit_count(xor(da, db)) <= 3
+           |ORDER BY id_a, id_b""".stripMargin,
       // CDX index: SURT urlkey (same documented subset as Warc.surt),
       // UTC ts14 and payload digest all recomputed from the ORIGINAL
       // corpus parquet — fully independent of the archive bytes

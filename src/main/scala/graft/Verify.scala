@@ -21,7 +21,13 @@ object Verify {
     // extraction-surface queries instead of leaving them rows-only.
     sys.props("graft.verify.tables.root") = VerifyTables.root(sfDir)
     VerifyTables.refresh(spark, sfDir)
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Local-iteration escape hatch (driver never sets it): dump only the
+    // queries whose name matches the regex, so a single new operator can
+    // be DuckDB-checked without re-running the whole suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

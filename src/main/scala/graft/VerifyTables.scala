@@ -46,7 +46,7 @@ object VerifyTables {
     "doc_vectors", "grounding_cells", "ivf_centroids",
     "media_features", "frame_samples", "links", "anchors", "fingerprints",
     "robots_rules", "robots_sitemaps", "page_meta", "sitemap_entries",
-    "warc_files", "alternates")
+    "warc_files", "alternates", "image_dhash")
 
   /** The grounding-mode query bbox (original space) used by both the
     * x_extract_grounding query and the grounding_cells oracle dump. */
@@ -292,6 +292,15 @@ object VerifyTables {
         // q_canonical_dedup replays the consolidation grouping from it
         graft.ops.LinkOps.extractPageMeta(
           read(s, sfDir, "northrule").unionByName(plantedCanonicalDocs(s)))
+      case "image_dhash" =>
+        // (media_id, dhash, error) over the planted near-dup image corpus,
+        // computed by the REAL perceptual-hash kernel in a separate pass —
+        // the q_image_neardup live query recomputes the hashes from the
+        // same seeded payloads and the DuckDB oracle replays band LSH +
+        // popcount verify from THIS dump (the x_parse_flex evidential
+        // class: independent-pass hash agreement + cross-engine pairing)
+        graft.ops.MultimodalOps.imageDHash(
+          graft.ops.MultimodalOps.plantedNearDupMedia(s, mediaDocs(sfDir) / 4, Seed))
       case other => throw new IllegalArgumentException(s"unknown table $other")
     }
     df.write.mode("overwrite").parquet(p)

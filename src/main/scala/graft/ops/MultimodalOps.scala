@@ -240,6 +240,59 @@ object MultimodalOps {
       payload.foreach(b => h = graft.gen.InputGen.mix(h ^ b))
       h
     }
+
+    /** 64-bit difference hash (dHash) — the classic perceptual image
+      * fingerprint: a 9×8 integer block-average grayscale grid, one bit
+      * per horizontal neighbor comparison (bit `gy*8+gx` set iff cell
+      * (gx+1,gy) is brighter than cell (gx,gy)). All-integer arithmetic
+      * over the decoded raster (luma = (299r+587g+114b)/1000 summed per
+      * block, floor-divided average), so the hash is bit-deterministic
+      * across JVMs for lossless formats. Robust to re-encoding and small
+      * edits: a perturbation confined to ONE grid cell can flip at most
+      * its two adjacent comparisons (≤2 bits) — the basis of the
+      * [[MultimodalOps.imageNearDupPairs]] hamming guarantee tests. */
+    def dHash64(img: BufferedImage): Long = {
+      val rgb = toRgb(img)
+      val w = rgb.getWidth; val h = rgb.getHeight
+      val cells = new Array[Long](8 * 9) // row-major [gy][gx]
+      var gy = 0
+      while (gy < 8) {
+        val y0 = math.min(gy * h / 8, h - 1)
+        val y1 = math.max(y0 + 1, math.min((gy + 1) * h / 8, h))
+        var gx = 0
+        while (gx < 9) {
+          val x0 = math.min(gx * w / 9, w - 1)
+          val x1 = math.max(x0 + 1, math.min((gx + 1) * w / 9, w))
+          var sum = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val p = rgb.getRGB(x, y)
+              sum += (299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+                114L * (p & 0xff)) / 1000L
+              x += 1
+            }
+            y += 1
+          }
+          cells(gy * 9 + gx) = sum / ((x1 - x0).toLong * (y1 - y0))
+          gx += 1
+        }
+        gy += 1
+      }
+      var hash = 0L
+      gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8) {
+          if (cells(gy * 9 + gx + 1) > cells(gy * 9 + gx))
+            hash |= 1L << (gy * 8 + gx)
+          gx += 1
+        }
+        gy += 1
+      }
+      hash
+    }
   }
 
   /** Decode + feature-extract, dispatched on the mime column: images →
@@ -330,6 +383,94 @@ object MultimodalOps {
   /** Deterministic synthetic media table with REAL payloads: seeded
     * pattern PNGs, PCM sine-mix WAVs, and motion-PNG videos (plus a few
     * deliberately corrupt payloads to exercise the error rows). */
+  /** Per-image perceptual hash table `(media_id, dhash, error)` —
+    * map-only partition kernel, the dedup analog of [[extractFeatures]].
+    * Undecodable payloads become typed error rows (dhash 0, excluded
+    * from pairing), never task failures. */
+  def imageDHash(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { iter =>
+      iter.map { m =>
+        try (m.media_id, Codec.dHash64(Codec.decodeImage(m.payload)), "")
+        catch { case scala.util.control.NonFatal(e) =>
+          (m.media_id, 0L, s"decode: ${e.getMessage}") }
+      }
+    }.toDF("media_id", "dhash", "error")
+  }
+
+  /** Near-duplicate image pairs by dHash hamming distance ≤ `maxHamming`,
+    * via 4×16-bit band LSH + exact verify — the MinHash band pattern on
+    * a 64-bit perceptual hash. Pigeonhole exactness: ≤3 differing bits
+    * can touch at most 3 of the 4 bands, so every hamming-≤3 pair shares
+    * at least one intact band — candidate recall is EXACT for the
+    * default radius (and for any `maxHamming ≤ 3`); the popcount verify
+    * then kills band-collision false positives, so the result equals the
+    * all-pairs answer without the O(n²) join. Scale shape: only
+    * `(media_id, band, 16-bit value, dhash)` ever shuffles — payloads
+    * stay behind; the self-join keys on (band, value) exactly like the
+    * text MinHash path. Natural-image corpora can pile onto flat-image
+    * buckets (all-zero bands); at crawl scale cap or salt hot buckets
+    * the way [[DedupOps]]'s band index does — the small-radius verify
+    * keeps correctness under any candidate superset. */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, s"4x16 banding is exact only for hamming <= 3, got $maxHamming")
+    val h = hashes.filter(col("error") === "").select("media_id", "dhash")
+    val bands = h.select(col("media_id"), col("dhash"),
+        explode(array((0 until 4).map(lit(_)): _*)).as("band"))
+      .withColumn("bv", expr("shiftright(dhash, 16 * band) & 65535"))
+    val a = bands.select(col("media_id").as("id_a"), col("dhash").as("da"),
+      col("band"), col("bv"))
+    val b = bands.select(col("media_id").as("id_b"), col("dhash").as("db"),
+      col("band"), col("bv"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "da", "db").distinct()
+      .withColumn("hamming", expr("CAST(bit_count(da ^ db) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Deterministic planted near-dup image corpus: per base index, four
+    * PNGs — the base, an exact copy (hamming 0), a one-grid-cell
+    * perturbation (≤2 bits by [[Codec.dHash64]]'s locality), and an
+    * unrelated far image. Drives q_image_neardup and the image_dhash
+    * oracle dump (same seed → byte-identical payloads both passes). */
+  def plantedNearDupMedia(spark: org.apache.spark.sql.SparkSession, nBase: Long,
+      seed: Long = 42L): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(nBase).flatMap { i =>
+      val rng = new graft.gen.InputGen.Rng(seed, i, 11L)
+      val w = 36 + rng.nextInt(60); val h = 36 + rng.nextInt(60)
+      val base = noiseImage(w, h, rng.nextLong())
+      val pert = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g2 = pert.createGraphics(); g2.drawImage(base, 0, 0, null); g2.dispose()
+      // brighten every pixel of ONE dHash grid cell (same floor-division
+      // block bounds as dHash64) — flips at most that cell's two
+      // horizontal comparisons
+      val gx = rng.nextInt(9); val gy = rng.nextInt(8)
+      val x0 = math.min(gx * w / 9, w - 1); val x1 = math.max(x0 + 1, math.min((gx + 1) * w / 9, w))
+      val y0 = math.min(gy * h / 8, h - 1); val y1 = math.max(y0 + 1, math.min((gy + 1) * h / 8, h))
+      var y = y0
+      while (y < y1) {
+        var x = x0
+        while (x < x1) {
+          val p = pert.getRGB(x, y)
+          val r = math.min(((p >> 16) & 0xff) + 200, 255)
+          val g = math.min(((p >> 8) & 0xff) + 200, 255)
+          val bl = math.min((p & 0xff) + 200, 255)
+          pert.setRGB(x, y, (r << 16) | (g << 8) | bl)
+          x += 1
+        }
+        y += 1
+      }
+      val far = noiseImage(w, h, rng.nextLong())
+      def row(k: Long, img: BufferedImage) =
+        MediaRow(4 * i + k, Codec.encodePng(img), MediaMeta("image/png", w, h, 0L, 1))
+      Seq(row(0, base), row(1, base), row(2, pert), row(3, far))
+    }
+  }
+
   def syntheticMedia(spark: org.apache.spark.sql.SparkSession, n: Long, seed: Long = 42L): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).map { i =>
@@ -361,6 +502,27 @@ object MultimodalOps {
           MediaRow(i, payload, MediaMeta("image/png", 0, 0, 0L, 1))
       }
     }
+  }
+
+  /** Seeded deterministic full-RGB hash noise — the dHash-diverse test
+    * image ([[patternImage]]'s dominant x-gradient makes every
+    * horizontal neighbor brighter, so its dHash degenerates to all-ones
+    * for EVERY seed; block averages of per-pixel noise instead give each
+    * seed an effectively random 64-bit hash, so unrelated images land at
+    * hamming ≈ 32, far outside any near-dup radius). */
+  def noiseImage(w: Int, h: Int, seed: Long): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val mixv = graft.gen.InputGen.mix(seed ^ (x.toLong << 20) ^ y.toLong)
+        img.setRGB(x, y, (mixv & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    img
   }
 
   /** Seeded deterministic test pattern (gradients + hash noise). */
