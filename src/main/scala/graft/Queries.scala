@@ -695,9 +695,22 @@ object Queries {
     //      ever shuffles. Oracle replays banding + distinct + popcount
     //      from the independently-dumped hash table in SQL.
     "q_image_neardup" -> ((s, dir) =>
-      MultimodalOps.imageNearDupPairs(
+      MultimodalOps.nearDupPairs64(
           MultimodalOps.imageDHash(
             MultimodalOps.plantedNearDupMedia(s, VerifyTables.mediaDocs(dir) / 4,
+              VerifyTables.Seed)))
+        .orderBy("id_a", "id_b")),
+
+    // ---- audio near-dup: the WAV twin of q_image_neardup — temporal
+    //      envelope difference hash (65 blocks, mean |amplitude|, neighbor
+    //      comparisons) through the SAME pigeonhole-exact 4×16 banded
+    //      pairer. Hashes recomputed live from the seeded clips; the
+    //      oracle replays banding + distinct + popcount from the
+    //      independently-dumped audio_dhash table.
+    "q_audio_neardup" -> ((s, dir) =>
+      MultimodalOps.nearDupPairs64(
+          MultimodalOps.audioDHash(
+            MultimodalOps.plantedNearDupAudio(s, VerifyTables.mediaDocs(dir) / 4,
               VerifyTables.Seed)))
         .orderBy("id_a", "id_b")),
 
@@ -2354,6 +2367,24 @@ object Queries {
         s"""WITH h AS (
            |  SELECT media_id, dhash
            |  FROM read_parquet('${VerifyTables.oracleGlob("image_dhash")}')
+           |  WHERE error = ''
+           |), b AS (
+           |  SELECT media_id, dhash, band, (dhash >> (16 * band)) & 65535 AS bv
+           |  FROM h, (SELECT unnest([0, 1, 2, 3]) AS band)
+           |), cand AS (
+           |  SELECT DISTINCT a.media_id AS id_a, c.media_id AS id_b,
+           |    a.dhash AS da, c.dhash AS db
+           |  FROM b a JOIN b c ON a.band = c.band AND a.bv = c.bv
+           |    AND a.media_id < c.media_id
+           |)
+           |SELECT id_a, id_b, CAST(bit_count(xor(da, db)) AS BIGINT) AS hamming
+           |FROM cand WHERE bit_count(xor(da, db)) <= 3
+           |ORDER BY id_a, id_b""".stripMargin,
+      // audio near-dup: identical replay shape over the audio hash dump
+      "q_audio_neardup" ->
+        s"""WITH h AS (
+           |  SELECT media_id, dhash
+           |  FROM read_parquet('${VerifyTables.oracleGlob("audio_dhash")}')
            |  WHERE error = ''
            |), b AS (
            |  SELECT media_id, dhash, band, (dhash >> (16 * band)) & 65535 AS bv

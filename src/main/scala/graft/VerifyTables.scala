@@ -46,7 +46,7 @@ object VerifyTables {
     "doc_vectors", "grounding_cells", "ivf_centroids",
     "media_features", "frame_samples", "links", "anchors", "fingerprints",
     "robots_rules", "robots_sitemaps", "page_meta", "sitemap_entries",
-    "warc_files", "alternates", "image_dhash")
+    "warc_files", "alternates", "image_dhash", "audio_dhash")
 
   /** The grounding-mode query bbox (original space) used by both the
     * x_extract_grounding query and the grounding_cells oracle dump. */
@@ -301,6 +301,11 @@ object VerifyTables {
         // class: independent-pass hash agreement + cross-engine pairing)
         graft.ops.MultimodalOps.imageDHash(
           graft.ops.MultimodalOps.plantedNearDupMedia(s, mediaDocs(sfDir) / 4, Seed))
+      case "audio_dhash" =>
+        // the audio twin of image_dhash: same evidential class, envelope
+        // hashes computed by the real kernel in a separate pass
+        graft.ops.MultimodalOps.audioDHash(
+          graft.ops.MultimodalOps.plantedNearDupAudio(s, mediaDocs(sfDir) / 4, Seed))
       case other => throw new IllegalArgumentException(s"unknown table $other")
     }
     df.write.mode("overwrite").parquet(p)

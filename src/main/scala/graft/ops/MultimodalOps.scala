@@ -250,7 +250,7 @@ object MultimodalOps {
       * across JVMs for lossless formats. Robust to re-encoding and small
       * edits: a perturbation confined to ONE grid cell can flip at most
       * its two adjacent comparisons (≤2 bits) — the basis of the
-      * [[MultimodalOps.imageNearDupPairs]] hamming guarantee tests. */
+      * [[MultimodalOps.nearDupPairs64]] hamming guarantee tests. */
     def dHash64(img: BufferedImage): Long = {
       val rgb = toRgb(img)
       val w = rgb.getWidth; val h = rgb.getHeight
@@ -290,6 +290,38 @@ object MultimodalOps {
           gx += 1
         }
         gy += 1
+      }
+      hash
+    }
+
+    /** 64-bit audio envelope difference hash — [[dHash64]]'s temporal
+      * analog: 65 equal time blocks of the PCM clip, per-block mean
+      * absolute amplitude (integer sum, floor-divided), one bit per
+      * neighbor comparison (bit `b` set iff block b+1 is louder than
+      * block b). All-integer over the decoded samples, so the hash is
+      * bit-deterministic across JVMs and survives the WAV encode/decode
+      * round trip exactly (PCM16 is lossless). Same locality contract:
+      * a perturbation confined to ONE time block can flip at most its
+      * two adjacent comparisons (≤2 bits). Empty clips hash to 0. */
+    def audioHash64(samples: Array[Short]): Long = {
+      if (samples.isEmpty) return 0L
+      val n = samples.length
+      val means = new Array[Long](65)
+      var b = 0
+      while (b < 65) {
+        val i0 = math.min(b * n / 65, n - 1)
+        val i1 = math.max(i0 + 1, math.min((b + 1) * n / 65, n))
+        var sum = 0L
+        var i = i0
+        while (i < i1) { sum += math.abs(samples(i).toLong); i += 1 }
+        means(b) = sum / (i1 - i0)
+        b += 1
+      }
+      var hash = 0L
+      b = 0
+      while (b < 64) {
+        if (means(b + 1) > means(b)) hash |= 1L << b
+        b += 1
       }
       hash
     }
@@ -399,7 +431,26 @@ object MultimodalOps {
     }.toDF("media_id", "dhash", "error")
   }
 
-  /** Near-duplicate image pairs by dHash hamming distance ≤ `maxHamming`,
+  /** Per-clip audio perceptual hash table `(media_id, dhash, error)` —
+    * [[imageDHash]]'s audio twin over [[Codec.audioHash64]]; undecodable
+    * payloads become typed error rows, never task failures. The column
+    * is named `dhash` on purpose: the envelope hash IS a difference
+    * hash (over temporal blocks instead of grid cells), and the shared
+    * [[nearDupPairs64]] pairer and its oracle SQL shape apply verbatim. */
+  def audioDHash(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { iter =>
+      iter.map { m =>
+        try (m.media_id, Codec.audioHash64(Codec.decodeWavSamples(m.payload)._1), "")
+        catch { case scala.util.control.NonFatal(e) =>
+          (m.media_id, 0L, s"decode: ${e.getMessage}") }
+      }
+    }.toDF("media_id", "dhash", "error")
+  }
+
+  /** Near-duplicate pairs over ANY 64-bit perceptual hash table (image
+    * dHash, audio envelope hash) by hamming distance ≤ `maxHamming`,
     * via 4×16-bit band LSH + exact verify — the MinHash band pattern on
     * a 64-bit perceptual hash. Pigeonhole exactness: ≤3 differing bits
     * can touch at most 3 of the 4 bands, so every hamming-≤3 pair shares
@@ -413,7 +464,7 @@ object MultimodalOps {
     * buckets (all-zero bands); at crawl scale cap or salt hot buckets
     * the way [[DedupOps]]'s band index does — the small-radius verify
     * keeps correctness under any candidate superset. */
-  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def nearDupPairs64(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, s"4x16 banding is exact only for hamming <= 3, got $maxHamming")
     val h = hashes.filter(col("error") === "").select("media_id", "dhash")
     val bands = h.select(col("media_id"), col("dhash"),
@@ -467,6 +518,55 @@ object MultimodalOps {
       val far = noiseImage(w, h, rng.nextLong())
       def row(k: Long, img: BufferedImage) =
         MediaRow(4 * i + k, Codec.encodePng(img), MediaMeta("image/png", w, h, 0L, 1))
+      Seq(row(0, base), row(1, base), row(2, pert), row(3, far))
+    }
+  }
+
+  /** Deterministic planted near-dup audio corpus — [[plantedNearDupMedia]]'s
+    * WAV twin: per base index, four clips — the base (per-block random
+    * target amplitude, so the envelope hash is effectively a random 64-bit
+    * value per seed), an exact copy (hamming 0), a one-time-block
+    * perturbation (every sample of ONE [[Codec.audioHash64]] block set to
+    * full scale — strictly louder than any base block, so at most that
+    * block's two adjacent comparisons flip), and an unrelated far clip. */
+  def plantedNearDupAudio(spark: org.apache.spark.sql.SparkSession, nBase: Long,
+      seed: Long = 42L): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(nBase).flatMap { i =>
+      val rng = new graft.gen.InputGen.Rng(seed, i, 13L)
+      val n = 1300 + rng.nextInt(2000)
+      def clip(clipSeed: Long): Array[Short] = {
+        val out = new Array[Short](n)
+        var b = 0
+        while (b < 65) {
+          val i0 = math.min(b * n / 65, n - 1)
+          val i1 = math.max(i0 + 1, math.min((b + 1) * n / 65, n))
+          // per-block target amplitude in [500, 8691] — block-to-block
+          // envelope contrast large vs the ~A/20 sample-mean jitter, so
+          // neighbor comparisons are stable yet seed-random
+          val amp = 500 + (graft.gen.InputGen.mix(clipSeed ^ (b.toLong << 32)) & 0x1fff).toInt
+          var j = i0
+          while (j < i1) {
+            val r = graft.gen.InputGen.mix(clipSeed ^ (b.toLong << 40) ^ j.toLong)
+            out(j) = ((math.floorMod(r, 2L * amp + 1) - amp)).toShort
+            j += 1
+          }
+          b += 1
+        }
+        out
+      }
+      val baseSeed = rng.nextLong()
+      val base = clip(baseSeed)
+      val pert = base.clone()
+      val pb = rng.nextInt(65)
+      val p0 = math.min(pb * n / 65, n - 1)
+      val p1 = math.max(p0 + 1, math.min((pb + 1) * n / 65, n))
+      var j = p0
+      while (j < p1) { pert(j) = if ((j & 1) == 0) 30000 else -30000; j += 1 }
+      val far = clip(rng.nextLong())
+      def row(k: Long, samples: Array[Short]) =
+        MediaRow(4 * i + k, Codec.encodeWav(samples),
+          MediaMeta("audio/wav", 0, 0, n / 8L, 0))
       Seq(row(0, base), row(1, base), row(2, pert), row(3, far))
     }
   }

@@ -38,7 +38,7 @@ class DHashSpec extends AnyFunSuite {
       Codec.dHash64(MultimodalOps.patternImage(w, h, seed = 1L)) // must not throw
   }
 
-  test("imageNearDupPairs equals brute-force all-pairs at hamming <= 3; corrupt rows excluded") {
+  test("nearDupPairs64 equals brute-force all-pairs at hamming <= 3; corrupt rows excluded") {
     import spark.implicits._
     val media = MultimodalOps.plantedNearDupMedia(spark, nBase = 16L, seed = 3L)
     val withCorrupt = media.union(Seq(
@@ -47,7 +47,7 @@ class DHashSpec extends AnyFunSuite {
     val hashes = MultimodalOps.imageDHash(withCorrupt)
     assert(hashes.filter($"error" =!= "").as[(Long, Long, String)].collect()
       .map(_._1).toSeq == Seq(9999L))
-    val got = MultimodalOps.imageNearDupPairs(hashes)
+    val got = MultimodalOps.nearDupPairs64(hashes)
       .as[(Long, Long, Long)].collect().toSet
     val hs = hashes.filter($"error" === "").as[(Long, Long, String)].collect()
       .map(r => (r._1, r._2))
