@@ -714,6 +714,18 @@ object Queries {
               VerifyTables.Seed)))
         .orderBy("id_a", "id_b")),
 
+    // ---- video near-dup: per-frame dHash64 over demuxed motion-PNG
+    //      frames, frame-level banding (pigeonhole-exact per frame pair)
+    //      aggregated to (id_a, id_b, matched_frames, min_hamming).
+    //      Oracle replays banding + popcount + the doc-level grouping
+    //      from the independently-dumped per-frame hash table.
+    "q_video_neardup" -> ((s, dir) =>
+      MultimodalOps.videoNearDupPairs(
+          MultimodalOps.videoFrameDHash(
+            MultimodalOps.plantedNearDupVideos(s, VerifyTables.mediaDocs(dir) / 4,
+              VerifyTables.Seed)))
+        .orderBy("id_a", "id_b")),
+
     // ---- CDX capture index off the .warc.gz member layout: the archive
     //      store's random-access sidecar (Common Crawl publishes exactly
     //      this). Map-only per file like the ingest scan itself — index
@@ -2397,6 +2409,30 @@ object Queries {
            |)
            |SELECT id_a, id_b, CAST(bit_count(xor(da, db)) AS BIGINT) AS hamming
            |FROM cand WHERE bit_count(xor(da, db)) <= 3
+           |ORDER BY id_a, id_b""".stripMargin,
+      // video near-dup: frame-level banding + popcount, then the doc-level
+      // matched-frames / min-hamming grouping — all from the per-frame dump
+      "q_video_neardup" ->
+        s"""WITH h AS (
+           |  SELECT media_id, frame_no, dhash
+           |  FROM read_parquet('${VerifyTables.oracleGlob("video_frame_dhash")}')
+           |  WHERE error = ''
+           |), b AS (
+           |  SELECT media_id, frame_no, dhash, band,
+           |    (dhash >> (16 * band)) & 65535 AS bv
+           |  FROM h, (SELECT unnest([0, 1, 2, 3]) AS band)
+           |), cand AS (
+           |  SELECT DISTINCT a.media_id AS id_a, a.frame_no AS fa,
+           |    c.media_id AS id_b, c.frame_no AS fb, a.dhash AS da, c.dhash AS db
+           |  FROM b a JOIN b c ON a.band = c.band AND a.bv = c.bv
+           |    AND a.media_id < c.media_id
+           |), m AS (
+           |  SELECT id_a, id_b, bit_count(xor(da, db)) AS hm
+           |  FROM cand WHERE bit_count(xor(da, db)) <= 3
+           |)
+           |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS matched_frames,
+           |  CAST(min(hm) AS BIGINT) AS min_hamming
+           |FROM m GROUP BY id_a, id_b
            |ORDER BY id_a, id_b""".stripMargin,
       // CDX index: SURT urlkey (same documented subset as Warc.surt),
       // UTC ts14 and payload digest all recomputed from the ORIGINAL

@@ -46,7 +46,8 @@ object VerifyTables {
     "doc_vectors", "grounding_cells", "ivf_centroids",
     "media_features", "frame_samples", "links", "anchors", "fingerprints",
     "robots_rules", "robots_sitemaps", "page_meta", "sitemap_entries",
-    "warc_files", "alternates", "image_dhash", "audio_dhash")
+    "warc_files", "alternates", "image_dhash", "audio_dhash",
+    "video_frame_dhash")
 
   /** The grounding-mode query bbox (original space) used by both the
     * x_extract_grounding query and the grounding_cells oracle dump. */
@@ -306,6 +307,10 @@ object VerifyTables {
         // hashes computed by the real kernel in a separate pass
         graft.ops.MultimodalOps.audioDHash(
           graft.ops.MultimodalOps.plantedNearDupAudio(s, mediaDocs(sfDir) / 4, Seed))
+      case "video_frame_dhash" =>
+        // per-frame hashes over the planted video corpus, separate pass
+        graft.ops.MultimodalOps.videoFrameDHash(
+          graft.ops.MultimodalOps.plantedNearDupVideos(s, mediaDocs(sfDir) / 4, Seed))
       case other => throw new IllegalArgumentException(s"unknown table $other")
     }
     df.write.mode("overwrite").parquet(p)

@@ -182,10 +182,19 @@ object MultimodalOps {
       val bb = java.nio.ByteBuffer.wrap(payload)
       val n = bb.getInt()
       require(idx >= 0 && idx < n, s"frame $idx out of $n")
+      // bound every declared length by the bytes actually present BEFORE
+      // allocating — a torn or hostile container (declared len 2 GiB)
+      // must throw a catchable IllegalArgumentException, never an OOM
+      def boundedLen(): Int = {
+        val len = bb.getInt()
+        require(len >= 0 && len <= bb.remaining, s"frame length $len exceeds payload")
+        len
+      }
       var i = 0
-      while (i < idx) { val len = bb.getInt(); bb.position(bb.position() + len); i += 1 }
-      val len = bb.getInt()
-      val out = new Array[Byte](len)
+      // read the length BEFORE the position getter — boundedLen() advances
+      // the buffer past the 4-byte length field
+      while (i < idx) { val len = boundedLen(); bb.position(bb.position() + len); i += 1 }
+      val out = new Array[Byte](boundedLen())
       bb.get(out)
       out
     }
@@ -494,30 +503,114 @@ object MultimodalOps {
       val rng = new graft.gen.InputGen.Rng(seed, i, 11L)
       val w = 36 + rng.nextInt(60); val h = 36 + rng.nextInt(60)
       val base = noiseImage(w, h, rng.nextLong())
-      val pert = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-      val g2 = pert.createGraphics(); g2.drawImage(base, 0, 0, null); g2.dispose()
-      // brighten every pixel of ONE dHash grid cell (same floor-division
-      // block bounds as dHash64) — flips at most that cell's two
-      // horizontal comparisons
-      val gx = rng.nextInt(9); val gy = rng.nextInt(8)
-      val x0 = math.min(gx * w / 9, w - 1); val x1 = math.max(x0 + 1, math.min((gx + 1) * w / 9, w))
-      val y0 = math.min(gy * h / 8, h - 1); val y1 = math.max(y0 + 1, math.min((gy + 1) * h / 8, h))
-      var y = y0
-      while (y < y1) {
-        var x = x0
-        while (x < x1) {
-          val p = pert.getRGB(x, y)
-          val r = math.min(((p >> 16) & 0xff) + 200, 255)
-          val g = math.min(((p >> 8) & 0xff) + 200, 255)
-          val bl = math.min((p & 0xff) + 200, 255)
-          pert.setRGB(x, y, (r << 16) | (g << 8) | bl)
-          x += 1
-        }
-        y += 1
-      }
+      val pert = brightenOneCell(base, rng.nextInt(9), rng.nextInt(8))
       val far = noiseImage(w, h, rng.nextLong())
       def row(k: Long, img: BufferedImage) =
         MediaRow(4 * i + k, Codec.encodePng(img), MediaMeta("image/png", w, h, 0L, 1))
+      Seq(row(0, base), row(1, base), row(2, pert), row(3, far))
+    }
+  }
+
+  /** Brighten every pixel of ONE dHash grid cell (same floor-division
+    * block bounds as [[Codec.dHash64]]) — flips at most that cell's two
+    * horizontal comparisons (≤2 bits). Shared by the planted image and
+    * video near-dup corpora. */
+  private def brightenOneCell(src: BufferedImage, gx: Int, gy: Int): BufferedImage = {
+    val w = src.getWidth; val h = src.getHeight
+    val pert = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g2 = pert.createGraphics(); g2.drawImage(src, 0, 0, null); g2.dispose()
+    val x0 = math.min(gx * w / 9, w - 1); val x1 = math.max(x0 + 1, math.min((gx + 1) * w / 9, w))
+    val y0 = math.min(gy * h / 8, h - 1); val y1 = math.max(y0 + 1, math.min((gy + 1) * h / 8, h))
+    var y = y0
+    while (y < y1) {
+      var x = x0
+      while (x < x1) {
+        val p = pert.getRGB(x, y)
+        val r = math.min(((p >> 16) & 0xff) + 200, 255)
+        val g = math.min(((p >> 8) & 0xff) + 200, 255)
+        val bl = math.min((p & 0xff) + 200, 255)
+        pert.setRGB(x, y, (r << 16) | (g << 8) | bl)
+        x += 1
+      }
+      y += 1
+    }
+    pert
+  }
+
+  /** Per-frame perceptual hash table `(media_id, frame_no, dhash, error)`
+    * over video payloads — [[Codec.dHash64]] of every demuxed container
+    * frame, map-only. A torn / hostile container (truncated tail,
+    * declared 2 GiB frame length) becomes ONE typed error row
+    * (frame_no -1), never a task failure or an OOM — the length guard
+    * lives in [[Codec.decodeVideoFrame]] before any allocation. */
+  def videoFrameDHash(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { iter =>
+      iter.flatMap { m =>
+        try {
+          val n = Codec.videoFrameCount(m.payload)
+          (0 until n).map { f =>
+            (m.media_id, f,
+              Codec.dHash64(Codec.decodeImage(Codec.decodeVideoFrame(m.payload, f))), "")
+          }
+        } catch { case scala.util.control.NonFatal(e) =>
+          Seq((m.media_id, -1, 0L, s"decode: ${e.getMessage}")) }
+      }
+    }.toDF("media_id", "frame_no", "dhash", "error")
+  }
+
+  /** Near-duplicate VIDEO pairs: two videos are near-dups when they share
+    * frames — the frame-level [[nearDupPairs64]] banding (pigeonhole-exact
+    * for hamming ≤3 per frame pair) aggregated to the document level as
+    * `(id_a, id_b, matched_frames, min_hamming)`, where matched_frames
+    * counts distinct (frame_a, frame_b) pairs within the radius. Same
+    * scale shape: only `(media_id, frame_no, band, 16-bit value, hash)`
+    * ever shuffles, payloads stay behind; the doc-level agg is a hash
+    * agg on (id_a, id_b). A re-encoded or lightly-edited copy matches on
+    * every frame; a clip sharing one scene matches on that scene's
+    * frames — callers threshold matched_frames for their notion of dup. */
+  def videoNearDupPairs(frameHashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, s"4x16 banding is exact only for hamming <= 3, got $maxHamming")
+    val h = frameHashes.filter(col("error") === "")
+      .select("media_id", "frame_no", "dhash")
+    val bands = h.select(col("media_id"), col("frame_no"), col("dhash"),
+        explode(array((0 until 4).map(lit(_)): _*)).as("band"))
+      .withColumn("bv", expr("shiftright(dhash, 16 * band) & 65535"))
+    val a = bands.select(col("media_id").as("id_a"), col("frame_no").as("fa"),
+      col("dhash").as("da"), col("band"), col("bv"))
+    val b = bands.select(col("media_id").as("id_b"), col("frame_no").as("fb"),
+      col("dhash").as("db"), col("band"), col("bv"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "fa", "id_b", "fb", "da", "db").distinct()
+      .withColumn("hamming", expr("CAST(bit_count(da ^ db) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("matched_frames"), min(col("hamming")).as("min_hamming"))
+  }
+
+  /** Deterministic planted near-dup video corpus: per base index, four
+    * motion-PNG clips — the base (3–5 noise frames), an exact copy, a
+    * one-frame one-grid-cell perturbation (that frame within hamming ≤2,
+    * the rest identical), and an unrelated far clip. */
+  def plantedNearDupVideos(spark: org.apache.spark.sql.SparkSession, nBase: Long,
+      seed: Long = 42L): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(nBase).flatMap { i =>
+      val rng = new graft.gen.InputGen.Rng(seed, i, 17L)
+      val w = 24 + rng.nextInt(24); val h = 24 + rng.nextInt(24)
+      val nf = 3 + rng.nextInt(3)
+      val base = Array.fill(nf)(noiseImage(w, h, rng.nextLong()))
+      val pf = rng.nextInt(nf)
+      val pgx = rng.nextInt(9); val pgy = rng.nextInt(8)
+      val pert = base.zipWithIndex.map { case (img, idx) =>
+        if (idx == pf) brightenOneCell(img, pgx, pgy) else img
+      }
+      val far = Array.fill(nf)(noiseImage(w, h, rng.nextLong()))
+      def row(k: Long, frames: Array[BufferedImage]) =
+        MediaRow(4 * i + k, Codec.encodeVideo(frames.toSeq),
+          MediaMeta("video/mp4-toy", w, h, nf * 1000L, nf))
       Seq(row(0, base), row(1, base), row(2, pert), row(3, far))
     }
   }
