@@ -726,6 +726,28 @@ object Queries {
               VerifyTables.Seed)))
         .orderBy("id_a", "id_b")),
 
+    // ---- WET extracted-text archive round-trip: the WRITE side of the
+    //      archive surface — the full pipeline's assembled markdown,
+    //      written as WARC `conversion` records (Common Crawl's
+    //      `.warc.wet.gz` shape, xxhash64(url)-mod-nFiles assignment,
+    //      url-ordered deterministic bytes) and parsed BACK by the real
+    //      WET reader. The oracle never touches the archive bytes: it
+    //      re-assembles the expected text from the page dumps and the
+    //      timestamp from the ORIGINAL northrule parquet — so text
+    //      (multibyte UTF-8 through byte-counted Content-Length) and
+    //      millisecond timestamps must both survive the format. Scale
+    //      shape: ONE shuffle (each doc's text moves once to its file's
+    //      writer), the read back map-only.
+    "q_wet_roundtrip" -> ((s, dir) => {
+      val text = ExtractPipeline.run(vt(s, dir, "northrule"))
+        .select(col("url"), col("md").as("text"))
+      val withTs = text.join(
+        vt(s, dir, "northrule").select(col("url"), col("warc_ts")), Seq("url"))
+      val files = graft.sources.Warc.writeWetTable(withTs,
+        nFiles = math.max(1L, InputTable.docsForSfDir(dir) / 64).toInt)
+      graft.sources.Warc.readWetTable(files, "data_gz").orderBy("url")
+    }),
+
     // ---- CDX capture index off the .warc.gz member layout: the archive
     //      store's random-access sidecar (Common Crawl publishes exactly
     //      this). Map-only per file like the ingest scan itself — index
@@ -2434,6 +2456,20 @@ object Queries {
            |  CAST(min(hm) AS BIGINT) AS min_hamming
            |FROM m GROUP BY id_a, id_b
            |ORDER BY id_a, id_b""".stripMargin,
+      // WET round-trip: expected text re-assembled from the page dumps,
+      // expected timestamp from the ORIGINAL corpus parquet — the
+      // archive bytes themselves are never consulted by the oracle
+      "q_wet_roundtrip" ->
+        s"""WITH t AS (
+           |  SELECT url, string_agg(md, e'\\n\\n---\\n\\n' ORDER BY page_no) AS text
+           |  FROM read_parquet('${VerifyTables.oracleGlob("extract_pages")}')
+           |  GROUP BY url
+           |)
+           |SELECT t.url, n.warc_ts, t.text
+           |FROM t JOIN read_parquet('${VerifyTables.oracleGlob("northrule")}') n
+           |  USING (url)
+           |ORDER BY url""".stripMargin,
+
       // CDX index: SURT urlkey (same documented subset as Warc.surt),
       // UTC ts14 and payload digest all recomputed from the ORIGINAL
       // corpus parquet — fully independent of the archive bytes

@@ -49,6 +49,9 @@ object Warc {
   /** One parsed response record in the input-table shape. */
   final case class WarcDoc(url: String, warc_ts: java.sql.Timestamp, html: Array[Byte])
 
+  /** One parsed `conversion` (WET extracted-text) record. */
+  final case class WetDoc(url: String, warc_ts: java.sql.Timestamp, text: String)
+
   /** Inflation cap per file (zip-bomb guard): 1 GiB. */
   val MaxInflatedBytes: Int = 1 << 30
 
@@ -75,6 +78,38 @@ object Warc {
       "Content-Type: application/http; msgtype=response" + CRLF +
       "Content-Length: " + block.length + CRLF + CRLF).getBytes(UTF_8)
     header ++ block ++ (CRLF + CRLF).getBytes(UTF_8)
+  }
+
+  /** One WARC/1.0 `conversion` record — the WET (extracted-text) archive
+    * shape Common Crawl publishes alongside its response archives: plain
+    * UTF-8 text, NO HTTP header block, `Content-Length` counting the
+    * text's UTF-8 BYTES (multibyte text round-trips exactly).
+    * Deterministic like [[record]]: fixed header order, url-derived ids,
+    * millisecond date. */
+  def conversionRecord(url: String, tsMillis: Long, text: String): Array[Byte] = {
+    val body = text.getBytes(UTF_8)
+    val idHex = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(url).toLong & 0xffffffffL)
+    val header = ("WARC/1.0" + CRLF +
+      "WARC-Type: conversion" + CRLF +
+      "WARC-Record-ID: <urn:graft:wet:" + idHex + ">" + CRLF +
+      "WARC-Refers-To: <urn:graft:" + idHex + ">" + CRLF +
+      "WARC-Target-URI: " + url + CRLF +
+      "WARC-Date: " + tsFmt.format(Instant.ofEpochMilli(tsMillis)) + CRLF +
+      "Content-Type: text/plain" + CRLF +
+      "Content-Length: " + body.length + CRLF + CRLF).getBytes(UTF_8)
+    header ++ body ++ (CRLF + CRLF).getBytes(UTF_8)
+  }
+
+  /** A whole WET file for in-order (url, epoch-millis, text) rows:
+    * warcinfo first, then one conversion record per row; `gzip = true`
+    * emits one member per record (the `.warc.wet.gz` layout). */
+  def buildWetFile(rows: Seq[(String, Long, String)], gzip: Boolean,
+      filename: String = "graft.warc.wet"): Array[Byte] = {
+    val records = warcinfo(filename) +: rows.map { case (u, t, x) => conversionRecord(u, t, x) }
+    val bos = new ByteArrayOutputStream(records.iterator.map(_.length).sum)
+    records.foreach(r => bos.write(if (gzip) gzipMember(r) else r))
+    bos.toByteArray
   }
 
   /** A `warcinfo` header record (real files start with one — exercises
@@ -116,17 +151,32 @@ object Warc {
 
   /** Parse every response record of one archive file (plain or gzip) —
     * the never-throw file worker. */
-  def parseAll(bytes: Array[Byte]): Seq[WarcDoc] = {
+  def parseAll(bytes: Array[Byte]): Seq[WarcDoc] =
+    scanFile(bytes)(responseDoc)
+
+  /** Parse every `conversion` (WET extracted-text) record of one archive
+    * file (plain or gzip) — same never-throw / torn-tail contract as
+    * [[parseAll]]; response records in a mixed file are skipped, exactly
+    * as [[parseAll]] skips conversion records. */
+  def parseAllWet(bytes: Array[Byte]): Seq[WetDoc] =
+    scanFile(bytes)(conversionDoc)
+
+  /** Shared file scan: inflate if gzip, then walk records front to back,
+    * mapping each through `f`; a torn tail keeps what scanned before it. */
+  private def scanFile[T](bytes: Array[Byte])(
+      f: (Array[Byte], Map[String, String], Int, Int) => Option[T]): Seq[T] = {
     if (bytes == null || bytes.length < 4) return Nil
     try {
       val buf = if ((bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
         inflateCapped(bytes) else bytes
-      val out = Vector.newBuilder[WarcDoc]
+      val out = Vector.newBuilder[T]
       var i = 0
       var torn = false
       while (!torn && i < buf.length) {
         nextRecord(buf, i) match {
-          case Some((doc, next)) => doc.foreach(out += _); i = next
+          case Some((raw, next)) =>
+            raw.foreach { case (hdrs, bs, be) => f(buf, hdrs, bs, be).foreach(out += _) }
+            i = next
           case None => torn = true
         }
       }
@@ -150,10 +200,12 @@ object Warc {
     out.toByteArray
   }
 
-  /** Scan one record starting at `i`: Some((maybeDoc, nextOffset)) or
-    * None when the tail is torn / not a record boundary. Skips stray
-    * CRLFs between records (tolerant of missing/extra trailers). */
-  private def nextRecord(buf: Array[Byte], start: Int): Option[(Option[WarcDoc], Int)] = {
+  /** Scan one record starting at `i`: Some(((headers, blockStart,
+    * blockEnd)?, nextOffset)) or None when the tail is torn / not a
+    * record boundary. Skips stray CRLFs between records (tolerant of
+    * missing/extra trailers). */
+  private def nextRecord(buf: Array[Byte],
+      start: Int): Option[(Option[(Map[String, String], Int, Int)], Int)] = {
     var i = start
     while (i + 1 < buf.length && buf(i) == '\r' && buf(i + 1) == '\n') i += 2
     if (i >= buf.length) return Some((None, buf.length))
@@ -172,20 +224,32 @@ object Warc {
     if (len < 0 || hdrEnd + 4 + len > buf.length) return None
     val blockStart = hdrEnd + 4
     val blockEnd = (blockStart + len).toInt
-    val doc =
-      if (hdrs.get("warc-type").contains("response") &&
-          hdrs.get("content-type").exists(_.contains("msgtype=response")) &&
-          hdrs.contains("warc-target-uri")) {
-        val httpEnd = indexOfBlankLine(buf, blockStart)
-        // body = after the HTTP header block when one exists inside the
-        // record block; a header-less block is taken whole (tolerant)
-        val bodyStart =
-          if (httpEnd >= 0 && httpEnd + 4 <= blockEnd) httpEnd + 4 else blockStart
-        val body = java.util.Arrays.copyOfRange(buf, bodyStart, blockEnd)
-        Some(WarcDoc(hdrs("warc-target-uri"), parseDate(hdrs.get("warc-date")), body))
-      } else None
-    Some((doc, blockEnd))
+    Some((Some((hdrs, blockStart, blockEnd)), blockEnd))
   }
+
+  /** `response` record → table row: HTTP headers stripped, body bytes. */
+  private def responseDoc(buf: Array[Byte], hdrs: Map[String, String],
+      blockStart: Int, blockEnd: Int): Option[WarcDoc] =
+    if (hdrs.get("warc-type").contains("response") &&
+        hdrs.get("content-type").exists(_.contains("msgtype=response")) &&
+        hdrs.contains("warc-target-uri")) {
+      val httpEnd = indexOfBlankLine(buf, blockStart)
+      // body = after the HTTP header block when one exists inside the
+      // record block; a header-less block is taken whole (tolerant)
+      val bodyStart =
+        if (httpEnd >= 0 && httpEnd + 4 <= blockEnd) httpEnd + 4 else blockStart
+      val body = java.util.Arrays.copyOfRange(buf, bodyStart, blockEnd)
+      Some(WarcDoc(hdrs("warc-target-uri"), parseDate(hdrs.get("warc-date")), body))
+    } else None
+
+  /** `conversion` record → WET row: the whole block, decoded as UTF-8. */
+  private def conversionDoc(buf: Array[Byte], hdrs: Map[String, String],
+      blockStart: Int, blockEnd: Int): Option[WetDoc] =
+    if (hdrs.get("warc-type").contains("conversion") &&
+        hdrs.contains("warc-target-uri")) {
+      Some(WetDoc(hdrs("warc-target-uri"), parseDate(hdrs.get("warc-date")),
+        new String(buf, blockStart, blockEnd - blockStart, UTF_8)))
+    } else None
 
   private def indexOfBlankLine(buf: Array[Byte], from: Int): Int = {
     var i = from
@@ -333,8 +397,9 @@ object Warc {
           while (i + 1 < bytes.length && bytes(i) == '\r' && bytes(i + 1) == '\n') i += 2
           val start = i
           nextRecord(bytes, i) match {
-            case Some((doc, next)) =>
-              doc.foreach(d => out += row(d, start.toLong, (next - start).toLong))
+            case Some((raw, next)) =>
+              raw.flatMap { case (h, bs, be) => responseDoc(bytes, h, bs, be) }
+                .foreach(d => out += row(d, start.toLong, (next - start).toLong))
               i = if (next > i) next else bytes.length
             case None => torn = true
           }
@@ -380,4 +445,47 @@ object Warc {
     readWarcTable(
       spark.read.format("binaryFile").load(path).select(col("content")),
       "content")
+
+  /** Extracted-text table `(url, warc_ts, text)` → WET archive files
+    * `(file_id, data, data_gz)` — the write side of the archive surface
+    * (Common Crawl publishes exactly this alongside its response
+    * archives). File assignment is `xxhash64(url) mod nFiles`
+    * (deterministic, growth-stable — the split-assign convention), rows
+    * within a file in url order so the bytes are reproducible across
+    * JVMs and retries (an idempotent-sink requirement).
+    *
+    * Scale shape: ONE shuffle — the text moves once, to its file's
+    * writer task, exactly what any archive writer must pay; `nFiles`
+    * sizes a task's memory bound the way ~1 GiB archive files do at
+    * crawl scale. `mapGroups` builds each file's bytes; no driver
+    * funnel, no per-file sort wider than the file. */
+  def writeWetTable(pages: DataFrame, nFiles: Int,
+      urlCol: String = "url", tsCol: String = "warc_ts",
+      textCol: String = "text"): DataFrame = {
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select(col(urlCol).cast("string").as("u"),
+        unix_millis(col(tsCol).cast("timestamp")).as("ms"),
+        col(textCol).cast("string").as("x"),
+        pmod(xxhash64(col(urlCol).cast("string")), lit(nFiles.toLong)).as("fid"))
+      .as[(String, Long, String, Long)]
+      .groupByKey(_._4)
+      .mapGroups { (fid, it) =>
+        val rows = it.map(r => (r._1, r._2, r._3)).toVector.sortBy(_._1)
+        (fid, buildWetFile(rows, gzip = false, s"graft-$fid.warc.wet"),
+          buildWetFile(rows, gzip = true, s"graft-$fid.warc.wet"))
+      }.toDF("file_id", "data", "data_gz")
+  }
+
+  /** WET archive files → extracted-text table `(url, warc_ts, text)`:
+    * map-only flatMap of [[parseAllWet]], the same no-shuffle bound as
+    * [[readWarcTable]]. */
+  def readWetTable(files: DataFrame, dataCol: String = "data"): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col(dataCol)).as[Array[Byte]]
+      .flatMap(parseAllWet _)
+      .toDF("url", "warc_ts", "text")
+  }
 }
