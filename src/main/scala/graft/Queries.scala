@@ -319,6 +319,26 @@ object Queries {
         .select(col("id_a"), col("id_b"), round(col("est_jaccard") * 64).cast("long").as("matches64"))
         .orderBy("id_a", "id_b")),
 
+    // ---- shingle CONTAINMENT pairs (Broder's asymmetric axis): quote /
+    //      mirror detection — a doc verbatim-included in a longer one has
+    //      containment ≈ 1 while its Jaccard resemblance falls below
+    //      every LSH threshold. Planted quote-containers (every 101st
+    //      doc + 20 unique filler tokens, constructed identically in
+    //      both engines) guarantee exercised pairs; the df guard,
+    //      guarded-set sizes, intersection counts and truncating-DIV ppm
+    //      ratios are all replayed verbatim by the fully independent
+    //      DuckDB oracle (no dump — the strongest oracle class).
+    "q_containment_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val filler = concat_ws(" ", (1 to 20).map(i =>
+        concat(lit("qq"), col("doc_id").cast("string"), lit("x" + i))): _*)
+      val planted = docs.filter(col("doc_id") % 101 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(col("text"), lit(" "), filler).as("text"))
+      DedupOps.containmentPairs(docs.unionByName(planted), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- dedup: the persistable LSH band index built and written as a
     //      real partitioned artifact (the LSH analogue of q_ann_ivf_build)
     //      — per-band entry/key stats read back from the files; the guard
@@ -1453,6 +1473,39 @@ object Queries {
         |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
         |FROM c GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin,
     "q_decontaminate" -> decontaminateSql,
+    // containment: same shingle CTE shape as decontaminateSql, then the
+    // df guard window, guarded-set sizes, pair intersection counts and
+    // truncating-DIV (//) ppm ratios — every stage replayed
+    "q_containment_pairs" ->
+      """WITH planted AS (
+        |  SELECT doc_id + 10000000 AS doc_id,
+        |    text || ' ' || array_to_string(list_transform(range(1, 21),
+        |      i -> 'qq' || CAST(doc_id AS VARCHAR) || 'x' || CAST(i AS VARCHAR)), ' ') AS text
+        |  FROM documents WHERE doc_id % 101 = 0),
+        |alldocs AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id, text FROM planted),
+        |tok AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM alldocs),
+        |sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_distinct(list_transform(range(0, len(toks) - 2),
+        |    i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))) END AS shs
+        |  FROM tok),
+        |e AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+        |g AS (SELECT doc_id, s FROM
+        |  (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM e)
+        |  WHERE df <= 64),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM g GROUP BY doc_id),
+        |cm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_common, sa.sz AS size_a, sb.sz AS size_b,
+        |  CAST((n_common * 1000000) // sa.sz AS BIGINT) AS cont_a_in_b_ppm,
+        |  CAST((n_common * 1000000) // sb.sz AS BIGINT) AS cont_b_in_a_ppm
+        |FROM cm JOIN sz sa ON cm.id_a = sa.doc_id JOIN sz sb ON cm.id_b = sb.doc_id
+        |WHERE greatest((n_common * 1000000) // sa.sz,
+        |               (n_common * 1000000) // sb.sz) >= 800000
+        |ORDER BY id_a, id_b""".stripMargin,
     // the Bloom-prefilter scale path is exactness-preserving by contract
     // (no false negatives in the sketch, false positives killed by the
     // exact verify join) — the SAME SQL oracles it, so the equivalence

@@ -424,6 +424,60 @@ object DedupOps {
     out
   }
 
+  /** Shingle-CONTAINMENT pairs — Broder's second resemblance axis
+    * (SEQUENCES 1997 §2: containment(A,B) = |S(A)∩S(B)| / |S(A)|), the
+    * asymmetric measure MinHash resemblance cannot express: a short doc
+    * quoted or mirrored verbatim inside a long one has containment ≈ 1
+    * while its Jaccard resemblance ≈ |A|/|B| falls below every LSH
+    * threshold. This is the quote/mirror/newswire-syndication detector a
+    * web corpus needs NEXT TO near-dup dedup.
+    *
+    * Semantics (exact, engine-replayable): per-doc DISTINCT n-token
+    * shingles; shingles with document frequency > `maxShingleDf` are
+    * excluded FIRST (ubiquitous boilerplate must not manufacture
+    * containment — and the df cap is also the quadratic-blowup guard: a
+    * shingle shared by k docs emits k² pair rows, so the hottest keys
+    * are exactly the ones that are both semantically meaningless and
+    * computationally fatal); sizes and intersections are then computed
+    * over the GUARDED sets, and both directed ratios are truncating-DIV
+    * ppm (the repo's integral-scoring convention). A pair is emitted
+    * when either direction reaches `minContainPpm`.
+    *
+    * Scale shape: the shingle relation is (id: 8 B, shingle: ~n words)
+    * — the shingle stays a STRING key (the q_line_dedup_global choice:
+    * collision-sensitive by construction, where a 64-bit key would
+    * cross-match distinct shingles at birthday rates over the ~10^12
+    * shingles of a 100 TB corpus); the df guard is one window over that
+    * relation, the pair agg a hash agg on (id_a, id_b); text never
+    * shuffles. Per-key join fanout is bounded by maxShingleDf² by
+    * construction. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minContainPpm: Long = 800000L,
+      maxShingleDf: Int = 64): DataFrame = {
+    require(minContainPpm >= 0 && minContainPpm <= 1000000L,
+      s"minContainPpm must be a ppm value in [0, 1000000], got $minContainPpm")
+    require(maxShingleDf >= 2, s"maxShingleDf must allow pairing, got $maxShingleDf")
+    val sh = df.select(col(idCol).cast("long").as("id"),
+      explode(TextOps.shingles(col(textCol), n)).as("sh"))
+    val guarded = sh.withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+      .filter(col("__df") <= maxShingleDf).drop("__df")
+    val sizes = guarded.groupBy("id").agg(count(lit(1)).as("sz"))
+    val common = guarded.select(col("id").as("id_a"), col("sh"))
+      .join(guarded.select(col("id").as("id_b"), col("sh")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("size_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("size_b")), Seq("id_b"))
+      .withColumn("cont_a_in_b_ppm", expr("(n_common * 1000000L) DIV size_a"))
+      .withColumn("cont_b_in_a_ppm", expr("(n_common * 1000000L) DIV size_b"))
+      .filter(greatest(col("cont_a_in_b_ppm"), col("cont_b_in_a_ppm"))
+        >= minContainPpm)
+      .select("id_a", "id_b", "n_common", "size_a", "size_b",
+        "cont_a_in_b_ppm", "cont_b_in_a_ppm")
+  }
+
   /** Cross-document repeated-span detection — the EXACT-SUBSTRING dedup
     * family (Lee et al. 2022, "Deduplicating Training Data Makes Language
     * Models Better"), the third axis next to exact-doc dedup and

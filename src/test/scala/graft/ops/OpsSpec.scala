@@ -1208,4 +1208,71 @@ class OpsSpec extends AnyFunSuite {
     assert(out("emptyE")   == ((0L, 2L, 0L, 0L, 0L, 0L)))
     assert(out("nullRef")  == ((2L, 0L, 0L, 0L, 0L, 0L)))
   }
+
+  // ---- shingle containment (Broder's asymmetric axis) ----
+
+  private def bruteContainment(docs: Seq[(Long, String)], n: Int,
+      minPpm: Long, maxDf: Int): Set[(Long, Long, Long, Long, Long, Long, Long)] = {
+    def shinglesOf(text: String): Set[String] = {
+      val ts = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      if (ts.length < n) Set(ts.mkString(" ")) else ts.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val raw = docs.map { case (id, t) => id -> shinglesOf(t) }.toMap
+    val df = raw.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val g = raw.view.mapValues(_.filter(df(_) <= maxDf)).toMap
+    (for {
+      (a, sa) <- g.toSeq; (b, sb) <- g.toSeq if a < b
+      common = (sa & sb).size.toLong if common > 0
+      cab = common * 1000000L / sa.size
+      cba = common * 1000000L / sb.size
+      if math.max(cab, cba) >= minPpm
+    } yield (a, b, common, sa.size.toLong, sb.size.toLong, cab, cba)).toSet
+  }
+
+  test("containmentPairs: verbatim quote has containment 1e6 while Jaccard stays below LSH range; unrelated docs silent") {
+    val quoted = (1 to 30).map(i => s"q$i").mkString(" ")
+    val container = quoted + " " + (1 to 60).map(i => s"pad$i").mkString(" ")
+    val unrelated = (1 to 40).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, quoted), (2L, container), (3L, unrelated)).toDF("doc_id", "text")
+    val out = DedupOps.containmentPairs(docs, "doc_id", "text", minContainPpm = 900000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.length == 1)
+    val (ia, ib, common, sa, sb, cab, _) = out.head
+    assert((ia, ib) == ((1L, 2L)))
+    assert(cab == 1000000L)         // all of the quote's shingles inside the container
+    assert(common == sa && sb > sa) // asymmetric by construction
+    // resemblance for the same pair is |A|/|B| < 0.5 — below every LSH
+    // threshold used in this repo: the semantic MinHash cannot express
+    assert(common.toDouble / (sa + sb - common) < 0.5)
+  }
+
+  test("containmentPairs equals brute force, including the df guard and truncating ppm") {
+    val rng = new scala.util.Random(7)
+    val vocab = (1 to 25).map(i => s"w$i")
+    val docs = (0L until 24L).map { id =>
+      val len = 4 + rng.nextInt(12)
+      id -> Seq.fill(len)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    }
+    val out = DedupOps.containmentPairs(docs.toDF("doc_id", "text"), "doc_id", "text",
+        n = 2, minContainPpm = 300000L, maxShingleDf = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(out == bruteContainment(docs, n = 2, minPpm = 300000L, maxDf = 4))
+  }
+
+  test("containmentPairs: a shingle over the df cap cannot manufacture pairs") {
+    // 10 docs share ONLY the boilerplate trigram; with maxShingleDf = 4
+    // the hot shingle is excluded and nothing pairs
+    val docs = (0L until 10L).map(id =>
+      id -> s"u${id}a u${id}b boiler plate line u${id}c u${id}d")
+    val none = DedupOps.containmentPairs(docs.toDF("doc_id", "text"), "doc_id", "text",
+      minContainPpm = 0L, maxShingleDf = 4)
+    assert(none.count() == 0)
+    // raising the cap above the sharing degree re-admits it: every pair
+    // now shares exactly the boilerplate shingles
+    val all = DedupOps.containmentPairs(docs.toDF("doc_id", "text"), "doc_id", "text",
+      minContainPpm = 0L, maxShingleDf = 10)
+    assert(all.count() == 45L) // C(10, 2)
+  }
 }
