@@ -477,6 +477,34 @@ object Queries {
         .orderBy("url")
     }),
 
+    // ---- crawl: adaptive recrawl scheduling (Cho & Garcia-Molina's
+    //      change-rate estimation, integral form). Planted revisit
+    //      history over the snapshot: every 7th doc re-fetched +1h
+    //      (payload changed only for every 21st), every 14th again +3h
+    //      (always changed) — so single-observation, never-changed
+    //      backoff, 1-change and 2-change branches are all exercised,
+    //      plus both clamp bounds via the parameters. Digests are
+    //      md5(hex(html)) so the oracle replays the change detection
+    //      from the ORIGINAL parquet; the lag window, integer-seconds
+    //      span math and truncating DIV all replay verbatim.
+    "q_recrawl_schedule" -> ((s, dir) => {
+      val n = regexp_extract(col("url"), "doc([0-9]+)$", 1).cast("long")
+      val base = vt(s, dir, "northrule")
+        .select(col("url"), col("warc_ts"), md5(hex(col("html"))).as("digest"), n.as("n"))
+      val rev1 = base.filter(col("n") % 7 === 0)
+        .select(col("url"), (col("warc_ts") + expr("INTERVAL 1 HOUR")).as("warc_ts"),
+          when(col("n") % 21 === 0, md5(concat(col("digest"), lit("v2"))))
+            .otherwise(col("digest")).as("digest"))
+      val rev2 = base.filter(col("n") % 14 === 0)
+        .select(col("url"), (col("warc_ts") + expr("INTERVAL 3 HOUR")).as("warc_ts"),
+          md5(concat(col("digest"), lit("v3"))).as("digest"))
+      LinkOps.recrawlSchedule(
+          base.drop("n").unionByName(rev1).unionByName(rev2),
+          baseIntervalSec = 86400L, minIntervalSec = 3600L,
+          maxIntervalSec = 604800L)
+        .orderBy("url")
+    }),
+
     // ---- curation: quality-ranked top-3 docs per host (score = sidecar
     //      text length, ties by doc id) — per-host cutoff from the score
     //      histogram, never a per-host sort of the data
@@ -2232,6 +2260,47 @@ object Queries {
            |SELECT url, max(warc_ts) AS latest_ts,
            |  CAST(count(*) AS BIGINT) AS n_versions
            |FROM u GROUP BY url ORDER BY url""".stripMargin,
+      // recrawl schedule: planted history + lag-window change detection
+      // + the integral interval policy, all replayed from the ORIGINAL
+      // parquet (epoch_ms // 1000 ≡ unix_seconds truncation on
+      // non-negative epochs; // ≡ DIV throughout)
+      "q_recrawl_schedule" ->
+        s"""WITH b AS (SELECT url, warc_ts, md5(hex(html)) AS digest,
+           |    CAST(regexp_extract(url, 'doc([0-9]+)$$', 1) AS BIGINT) AS n
+           |  FROM read_parquet('${VerifyTables.oracleGlob("northrule")}')),
+           |h AS (
+           |  SELECT url, warc_ts, digest FROM b
+           |  UNION ALL
+           |  SELECT url, warc_ts + INTERVAL 1 HOUR,
+           |    CASE WHEN n % 21 = 0 THEN md5(digest || 'v2') ELSE digest END
+           |  FROM b WHERE n % 7 = 0
+           |  UNION ALL
+           |  SELECT url, warc_ts + INTERVAL 3 HOUR, md5(digest || 'v3')
+           |  FROM b WHERE n % 14 = 0),
+           |m AS (SELECT url, epoch_ms(warc_ts) // 1000 AS ts_sec, digest,
+           |    lag(digest) OVER (PARTITION BY url
+           |      ORDER BY epoch_ms(warc_ts) // 1000, digest) AS prev
+           |  FROM h),
+           |a AS (SELECT url, CAST(count(*) AS BIGINT) AS n_versions,
+           |    CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> digest
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+           |    CAST(max(ts_sec) - min(ts_sec) AS BIGINT) AS span_sec,
+           |    max(ts_sec) AS last_sec
+           |  FROM m GROUP BY url),
+           |i AS (SELECT *,
+           |    greatest(3600, least(604800,
+           |      CASE WHEN n_versions < 2 THEN 86400
+           |           WHEN n_changes = 0 THEN (span_sec // (n_versions - 1)) * 2
+           |           ELSE span_sec // n_changes END)) AS niv
+           |  FROM a)
+           |SELECT url, n_versions, n_changes, span_sec,
+           |  CAST(CASE WHEN n_versions >= 2
+           |    THEN (n_changes * 1000000) // (n_versions - 1)
+           |    ELSE 0 END AS BIGINT) AS change_ratio_ppm,
+           |  CAST(niv AS BIGINT) AS next_interval_sec,
+           |  CAST(last_sec + niv AS BIGINT) AS next_crawl_sec
+           |FROM i ORDER BY url""".stripMargin,
+
       // domain blocklist: equals-or-subdomain replayed as suffix LIKE
       "q_domain_filter" ->
         s"""WITH docs AS (SELECT url,

@@ -306,6 +306,62 @@ object LinkOps {
       .groupBy("url")
       .agg(max(col("__ts")).as("latest_ts"), count(lit(1)).as("n_versions"))
 
+  /** Adaptive recrawl scheduling from revisit history — the change-rate
+    * estimation problem of Cho & Garcia-Molina (TOIT 2003, "Estimating
+    * frequency of change"), in the repo's exact integral form: per url,
+    * order the observed snapshots by time, count digest transitions
+    * between consecutive versions, and set the next revisit interval to
+    * the OBSERVED mean time between changes (`span DIV n_changes` — the
+    * naive 1/λ̂ estimator), doubled-backoff when nothing ever changed
+    * (`2 × mean gap`), `baseIntervalSec` when there is only one
+    * observation, always clamped to [min, max]. Everything is integer
+    * seconds and truncating DIV, so an independent engine replays it
+    * bit-for-bit (the Poisson-MLE log refinement is deliberately out of
+    * scope — libm ln does not cross engines).
+    *
+    * Output: (url, n_versions, n_changes, span_sec, change_ratio_ppm,
+    * next_interval_sec, next_crawl_sec).
+    *
+    * Scale shape: only (url, ts: 8 B, digest: comparable) ever shuffles —
+    * payloads stay behind whatever digest pass feeds this (crawlDelta's
+    * hash-for-payload equivalence). The per-url lag window sorts each
+    * url's own handful of versions (revisit counts are small by
+    * definition of a crawl cadence), the same per-key window bound as
+    * sessionization; the final agg is a hash agg on url. */
+  def recrawlSchedule(history: DataFrame, urlCol: String = "url",
+      tsCol: String = "warc_ts", digestCol: String = "digest",
+      baseIntervalSec: Long = 86400L, minIntervalSec: Long = 3600L,
+      maxIntervalSec: Long = 604800L): DataFrame = {
+    require(minIntervalSec <= maxIntervalSec && minIntervalSec > 0,
+      s"need 0 < min <= max, got [$minIntervalSec, $maxIntervalSec]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("url").orderBy(col("ts_sec"), col("__d"))
+    val marked = history.select(col(urlCol).as("url"),
+        unix_seconds(col(tsCol).cast("timestamp")).as("ts_sec"),
+        col(digestCol).as("__d"))
+      .withColumn("__prev", lag(col("__d"), 1).over(w))
+      .withColumn("__chg",
+        when(col("__prev").isNotNull && col("__prev") =!= col("__d"), 1L)
+          .otherwise(0L))
+    marked.groupBy("url").agg(
+        count(lit(1)).as("n_versions"),
+        sum("__chg").as("n_changes"),
+        (max("ts_sec") - min("ts_sec")).as("span_sec"),
+        max("ts_sec").as("__last_sec"))
+      .withColumn("change_ratio_ppm",
+        when(col("n_versions") >= 2,
+          expr("(n_changes * 1000000L) DIV (n_versions - 1)")).otherwise(lit(0L)))
+      .withColumn("next_interval_sec",
+        greatest(lit(minIntervalSec), least(lit(maxIntervalSec),
+          when(col("n_versions") < 2, lit(baseIntervalSec))
+            .when(col("n_changes") === 0,
+              expr("(span_sec DIV (n_versions - 1)) * 2L"))
+            .otherwise(expr("span_sec DIV n_changes")))))
+      .withColumn("next_crawl_sec", col("__last_sec") + col("next_interval_sec"))
+      .select("url", "n_versions", "n_changes", "span_sec",
+        "change_ratio_ppm", "next_interval_sec", "next_crawl_sec")
+  }
+
   /** Crawl-snapshot delta — the incremental-ingest classifier a recurring
     * crawl pipeline runs before reprocessing: every url in either snapshot
     * is labeled `new` (only in B), `deleted` (only in A), `changed`

@@ -426,4 +426,30 @@ class LinkOpsSpec extends AnyFunSuite {
       ("https://a.example/html/new1", "a.example", 3L),
       ("https://a.example/html/new2", "a.example", 1L)))
   }
+
+  test("recrawlSchedule: interval policy branches, clamps, integral ppm, same-second tie-break") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val hist = Seq(
+      // single observation → base interval
+      ("u/single", ts(1000L), "d0"),
+      // 3 versions, never changed → backoff 2 × mean gap (2 × 100 = 200)
+      ("u/static", ts(1000L), "s"), ("u/static", ts(1100L), "s"), ("u/static", ts(1200L), "s"),
+      // 3 versions, 2 changes over span 200 → 200 DIV 2 = 100, ppm 1e6
+      ("u/hot", ts(1000L), "a"), ("u/hot", ts(1100L), "b"), ("u/hot", ts(1200L), "c"),
+      // 2 versions, 1 change over a huge span → clamped to max
+      ("u/slow", ts(0L), "a"), ("u/slow", ts(10000000L), "b"),
+      // 2 versions SAME second, different digest → span 0 → clamped to min;
+      // lag order is (ts, digest), so the transition counts exactly once
+      ("u/tie", ts(1000L), "x"), ("u/tie", ts(1000L), "y"))
+      .toDF("url", "warc_ts", "digest")
+    val out = LinkOps.recrawlSchedule(hist,
+        baseIntervalSec = 500L, minIntervalSec = 50L, maxIntervalSec = 5000L)
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("u/single") == (("u/single", 1L, 0L, 0L, 0L, 500L, 1500L)))
+    assert(out("u/static") == (("u/static", 3L, 0L, 200L, 0L, 200L, 1400L)))
+    assert(out("u/hot")    == (("u/hot", 3L, 2L, 200L, 1000000L, 100L, 1300L)))
+    assert(out("u/slow")   == (("u/slow", 2L, 1L, 10000000L, 1000000L, 5000L, 10005000L)))
+    assert(out("u/tie")    == (("u/tie", 2L, 1L, 0L, 1000000L, 50L, 1050L)))
+  }
 }
