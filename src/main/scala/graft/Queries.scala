@@ -796,6 +796,32 @@ object Queries {
       graft.sources.Warc.readWetTable(files, "data_gz").orderBy("url")
     }),
 
+    // ---- WAT metadata-sidecar round-trip: the third Common Crawl
+    //      format next to the WARC reader and the WET writer. ONE DOM
+    //      parse per page builds the envelope JSON (head title + Links
+    //      array) MAP-SIDE, so the HTML never shuffles; the files are
+    //      re-parsed by the real WAT reader and the fields extracted
+    //      back OUT of the JSON. The oracle recomputes title from the
+    //      independently-dumped page_meta table, link counts from the
+    //      independently-dumped links table, and timestamps from the
+    //      ORIGINAL parquet — the archive bytes and the JSON encoding
+    //      are never consulted, so escaping, Content-Length byte math
+    //      and the record format must all round-trip.
+    "q_wat_roundtrip" -> ((s, dir) => {
+      val files = LinkOps.watFilesOf(vt(s, dir, "northrule"),
+        nFiles = math.max(1L, InputTable.docsForSfDir(dir) / 64).toInt)
+      val titlePath = "$.Envelope['Payload-Metadata']['HTTP-Response-Metadata']" +
+        "['HTML-Metadata'].Head.Title"
+      val linksPath = "$.Envelope['Payload-Metadata']['HTTP-Response-Metadata']" +
+        "['HTML-Metadata'].Links"
+      graft.sources.Warc.readWatTable(files, "data_gz")
+        .select(col("url"), col("warc_ts"),
+          get_json_object(col("json"), titlePath).as("title"),
+          coalesce(json_array_length(get_json_object(col("json"), linksPath)),
+            lit(0)).cast("long").as("n_links"))
+        .orderBy("url")
+    }),
+
     // ---- CDX capture index off the .warc.gz member layout: the archive
     //      store's random-access sidecar (Common Crawl publishes exactly
     //      this). Map-only per file like the ingest scan itself — index
@@ -2578,6 +2604,22 @@ object Queries {
            |  CAST(min(hm) AS BIGINT) AS min_hamming
            |FROM m GROUP BY id_a, id_b
            |ORDER BY id_a, id_b""".stripMargin,
+      // WAT round-trip: expected title from the page_meta dump (restricted
+      // to corpus urls — the dump also carries planted canonical docs),
+      // link counts from the links dump, timestamps from the ORIGINAL
+      // parquet; the JSON encoding itself is never consulted
+      "q_wat_roundtrip" ->
+        s"""WITH n AS (SELECT url, warc_ts
+           |  FROM read_parquet('${VerifyTables.oracleGlob("northrule")}')),
+           |t AS (SELECT url, title
+           |  FROM read_parquet('${VerifyTables.oracleGlob("page_meta")}')),
+           |l AS (SELECT src AS url, CAST(count(*) AS BIGINT) AS n_links
+           |  FROM read_parquet('${VerifyTables.oracleGlob("links")}') GROUP BY src)
+           |SELECT n.url, n.warc_ts, coalesce(t.title, '') AS title,
+           |  CAST(coalesce(l.n_links, 0) AS BIGINT) AS n_links
+           |FROM n LEFT JOIN t USING (url) LEFT JOIN l USING (url)
+           |ORDER BY url""".stripMargin,
+
       // WET round-trip: expected text re-assembled from the page dumps,
       // expected timestamp from the ORIGINAL corpus parquet — the
       // archive bytes themselves are never consulted by the oracle

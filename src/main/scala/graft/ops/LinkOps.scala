@@ -660,6 +660,52 @@ object LinkOps {
       .toDF("url", "title", "description", "canonical")
   }
 
+  /** WAT envelope JSON of one payload — the Common Crawl metadata-sidecar
+    * shape ([[graft.sources.Warc.watJson]] subset: warc headers + head
+    * title + the Links array). ONE `HtmlDom.parse` feeds both the title
+    * walk and the link walk (the parse is the dominant per-page CPU; the
+    * two walks over the parsed tree are cheap) — the fused-pass
+    * discipline. Non-HTML / broken payloads yield an empty-title,
+    * empty-links envelope; never throws. */
+  def watOf(url: String, tsMillis: Long, payload: Array[Byte]): String = {
+    val (title, links) = htmlPayload(payload)
+      .fold(("", Seq.empty[String])) { b =>
+        try {
+          val root = HtmlDom.parse(HtmlDom.decodeBytes(b))
+          (pageMetaOfDom(url, root)._1, artifactsOfDom(url, root)._1.map(_._1))
+        } catch { case scala.util.control.NonFatal(_) => ("", Seq.empty[String]) }
+      }
+    graft.sources.Warc.watJson(url, tsMillis, title, links)
+  }
+
+  /** Corpus → WAT sidecar archive files `(file_id, data, data_gz)` —
+    * completes the Common Crawl format triple next to the WARC reader and
+    * the WET writer. The envelope JSON is computed MAP-SIDE before the
+    * file shuffle, so the HTML payload never moves — only (url, ts, json)
+    * reaches the writer task; file assignment and deterministic in-file
+    * ordering are [[graft.sources.Warc.writeWetTable]]'s (xxhash64(url)
+    * mod nFiles, url order). Null urls are dropped, null timestamps
+    * epoch-0, like the WET writer. */
+  def watFilesOf(docs: DataFrame, nFiles: Int, urlCol: String = "url",
+      tsCol: String = "warc_ts", payloadCol: String = "html"): DataFrame = {
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col(urlCol).isNotNull)
+      .select(col(urlCol).cast("string"),
+        coalesce(unix_millis(col(tsCol).cast("timestamp")), lit(0L)),
+        col(payloadCol),
+        pmod(xxhash64(col(urlCol).cast("string")), lit(nFiles.toLong)))
+      .as[(String, Long, Array[Byte], Long)]
+      .map { case (u, ms, p, fid) => (u, ms, watOf(u, ms, p), fid) }
+      .groupByKey(_._4)
+      .mapGroups { (fid, it) =>
+        val rows = it.map(r => (r._1, r._2, r._3)).toVector.sortBy(_._1)
+        (fid, graft.sources.Warc.buildWatFile(rows, gzip = false, s"graft-$fid.warc.wat"),
+          graft.sources.Warc.buildWatFile(rows, gzip = true, s"graft-$fid.warc.wat"))
+      }.toDF("file_id", "data", "data_gz")
+  }
+
   /** rel=canonical duplicate consolidation — the crawl-side dedup step
     * that runs BEFORE any content hashing: pages declaring the same
     * canonical target collapse to one representative. Effective key =

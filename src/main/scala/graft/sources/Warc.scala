@@ -112,6 +112,69 @@ object Warc {
     bos.toByteArray
   }
 
+  /** One parsed `metadata` (WAT sidecar) record: the JSON payload as-is. */
+  final case class WatDoc(url: String, warc_ts: java.sql.Timestamp, json: String)
+
+  /** Minimal JSON string escape (backslash, quote, all control chars) —
+    * the WAT payload builder's only string dependency. */
+  def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** The WAT envelope JSON for one page — a documented SUBSET of the
+    * Common Crawl WAT schema (warc-header metadata + HTML head title +
+    * the outlink Links array), deterministic field order. */
+  def watJson(url: String, tsMillis: Long, title: String,
+      links: Seq[String]): String = {
+    val linksJson = links.map(d => s"""{"url":${jsonStr(d)}}""").mkString("[", ",", "]")
+    s"""{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":${jsonStr(url)},""" +
+      s""""WARC-Date":${jsonStr(tsFmt.format(Instant.ofEpochMilli(tsMillis)))}},""" +
+      s""""Payload-Metadata":{"HTTP-Response-Metadata":{"HTML-Metadata":{""" +
+      s""""Head":{"Title":${jsonStr(title)}},"Links":$linksJson}}}}}"""
+  }
+
+  /** One WARC/1.0 `metadata` record carrying a WAT JSON payload. */
+  def metadataRecord(url: String, tsMillis: Long, json: String): Array[Byte] = {
+    val body = json.getBytes(UTF_8)
+    val idHex = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(url).toLong & 0xffffffffL)
+    val header = ("WARC/1.0" + CRLF +
+      "WARC-Type: metadata" + CRLF +
+      "WARC-Record-ID: <urn:graft:wat:" + idHex + ">" + CRLF +
+      "WARC-Refers-To: <urn:graft:" + idHex + ">" + CRLF +
+      "WARC-Target-URI: " + url + CRLF +
+      "WARC-Date: " + tsFmt.format(Instant.ofEpochMilli(tsMillis)) + CRLF +
+      "Content-Type: application/json" + CRLF +
+      "Content-Length: " + body.length + CRLF + CRLF).getBytes(UTF_8)
+    header ++ body ++ (CRLF + CRLF).getBytes(UTF_8)
+  }
+
+  /** A whole WAT file for in-order (url, epoch-millis, json) rows. */
+  def buildWatFile(rows: Seq[(String, Long, String)], gzip: Boolean,
+      filename: String = "graft.warc.wat"): Array[Byte] = {
+    val records = warcinfo(filename) +: rows.map { case (u, t, j) => metadataRecord(u, t, j) }
+    val bos = new ByteArrayOutputStream(records.iterator.map(_.length).sum)
+    records.foreach(r => bos.write(if (gzip) gzipMember(r) else r))
+    bos.toByteArray
+  }
+
+  /** Parse every `metadata` record of one archive file — same never-throw
+    * / torn-tail / mixed-file contract as [[parseAll]]/[[parseAllWet]]. */
+  def parseAllWat(bytes: Array[Byte]): Seq[WatDoc] =
+    scanFile(bytes) { (buf, hdrs, bs, be) =>
+      if (hdrs.get("warc-type").contains("metadata") &&
+          hdrs.contains("warc-target-uri"))
+        Some(WatDoc(hdrs("warc-target-uri"), parseDate(hdrs.get("warc-date")),
+          new String(buf, bs, be - bs, UTF_8)))
+      else None
+    }
+
   /** A `warcinfo` header record (real files start with one — exercises
     * the parser's skip path). */
   def warcinfo(filename: String): Array[Byte] = {
@@ -465,9 +528,13 @@ object Warc {
     require(nFiles > 0, s"nFiles must be positive, got $nFiles")
     val spark = pages.sparkSession
     import spark.implicits._
-    pages.select(col(urlCol).cast("string").as("u"),
-        unix_millis(col(tsCol).cast("timestamp")).as("ms"),
-        col(textCol).cast("string").as("x"),
+    // null url rows have no archive representation (WARC-Target-URI is
+    // the record key) and are dropped; null text/ts coalesce to the
+    // empty body / epoch-0 sentinel — the writer never throws
+    pages.filter(col(urlCol).isNotNull)
+      .select(col(urlCol).cast("string").as("u"),
+        coalesce(unix_millis(col(tsCol).cast("timestamp")), lit(0L)).as("ms"),
+        coalesce(col(textCol).cast("string"), lit("")).as("x"),
         pmod(xxhash64(col(urlCol).cast("string")), lit(nFiles.toLong)).as("fid"))
       .as[(String, Long, String, Long)]
       .groupByKey(_._4)
@@ -487,5 +554,15 @@ object Warc {
     files.select(col(dataCol)).as[Array[Byte]]
       .flatMap(parseAllWet _)
       .toDF("url", "warc_ts", "text")
+  }
+
+  /** WAT sidecar files → metadata table `(url, warc_ts, json)`: map-only
+    * flatMap of [[parseAllWat]]. */
+  def readWatTable(files: DataFrame, dataCol: String = "data"): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col(dataCol)).as[Array[Byte]]
+      .flatMap(parseAllWat _)
+      .toDF("url", "warc_ts", "json")
   }
 }

@@ -88,4 +88,17 @@ class WetSpec extends AnyFunSuite {
       }
     } finally files.unpersist()
   }
+
+  test("spark write: null url rows dropped, null text/ts coalesce — the writer never throws") {
+    val spark = graft.SparkTestBase.spark
+    import spark.implicits._
+    val pages = Seq(
+      (null.asInstanceOf[String], Some(1000L), Some("gone")),
+      ("https://k.example/t", None, None)).toDF("url", "ms", "text")
+      .select($"url", ($"ms" / 1000).cast("timestamp").as("warc_ts"), $"text")
+    val back = Warc.readWetTable(Warc.writeWetTable(pages, nFiles = 1))
+      .as[(String, java.sql.Timestamp, String)].collect()
+    assert(back.map(r => (r._1, r._2.getTime, r._3)).toSeq ==
+      Seq(("https://k.example/t", 0L, "")))
+  }
 }
