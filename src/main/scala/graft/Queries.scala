@@ -796,6 +796,25 @@ object Queries {
       graft.sources.Warc.readWetTable(files, "data_gz").orderBy("url")
     }),
 
+    // ---- main-content extraction (boilerplate removal): leaf-block
+    //      features re-extracted live and checked row-for-row against the
+    //      independently-dumped html_blocks table (the x_parse_flex
+    //      evidential class — two kernel passes must agree byte-for-byte
+    //      on every block's text and integral features)
+    "q_block_features" -> ((s, dir) =>
+      LinkOps.extractBlocks(vt(s, dir, "northrule"))
+        .orderBy("url", "block_no")),
+
+    // ---- the composed op: jusText-style content/boilerplate
+    //      classification (division-free link-density test) + ordered
+    //      blank-line assembly — the boilerplate-stripped training text
+    //      of the CCNet/RefinedWeb lineage. DuckDB replays the
+    //      classification AND the assembly from the dump, so the
+    //      cross-multiplied threshold and the sorted-struct concat are
+    //      both engine-checked. Map-only blocks; one hash agg per url.
+    "q_main_content" -> ((s, dir) =>
+      LinkOps.mainContent(vt(s, dir, "northrule")).orderBy("url")),
+
     // ---- WAT metadata-sidecar round-trip: the third Common Crawl
     //      format next to the WARC reader and the WET writer. ONE DOM
     //      parse per page builds the envelope JSON (head title + Links
@@ -2604,6 +2623,27 @@ object Queries {
            |  CAST(min(hm) AS BIGINT) AS min_hamming
            |FROM m GROUP BY id_a, id_b
            |ORDER BY id_a, id_b""".stripMargin,
+      // block features: independent-pass dump replay (two runs of the
+      // same kernel must agree on every block)
+      "q_block_features" ->
+        s"""SELECT url, block_no, tag, text, n_chars, n_link_chars, n_words
+           |FROM read_parquet('${VerifyTables.oracleGlob("html_blocks")}')
+           |ORDER BY url, block_no""".stripMargin,
+      // main content: jusText-style classification (cross-multiplied
+      // link-density threshold) + ordered assembly replayed from the dump
+      "q_main_content" ->
+        s"""WITH c AS (SELECT url, block_no, text,
+           |    (n_words >= 10 AND n_link_chars * 1000000 <= 300000 * n_chars)
+           |      AS is_content
+           |  FROM read_parquet('${VerifyTables.oracleGlob("html_blocks")}'))
+           |SELECT url,
+           |  coalesce(string_agg(CASE WHEN is_content THEN text END,
+           |    e'\\n\\n' ORDER BY block_no), '') AS main_text,
+           |  CAST(sum(CASE WHEN is_content THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_content_blocks,
+           |  CAST(count(*) AS BIGINT) AS n_blocks
+           |FROM c GROUP BY url ORDER BY url""".stripMargin,
+
       // WAT round-trip: expected title from the page_meta dump (restricted
       // to corpus urls — the dump also carries planted canonical docs),
       // link counts from the links dump, timestamps from the ORIGINAL

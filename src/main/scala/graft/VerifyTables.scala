@@ -47,7 +47,7 @@ object VerifyTables {
     "media_features", "frame_samples", "links", "anchors", "fingerprints",
     "robots_rules", "robots_sitemaps", "page_meta", "sitemap_entries",
     "warc_files", "alternates", "image_dhash", "audio_dhash",
-    "video_frame_dhash")
+    "video_frame_dhash", "html_blocks")
 
   /** The grounding-mode query bbox (original space) used by both the
     * x_extract_grounding query and the grounding_cells oracle dump. */
@@ -311,6 +311,14 @@ object VerifyTables {
         // per-frame hashes over the planted video corpus, separate pass
         graft.ops.MultimodalOps.videoFrameDHash(
           graft.ops.MultimodalOps.plantedNearDupVideos(s, mediaDocs(sfDir) / 4, Seed))
+      case "html_blocks" =>
+        // per-document leaf-block features from the HTML payloads,
+        // extracted by the REAL kernel in a separate pass — the
+        // q_block_features oracle checks the live extraction against this
+        // dump row-for-row, and q_main_content replays the jusText-style
+        // classification + ordered assembly from it in SQL (block walk
+        // semantics pinned by LinkOpsSpec)
+        graft.ops.LinkOps.extractBlocks(read(s, sfDir, "northrule"))
       case other => throw new IllegalArgumentException(s"unknown table $other")
     }
     df.write.mode("overwrite").parquet(p)

@@ -660,6 +660,117 @@ object LinkOps {
       .toDF("url", "title", "description", "canonical")
   }
 
+  /** Block-level tags for main-content extraction. Sectioning containers
+    * (header/nav/aside/footer) are included so a link-only nav bar becomes
+    * a LEAF block with ~100% link density — classified boilerplate by the
+    * same rule as everything else, not special-cased by tag name. */
+  private val BlockTags = Set(
+    "p", "li", "h1", "h2", "h3", "h4", "h5", "h6", "td", "th", "pre",
+    "blockquote", "dd", "dt", "figcaption", "caption", "div", "article",
+    "section", "header", "footer", "nav", "aside")
+
+  /** Leaf-block features of one parsed DOM, in document order: a block is
+    * a [[BlockTags]] element with NO block-tag descendant (nested
+    * containers defer to their innermost blocks), emitted when its
+    * normalized visible text is non-empty. Features are integral —
+    * n_chars (visible chars), n_link_chars (visible chars under `<a>`
+    * descendants, each anchor subtree counted once), n_words (tokens of
+    * the collapsed text) — so the downstream classification is
+    * engine-exact. One post-order walk; text outside any block (rare,
+    * stray body text) is out of scope, the jusText convention. */
+  def blocksOfDom(root: HtmlDom.Element): Vector[(String, String, Long, Long, Long)] = {
+    val out = Vector.newBuilder[(String, String, Long, Long, Long)]
+    def linkCharsOf(e: HtmlDom.Element): Long = {
+      var total = 0L
+      def lw(n: HtmlDom.Node): Unit = n match {
+        case el: HtmlDom.Element =>
+          if (el.tag == "a") total += HtmlDom.visibleText(el).length
+          else el.children.foreach(lw)
+        case _ => ()
+      }
+      lw(e); total
+    }
+    // returns true iff the subtree contains a block-tag element
+    def walk(n: HtmlDom.Node): Boolean = n match {
+      case e: HtmlDom.Element =>
+        if (e.tag == "script" || e.tag == "style" ||
+            e.tag == "template" || e.tag == "noscript") false
+        else {
+          // map-then-reduce (NOT exists) so every child is walked — leaf
+          // blocks to the right of an earlier block must still emit
+          val childHas = e.children.map(walk).foldLeft(false)(_ || _)
+          val isBlock = BlockTags.contains(e.tag)
+          if (isBlock && !childHas) {
+            val text = HtmlDom.visibleText(e)
+            if (text.nonEmpty) {
+              val words = 1L + text.count(_ == ' ')
+              out += ((e.tag, text, text.length.toLong, linkCharsOf(e), words))
+            }
+          }
+          childHas || isBlock
+        }
+      case _ => false
+    }
+    walk(root)
+    out.result()
+  }
+
+  /** (url, block_no, tag, text, n_chars, n_link_chars, n_words) for every
+    * document — map-only, one kernel parse per row, gzip-transparent,
+    * never throws (non-HTML payloads yield no blocks). */
+  def extractBlocks(df: DataFrame, urlCol: String = "url",
+      payloadCol: String = "html"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(urlCol).cast("string"), col(payloadCol))
+      .as[(String, Array[Byte])]
+      .flatMap { case (u, p) =>
+        val blocks = htmlPayload(p).fold(
+          Vector.empty[(String, String, Long, Long, Long)]) { b =>
+          try blocksOfDom(HtmlDom.parse(HtmlDom.decodeBytes(b)))
+          catch { case scala.util.control.NonFatal(_) =>
+            Vector.empty[(String, String, Long, Long, Long)] }
+        }
+        blocks.zipWithIndex.map { case ((tag, text, nc, nl, nw), i) =>
+          (u, i.toLong, tag, text, nc, nl, nw)
+        }
+      }
+      .toDF("url", "block_no", "tag", "text", "n_chars", "n_link_chars", "n_words")
+  }
+
+  /** jusText-style content/boilerplate classification over a block table
+    * — pure Column algebra, division-free (the link-density test is a
+    * cross-multiplication, so an independent engine replays it exactly):
+    * content ⇔ n_words ≥ minWords ∧ n_link_chars·10^6 ≤ maxLinkPpm·n_chars. */
+  def classifyBlocks(blocks: DataFrame, minWords: Long = 10L,
+      maxLinkPpm: Long = 300000L): DataFrame =
+    blocks.withColumn("is_content",
+      col("n_words") >= minWords &&
+        col("n_link_chars") * 1000000L <= lit(maxLinkPpm) * col("n_chars"))
+
+  /** Main-content text per document: the content blocks (per
+    * [[classifyBlocks]]) joined in block order with blank lines — the
+    * boilerplate-stripped training text of the CCNet/RefinedWeb lineage.
+    * One row per input url with at least one block: (url, main_text,
+    * n_content_blocks, n_blocks). Scale shape: blocks are map-side; the
+    * per-url assembly is one hash agg over (url, block_no, text) with the
+    * q_page_assembly sorted-struct concat — no per-url window. */
+  def mainContent(df: DataFrame, urlCol: String = "url",
+      payloadCol: String = "html", minWords: Long = 10L,
+      maxLinkPpm: Long = 300000L): DataFrame = {
+    val classified = classifyBlocks(extractBlocks(df, urlCol, payloadCol),
+      minWords, maxLinkPpm)
+    classified.groupBy("url")
+      .agg(
+        concat_ws("\n\n",
+          transform(
+            array_sort(collect_list(when(col("is_content"),
+              struct(col("block_no"), col("text"))))),
+            s => s.getField("text"))).as("main_text"),
+        sum(when(col("is_content"), 1L).otherwise(0L)).as("n_content_blocks"),
+        count(lit(1)).as("n_blocks"))
+  }
+
   /** WAT envelope JSON of one payload — the Common Crawl metadata-sidecar
     * shape ([[graft.sources.Warc.watJson]] subset: warc headers + head
     * title + the Links array). ONE `HtmlDom.parse` feeds both the title

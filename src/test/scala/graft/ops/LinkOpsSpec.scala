@@ -427,6 +427,46 @@ class LinkOpsSpec extends AnyFunSuite {
       ("https://a.example/html/new2", "a.example", 1L)))
   }
 
+  test("blocksOfDom/mainContent: leaf blocks in document order, link density, nested deferral, minWords") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val html = ("""<html><body>""" +
+      // nav: link-only leaf block (header container holds it → nav is leaf)
+      """<nav><a href="/a">Home</a> <a href="/b">About</a></nav>""" +
+      // content paragraph: 12 words, no links
+      """<p>one two three four five six seven eight nine ten eleven twelve</p>""" +
+      // nested container: outer div defers to its inner p (only the p emits)
+      """<div>ignored raw<p>alpha beta gamma delta epsilon zeta eta theta iota kappa lambda</p></div>""" +
+      // link-dense long block: 11 words but most chars under <a> → boilerplate
+      """<p>read <a href="/x">this very long linked text here now ok</a> thanks</p>""" +
+      // short block: under minWords → boilerplate
+      """<p>too short</p>""" +
+      // empty block: never emitted
+      """<p>   </p>""" +
+      """</body></html>""").getBytes(UTF_8)
+    val rows = Seq(("https://m.example/p", html)).toDF("url", "html")
+    val blocks = LinkOps.extractBlocks(rows)
+      .as[(String, Long, String, String, Long, Long, Long)].collect().toSeq
+    assert(blocks.map(b => (b._2, b._3)) ==
+      Seq((0L, "nav"), (1L, "p"), (2L, "p"), (3L, "p"), (4L, "p")))
+    val byNo = blocks.map(b => b._2 -> b).toMap
+    // anchors linked 9 of 10 chars (the joining space is outside both <a>s)
+    assert(byNo(0L)._4 == "Home About" && byNo(0L)._5 == 10L && byNo(0L)._6 == 9L)
+    assert(byNo(1L)._7 == 12L && byNo(1L)._6 == 0L)
+    assert(byNo(2L)._4.startsWith("alpha") && byNo(2L)._7 == 11L)
+    // 10 words — passes minWords but fails the link-density test
+    assert(byNo(3L)._7 == 10L && byNo(3L)._6 * 1000000L > 300000L * byNo(3L)._5)
+    val mc = LinkOps.mainContent(rows)
+      .as[(String, String, Long, Long)].collect().head
+    assert(mc._3 == 2L && mc._4 == 5L)
+    assert(mc._2 ==
+      "one two three four five six seven eight nine ten eleven twelve\n\n" +
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda")
+    // non-HTML payload: no blocks, no main-content row
+    val pdf = Seq(("https://m.example/d", "%PDF-1.4 garbage".getBytes(UTF_8)))
+      .toDF("url", "html")
+    assert(LinkOps.extractBlocks(pdf).count() == 0L)
+  }
+
   test("recrawlSchedule: interval policy branches, clamps, integral ppm, same-second tie-break") {
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     val hist = Seq(
