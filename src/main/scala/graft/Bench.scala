@@ -51,7 +51,9 @@ object Bench {
     * parses per payload) vs the fused single-parse pass. */
   private val extras = Vector("q_web_pipeline", "q_web_pipeline_separate",
     "q_warc_pipeline", "q_gzip_extract", "q_cdx_index", "q_image_neardup",
-    "q_audio_neardup", "q_video_neardup")
+    "q_audio_neardup", "q_video_neardup", "q_containment_pairs",
+    "q_recrawl_schedule", "q_main_content", "q_wet_roundtrip",
+    "q_wat_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val startNanos = System.nanoTime()
