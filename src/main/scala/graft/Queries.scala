@@ -1281,6 +1281,31 @@ object Queries {
         .select("url", "host").orderBy("url")
     }),
 
+    // ---- crawl politeness: per-host Crawl-delay (group-scoped robots
+    //      extension field, agent-scoping per RFC 9309's most-specific
+    //      rule) → integer fetch budgets (windowSec DIV delay) → the
+    //      variable-cap bounded-histogram selector. The oracle replays
+    //      the budget join + per-host cap from the independently-dumped
+    //      robots_delays table with the same integral sampleOrd
+    //      row_number as q_host_cap. Scale: budgets are map-only over a
+    //      hosts-sized relation; the cap selection never sorts a host's
+    //      documents.
+    "q_polite_frontier" -> ((s, dir) => {
+      import s.implicits._
+      val d = vt(s, dir, "northrule")
+        .select(col("url"),
+          regexp_extract(col("url"), "doc([0-9]+)$", 1).cast("long").as("id"),
+          LinkOps.hostOf(col("url")).as("host"))
+      val robots = d.select(col("host")).distinct().as[String]
+        .map(h => (h, VerifyTables.plantedRobotsTxt(h))).toDF("host", "body")
+      val budgets = LinkOps.hostFetchBudgets(robots,
+        windowSec = 600L, defaultDelaySec = 5L)
+      LinkOps.politeFrontier(d, budgets, idCol = "id")
+        .join(budgets, Seq("host"))
+        .select("url", "host", "crawl_delay_sec", "max_fetches")
+        .orderBy("url")
+    }),
+
     // ---- clustering: distributed integral k-means (Lloyd) over the
     //      embedding corpus — engine-exact (quantize once, integer
     //      distance/update arithmetic), replayed in DuckDB as the same
@@ -2240,6 +2265,23 @@ object Queries {
            |    ORDER BY ((id % 1000003) * 2654435761) % 1000003, id) AS rn
            |  FROM d)
            |SELECT url, host FROM r WHERE rn <= 40 ORDER BY url""".stripMargin,
+      // polite frontier: budget join + per-host variable cap replayed
+      // from the robots_delays dump with the q_host_cap ord replay
+      "q_polite_frontier" ->
+        s"""WITH d AS (SELECT url,
+           |  CAST(regexp_extract(url, 'doc([0-9]+)$$', 1) AS BIGINT) AS id,
+           |  regexp_extract(url, '^https?://([^/?#]+)', 1) AS host
+           |  FROM read_parquet('${VerifyTables.oracleGlob("northrule")}')),
+           |b AS (SELECT host, crawl_delay_sec, max_fetches
+           |  FROM read_parquet('${VerifyTables.oracleGlob("robots_delays")}')),
+           |r AS (SELECT url, host,
+           |  row_number() OVER (PARTITION BY host
+           |    ORDER BY ((id % 1000003) * 2654435761) % 1000003, id) AS rn
+           |  FROM d)
+           |SELECT url, r.host, crawl_delay_sec, max_fetches
+           |FROM r JOIN b ON r.host = b.host
+           |WHERE rn <= max_fetches ORDER BY url""".stripMargin,
+
       // top-k per host: row_number replay ordered by (-score, id)
       "q_host_topk" ->
         s"""WITH d AS (SELECT url,

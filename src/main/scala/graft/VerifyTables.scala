@@ -47,7 +47,7 @@ object VerifyTables {
     "media_features", "frame_samples", "links", "anchors", "fingerprints",
     "robots_rules", "robots_sitemaps", "page_meta", "sitemap_entries",
     "warc_files", "alternates", "image_dhash", "audio_dhash",
-    "video_frame_dhash", "html_blocks")
+    "video_frame_dhash", "html_blocks", "robots_delays")
 
   /** The grounding-mode query bbox (original space) used by both the
     * x_extract_grounding query and the grounding_cells oracle dump. */
@@ -311,6 +311,23 @@ object VerifyTables {
         // per-frame hashes over the planted video corpus, separate pass
         graft.ops.MultimodalOps.videoFrameDHash(
           graft.ops.MultimodalOps.plantedNearDupVideos(s, mediaDocs(sfDir) / 4, Seed))
+      case "robots_delays" =>
+        // per-host politeness budgets (crawl_delay_sec, max_fetches) from
+        // the planted robots bodies, computed by the REAL parser + budget
+        // math in a separate pass — the q_polite_frontier oracle replays
+        // the per-host cap DECISION from this dump (the robots_rules
+        // evidential class; the parse + scoping is pinned in LinkOpsSpec)
+        graft.ops.LinkOps.hostFetchBudgets(
+          {
+            import s.implicits._
+            read(s, sfDir, "northrule")
+              .select(graft.ops.LinkOps.hostOf(col("url")).as("host"))
+              .distinct()
+              .as[String]
+              .map(h => (h, plantedRobotsTxt(h)))
+              .toDF("host", "body")
+          },
+          windowSec = 600L, defaultDelaySec = 5L)
       case "html_blocks" =>
         // per-document leaf-block features from the HTML payloads,
         // extracted by the REAL kernel in a separate pass — the
@@ -332,18 +349,24 @@ object VerifyTables {
     * block with a carve-out, an inapplicable bot-specific group, an
     * empty disallow no-op, comments, a skipped wildcard rule, and a
     * rule-free file. */
+  /** The Crawl-delay placements exercise: a delay among rules (case 0),
+    * no delay → default (cases 1, 3), agent scoping — the `*` group's 2 s
+    * wins over specialbot's 60 s (case 2), and a non-integer value
+    * ignored fail-open → default (case 4). Placed AFTER a rule line in
+    * each group so the group structure the rules parser sees is
+    * unchanged. */
   def plantedRobotsTxt(host: String): String =
     math.floorMod(host.map(_.toInt).sum, 5) match {
       case 0 =>
-        "User-agent: *\nDisallow: /pdf/\nAllow: /pdf/doc1\n" +
+        "User-agent: *\nDisallow: /pdf/\nCrawl-delay: 10\nAllow: /pdf/doc1\n" +
           "Allow: /image/\nDisallow: /image/\n"
       case 1 => "User-agent: *\nDisallow: /\nAllow: /html/\n"
       case 2 =>
-        "User-agent: specialbot\nDisallow: /\n\n" +
-          "User-agent: *\nDisallow: /garbled/\nDisallow:\n# comment line\n"
+        "User-agent: specialbot\nDisallow: /\nCrawl-delay: 60\n\n" +
+          "User-agent: *\nDisallow: /garbled/\nCrawl-delay: 2\nDisallow:\n# comment line\n"
       case 3 => "# no rules at all\nSitemap: https://" + host + "/sitemap.xml\n"
       case _ =>
-        "User-agent: *\nDisallow: /*.gif$\nDisallow: /truncated/\n" +
+        "User-agent: *\nDisallow: /*.gif$\nCrawl-delay: 0.5\nDisallow: /truncated/\n" +
           "Allow: /truncated/doc\n"
     }
 

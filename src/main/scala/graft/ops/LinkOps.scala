@@ -398,16 +398,32 @@ object LinkOps {
     * real-world rules are overwhelmingly plain path prefixes, and a
     * skipped rule fails open exactly like an unknown field. Never
     * throws. */
-  def parseRobotsTxt(text: String, agent: String = "*"): Seq[(String, Boolean)] = {
-    if (text == null) return Nil
-    // groups: (user-agent tokens, rules in file order)
-    val groups = Vector.newBuilder[(Set[String], Vector[(String, Boolean)])]
+  def parseRobotsTxt(text: String, agent: String = "*"): Seq[(String, Boolean)] =
+    chosenRobotsGroups(text, agent).flatMap(_._2)
+
+  /** Group-scoped `Crawl-delay` of the group governing `agent` (the
+    * Bing/Yandex extension field — group-scoped like Allow/Disallow,
+    * unlike the non-group Sitemap). Integer seconds only; a non-integer
+    * or negative value is ignored fail-open, exactly like an unknown
+    * field (real-world fractional delays exist but an exact-integral
+    * pipeline rounds policy, not data). First defined value among the
+    * chosen groups wins. Never throws. */
+  def crawlDelayOf(text: String, agent: String = "*"): Option[Long] =
+    chosenRobotsGroups(text, agent).flatMap(_._3).headOption
+
+  /** The groups governing `agent` under RFC 9309's most-specific rule,
+    * each as (agents, rules, crawl-delay). */
+  private def chosenRobotsGroups(text: String, agent: String)
+      : Vector[(Set[String], Vector[(String, Boolean)], Option[Long])] = {
+    if (text == null) return Vector.empty
+    val groups = Vector.newBuilder[(Set[String], Vector[(String, Boolean)], Option[Long])]
     var agents = Set.empty[String]
     var rules = Vector.empty[(String, Boolean)]
+    var delay: Option[Long] = None
     var sawRule = false
     def flush(): Unit = {
-      if (agents.nonEmpty) groups += ((agents, rules))
-      agents = Set.empty; rules = Vector.empty; sawRule = false
+      if (agents.nonEmpty) groups += ((agents, rules, delay))
+      agents = Set.empty; rules = Vector.empty; delay = None; sawRule = false
     }
     for (raw <- text.linesIterator) {
       val line = raw.takeWhile(_ != '#').trim
@@ -424,18 +440,52 @@ object LinkOps {
             val p = if (value.endsWith("*")) value.dropRight(1) else value
             if (p.nonEmpty && !p.contains('*') && !p.contains('$'))
               rules :+= ((p, field == "allow"))
-          case _ => () // Sitemap/Crawl-delay/unknown: non-group lines (RFC 9309 §2.2.4)
+          case "crawl-delay" =>
+            // group field; like allow/disallow it pins the open group
+            sawRule = true
+            if (delay.isEmpty) delay = value.toLongOption.filter(_ >= 0L)
+          case _ => () // Sitemap/unknown: non-group lines (RFC 9309 §2.2.4)
         }
       }
     }
     flush()
     val a = agent.toLowerCase
-    val exact = if (a == "*") Vector.empty
-      else groups.result().filter(_._1.contains(a))
-    val chosen = if (exact.nonEmpty) exact
-      else groups.result().filter(_._1.contains("*"))
-    chosen.flatMap(_._2)
+    val all = groups.result()
+    val exact = if (a == "*") Vector.empty else all.filter(_._1.contains(a))
+    if (exact.nonEmpty) exact else all.filter(_._1.contains("*"))
   }
+
+  /** Per-host politeness fetch budgets from a (host, robots-body) table:
+    * delay = the governing group's Crawl-delay (else `defaultDelaySec`,
+    * floored at 1 s), budget = `windowSec DIV delay` fetches per window —
+    * integer math end to end, map-only. A host whose delay exceeds the
+    * window gets budget 0 (fetch nothing this window), the honest
+    * reading. Output: (host, crawl_delay_sec, max_fetches). */
+  def hostFetchBudgets(robots: DataFrame, windowSec: Long,
+      defaultDelaySec: Long, hostCol: String = "host",
+      bodyCol: String = "body"): DataFrame = {
+    require(windowSec > 0L && defaultDelaySec > 0L,
+      s"window and default delay must be positive, got $windowSec/$defaultDelaySec")
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots.select(col(hostCol).cast("string"), col(bodyCol).cast("string"))
+      .as[(String, String)]
+      .map { case (h, b) =>
+        val d = math.max(1L, crawlDelayOf(b).getOrElse(defaultDelaySec))
+        (h, d, windowSec / d)
+      }
+      .toDF("host", "crawl_delay_sec", "max_fetches")
+  }
+
+  /** Politeness-capped frontier: each host contributes at most its fetch
+    * budget, rows chosen by the deterministic sample order — the
+    * per-window fetch list a polite crawler actually issues. Delegates to
+    * the bounded-histogram variable-cap selector (no per-host sort; a
+    * zero-budget or budget-less host contributes nothing). */
+  def politeFrontier(frontier: DataFrame, budgets: DataFrame,
+      idCol: String = "id", hostCol: String = "host"): DataFrame =
+    TextOps.capPerStratumVariable(frontier, idCol, hostCol,
+      budgets.select(col("host").as(hostCol), col("max_fetches").as("cap")))
 
   /** `Sitemap:` declarations of a robots.txt body — the sitemaps.org
     * discovery mechanism (a NON-group field, RFC 9309 §2.2.4: it applies

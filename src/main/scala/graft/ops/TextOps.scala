@@ -612,6 +612,24 @@ object TextOps {
     quotaSelect(df, withOrd, idCol, stratumCol, quotas)
   }
 
+  /** [[capPerStratum]] with a PER-STRATUM cap table instead of one global
+    * cap — the politeness-budget shape (each host's fetch budget differs).
+    * `caps` is (stratumCol, capCol); the join is INNER, so a stratum
+    * absent from the cap table contributes nothing (callers provide a
+    * default-cap row per stratum when they mean "unlimited-ish"), and a
+    * cap of 0 likewise selects nothing. Same bounded-histogram selector —
+    * no per-stratum sort of the data, the cap table joins the one-row-
+    * per-stratum histogram relation (AQE broadcasts when small). */
+  def capPerStratumVariable(df: DataFrame, idCol: String, stratumCol: String,
+      caps: DataFrame, capCol: String = "cap"): DataFrame = {
+    val withOrd = df.withColumn("__ord", sampleOrd(idCol))
+    val quotas = withOrd.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+      .join(caps.select(col(stratumCol), col(capCol).cast("long").as("__cap")),
+        Seq(stratumCol))
+      .select(col(stratumCol), least(col("__n"), col("__cap")).as("__k"))
+    quotaSelect(df, withOrd, idCol, stratumCol, quotas)
+  }
+
   /** Quality-ranked top-k per stratum — "keep the k best documents per
     * host" (score descending, ties by id ascending). Same bounded-
     * histogram selector as [[capPerStratum]] with the ord axis = the

@@ -467,6 +467,51 @@ class LinkOpsSpec extends AnyFunSuite {
     assert(LinkOps.extractBlocks(pdf).count() == 0L)
   }
 
+  test("crawlDelayOf: agent scoping, first-wins, non-integer/negative fail-open") {
+    val body = "User-agent: specialbot\nDisallow: /\nCrawl-delay: 60\n\n" +
+      "User-agent: *\nDisallow: /x\nCrawl-delay: 2\nCrawl-delay: 9\n"
+    assert(LinkOps.crawlDelayOf(body) == Some(2L))              // * group; first wins
+    assert(LinkOps.crawlDelayOf(body, "SpecialBot") == Some(60L)) // exact group, case-insensitive
+    assert(LinkOps.crawlDelayOf("User-agent: *\nDisallow: /\n") == None)
+    assert(LinkOps.crawlDelayOf("User-agent: *\nCrawl-delay: 0.5\n") == None)
+    assert(LinkOps.crawlDelayOf("User-agent: *\nCrawl-delay: -3\n") == None)
+    assert(LinkOps.crawlDelayOf(null) == None)
+    // crawl-delay pins the open group like a rule: the next user-agent
+    // line starts a NEW group
+    val pinned = "User-agent: a\nCrawl-delay: 5\nUser-agent: b\nDisallow: /y\n"
+    assert(LinkOps.crawlDelayOf(pinned, "a") == Some(5L))
+    assert(LinkOps.crawlDelayOf(pinned, "b") == None)
+    assert(LinkOps.parseRobotsTxt(pinned, "a") == Nil)
+    assert(LinkOps.parseRobotsTxt(pinned, "b") == Seq(("/y", false)))
+  }
+
+  test("hostFetchBudgets + politeFrontier: integer budgets, zero-budget and budget-less hosts fetch nothing") {
+    val robots = Seq(
+      ("fast.example", "User-agent: *\nDisallow: /x\nCrawl-delay: 2\n"),
+      ("slow.example", "User-agent: *\nDisallow: /x\nCrawl-delay: 1000\n"),
+      ("plain.example", "# nothing\n")).toDF("host", "body")
+    val budgets = LinkOps.hostFetchBudgets(robots, windowSec = 600L, defaultDelaySec = 5L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(budgets("fast.example") == ((2L, 300L)))
+    assert(budgets("slow.example") == ((1000L, 0L))) // delay > window: fetch nothing
+    assert(budgets("plain.example") == ((5L, 120L)))
+    // frontier: 3 urls on fast (budget 300 → all), 2 on slow (budget 0 →
+    // none), 2 on a host with NO budget row (→ none)
+    val frontier = Seq(
+      (1L, "fast.example"), (2L, "fast.example"), (3L, "fast.example"),
+      (4L, "slow.example"), (5L, "slow.example"),
+      (6L, "nobudget.example"), (7L, "nobudget.example")).toDF("id", "host")
+    val kept = LinkOps.politeFrontier(frontier,
+        LinkOps.hostFetchBudgets(robots, 600L, 5L))
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(kept == Set(1L, 2L, 3L))
+    // a binding budget caps exactly, deterministically
+    val tiny = LinkOps.politeFrontier(frontier,
+        Seq(("fast.example", 2L, 2L)).toDF("host", "crawl_delay_sec", "max_fetches"))
+      .as[(Long, String)].collect()
+    assert(tiny.length == 2 && tiny.forall(_._2 == "fast.example"))
+  }
+
   test("recrawlSchedule: interval policy branches, clamps, integral ppm, same-second tie-break") {
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     val hist = Seq(
