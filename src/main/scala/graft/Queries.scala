@@ -1281,6 +1281,36 @@ object Queries {
         .select("url", "host").orderBy("url")
     }),
 
+    // ---- archive storage: content-defined chunking (FastCDC-style gear
+    //      hash). The live chunk table's every row is CONTENT-VERIFIED by
+    //      the oracle — DuckDB recomputes md5(substring(hex(html),
+    //      2·offset+1, 2·len)) from the ORIGINAL parquet at the
+    //      independently-dumped offsets, so boundaries and hashes are
+    //      both checked against the raw bytes, never trusted.
+    "q_cdc_chunks" -> ((s, dir) =>
+      DedupOps.chunkTable(vt(s, dir, "northrule"), "url", "html")
+        .orderBy("id", "chunk_no")),
+
+    // ---- the chunk-store dedup report (total vs distinct chunks/bytes)
+    "q_cdc_stats" -> ((s, dir) =>
+      DedupOps.chunkDedupStats(
+        DedupOps.chunkTable(vt(s, dir, "northrule"), "url", "html"))),
+
+    // ---- incremental archive delta: chunks of the planted recrawl
+    //      (marker inserted at each edited doc's byte midpoint — every
+    //      later offset shifts) that exist nowhere in the base snapshot:
+    //      exactly the bytes a chunk-addressed store must ADD. The
+    //      oracle replays the anti-join from the two dumps AND
+    //      content-verifies each delta chunk against the edited payload
+    //      it reconstructs by hex surgery. CDC's point is visible here:
+    //      the delta is a handful of chunks per edited doc, not its
+    //      whole shifted tail.
+    "q_cdc_delta" -> ((s, dir) =>
+      DedupOps.chunkDelta(
+          DedupOps.chunkTable(vt(s, dir, "northrule"), "url", "html"),
+          DedupOps.chunkTable(VerifyTables.cdcRecrawlB(s, dir), "url", "html"))
+        .orderBy("id", "chunk_no")),
+
     // ---- crawl politeness: per-host Crawl-delay (group-scoped robots
     //      extension field, agent-scoping per RFC 9309's most-specific
     //      rule) → integer fetch budgets (windowSec DIV delay) → the
@@ -2265,6 +2295,48 @@ object Queries {
            |    ORDER BY ((id % 1000003) * 2654435761) % 1000003, id) AS rn
            |  FROM d)
            |SELECT url, host FROM r WHERE rn <= 40 ORDER BY url""".stripMargin,
+      // CDC chunks: every dumped boundary content-verified — the hash is
+      // recomputed from the ORIGINAL payload's hex rendering (the repo's
+      // md5-of-uppercase-hex digest convention) at the dumped offsets
+      "q_cdc_chunks" ->
+        s"""SELECT d.id, d.chunk_no, d.offset, d.len,
+           |  md5(substring(hex(n.html), CAST(2*d.offset+1 AS BIGINT),
+           |    CAST(2*d.len AS BIGINT))) AS chunk_hash
+           |FROM read_parquet('${VerifyTables.oracleGlob("cdc_chunks")}') d
+           |JOIN read_parquet('${VerifyTables.oracleGlob("northrule")}') n
+           |  ON d.id = n.url
+           |ORDER BY d.id, d.chunk_no""".stripMargin,
+      // chunk-store dedup report replayed from the dump
+      "q_cdc_stats" ->
+        s"""WITH g AS (SELECT chunk_hash, CAST(count(*) AS BIGINT) AS copies,
+           |    CAST(min(len) AS BIGINT) AS len
+           |  FROM read_parquet('${VerifyTables.oracleGlob("cdc_chunks")}')
+           |  GROUP BY chunk_hash)
+           |SELECT CAST(sum(copies) AS BIGINT) AS n_chunks,
+           |  CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+           |  CAST(sum(copies * len) AS BIGINT) AS total_bytes,
+           |  CAST(sum(len) AS BIGINT) AS unique_bytes
+           |FROM g""".stripMargin,
+      // CDC delta: anti-join replayed from the two dumps; each delta
+      // chunk's hash recomputed against the edited payload RECONSTRUCTED
+      // by hex surgery (same midpoint + marker as the Spark builder)
+      "q_cdc_delta" ->
+        s"""WITH a AS (SELECT DISTINCT chunk_hash
+           |  FROM read_parquet('${VerifyTables.oracleGlob("cdc_chunks")}')),
+           |nb AS (SELECT url,
+           |    substring(hex(html), 1, CAST(2*(octet_length(html)//2) AS BIGINT))
+           |      || hex(CAST('<!-- rev2 -->' AS BLOB))
+           |      || substring(hex(html), CAST(2*(octet_length(html)//2)+1 AS BIGINT)) AS bhex
+           |  FROM read_parquet('${VerifyTables.oracleGlob("northrule")}')
+           |  WHERE CAST(regexp_extract(url, 'doc([0-9]+)$$', 1) AS BIGINT) % 7 = 0)
+           |SELECT b.id, b.chunk_no, b.offset, b.len,
+           |  md5(substring(nb.bhex, CAST(2*b.offset+1 AS BIGINT),
+           |    CAST(2*b.len AS BIGINT))) AS chunk_hash
+           |FROM read_parquet('${VerifyTables.oracleGlob("cdc_chunks_b")}') b
+           |JOIN nb ON b.id = nb.url
+           |WHERE b.chunk_hash NOT IN (SELECT chunk_hash FROM a)
+           |ORDER BY b.id, b.chunk_no""".stripMargin,
+
       // polite frontier: budget join + per-host variable cap replayed
       // from the robots_delays dump with the q_host_cap ord replay
       "q_polite_frontier" ->

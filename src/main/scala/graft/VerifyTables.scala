@@ -47,7 +47,8 @@ object VerifyTables {
     "media_features", "frame_samples", "links", "anchors", "fingerprints",
     "robots_rules", "robots_sitemaps", "page_meta", "sitemap_entries",
     "warc_files", "alternates", "image_dhash", "audio_dhash",
-    "video_frame_dhash", "html_blocks", "robots_delays")
+    "video_frame_dhash", "html_blocks", "robots_delays",
+    "cdc_chunks", "cdc_chunks_b")
 
   /** The grounding-mode query bbox (original space) used by both the
     * x_extract_grounding query and the grounding_cells oracle dump. */
@@ -311,6 +312,18 @@ object VerifyTables {
         // per-frame hashes over the planted video corpus, separate pass
         graft.ops.MultimodalOps.videoFrameDHash(
           graft.ops.MultimodalOps.plantedNearDupVideos(s, mediaDocs(sfDir) / 4, Seed))
+      case "cdc_chunks" =>
+        // per-document content-defined chunk boundaries + hashes from the
+        // REAL chunker in a separate pass — the q_cdc_chunks oracle
+        // CONTENT-VERIFIES every row by recomputing the hash from the
+        // original payload's hex rendering at the dumped offsets
+        graft.ops.DedupOps.chunkTable(read(s, sfDir, "northrule"), "url", "html")
+      case "cdc_chunks_b" =>
+        // chunk table of the planted recrawl snapshot (every 7th doc with
+        // a marker inserted mid-payload) — feeds the q_cdc_delta replay,
+        // where DuckDB reconstructs the edited payload by hex surgery and
+        // content-verifies the delta chunks against it
+        graft.ops.DedupOps.chunkTable(cdcRecrawlB(s, sfDir), "url", "html")
       case "robots_delays" =>
         // per-host politeness budgets (crawl_delay_sec, max_fetches) from
         // the planted robots bodies, computed by the REAL parser + budget
@@ -355,6 +368,24 @@ object VerifyTables {
     * ignored fail-open → default (case 4). Placed AFTER a rule line in
     * each group so the group structure the rules parser sees is
     * unchanged. */
+  /** The planted recrawl snapshot for CDC delta: every 7th doc with a
+    * fixed marker inserted at the byte midpoint (offsets after the edit
+    * all shift — exactly what content-defined chunking must survive).
+    * Shared verbatim by the cdc_chunks_b dump and the q_cdc_delta live
+    * query; the oracle reconstructs the same payload by hex surgery. */
+  def cdcRecrawlB(s: SparkSession, sfDir: String): DataFrame = {
+    import s.implicits._
+    val marker = "<!-- rev2 -->".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    read(s, sfDir, "northrule")
+      .filter(regexp_extract(col("url"), "doc(\\d+)$", 1).cast("long") % 7 === 0)
+      .select(col("url"), col("html"))
+      .as[(String, Array[Byte])]
+      .map { case (u, h) =>
+        val p = h.length / 2
+        (u, h.take(p) ++ marker ++ h.drop(p))
+      }.toDF("url", "html")
+  }
+
   def plantedRobotsTxt(host: String): String =
     math.floorMod(host.map(_.toInt).sum, 5) match {
       case 0 =>

@@ -424,6 +424,100 @@ object DedupOps {
     out
   }
 
+  /** Deterministic 256-entry gear table (splitmix64 over a fixed seed) —
+    * the rolling-hash alphabet of the content-defined chunker. */
+  private val Gear: Array[Long] = {
+    var x = 0x9E3779B97F4A7C15L
+    Array.fill(256) {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+  }
+
+  /** Content-defined chunk boundaries (FastCDC-style gear rolling hash):
+    * `h = (h << 1) + gear(byte)` — the shift ages a byte out of the hash
+    * after 64 steps, so boundary decisions depend only on a local window
+    * and chunks RE-SYNChronize after an insertion/deletion (the property
+    * that makes recrawl snapshots share storage even when offsets shift;
+    * fixed-size blocks lose everything after the first edit). Boundary
+    * when `(h & (2^maskBits - 1)) == 0` at size ≥ minSize (expected chunk
+    * ≈ 2^maskBits bytes), forced at maxSize; hash resets per chunk; the
+    * tail remainder is a chunk. All-integer and seeded by a fixed gear
+    * table → bit-deterministic across JVMs. Never throws; null/empty →
+    * no chunks. */
+  def cdcChunks(bytes: Array[Byte], minSize: Int = 64, maskBits: Int = 8,
+      maxSize: Int = 1024): Vector[(Int, Int)] = {
+    require(minSize > 0 && minSize <= maxSize, s"need 0 < min <= max, got $minSize/$maxSize")
+    require(maskBits >= 1 && maskBits <= 30, s"maskBits out of range: $maskBits")
+    if (bytes == null || bytes.isEmpty) return Vector.empty
+    val mask = (1L << maskBits) - 1
+    val out = Vector.newBuilder[(Int, Int)]
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h << 1) + Gear(bytes(i) & 0xff)
+      val size = i - start + 1
+      if ((size >= minSize && (h & mask) == 0L) || size >= maxSize) {
+        out += ((start, size)); start = i + 1; h = 0L
+      }
+      i += 1
+    }
+    if (start < bytes.length) out += ((start, bytes.length - start))
+    out.result()
+  }
+
+  /** Per-document CDC chunk table `(id, chunk_no, offset, len,
+    * chunk_hash)` — the unit of ARCHIVE-STORE dedup: recrawl snapshots of
+    * a 100 TB archive share every chunk whose content survived the edit,
+    * regardless of offset shifts. chunk_hash is the repo's replayable
+    * digest (md5 of the uppercase-hex rendering,
+    * [[graft.sources.Warc.payloadDigest]]), which an independent engine
+    * recomputes from the ORIGINAL payload as
+    * `md5(substring(hex(payload), 2·offset+1, 2·len))` — boundary dumps
+    * are content-verified, not trusted. Map-only flatMap; payloads never
+    * shuffle. */
+  def chunkTable(df: DataFrame, idCol: String, payloadCol: String,
+      minSize: Int = 64, maskBits: Int = 8, maxSize: Int = 1024): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("string"), col(payloadCol))
+      .as[(String, Array[Byte])]
+      .flatMap { case (id, p) =>
+        cdcChunks(p, minSize, maskBits, maxSize).zipWithIndex.map {
+          case ((off, len), i) =>
+            (id, i.toLong, off.toLong, len.toLong,
+              graft.sources.Warc.payloadDigest(
+                java.util.Arrays.copyOfRange(p, off, off + len)))
+        }
+      }
+      .toDF("id", "chunk_no", "offset", "len", "chunk_hash")
+  }
+
+  /** Corpus-wide chunk-store dedup report: one row — total vs distinct
+    * chunks and bytes (the storage win a chunk-addressed archive gets).
+    * Two hash aggs over the payload-free chunk relation; equal hashes ⇒
+    * equal content ⇒ equal len, so unique_bytes sums one len per hash. */
+  def chunkDedupStats(chunks: DataFrame): DataFrame =
+    chunks.groupBy("chunk_hash")
+      .agg(count(lit(1)).as("__copies"), min("len").as("__len"))
+      .agg(sum(col("__copies")).as("n_chunks"),
+        count(lit(1)).as("n_distinct_chunks"),
+        sum(col("__copies") * col("__len")).as("total_bytes"),
+        sum(col("__len")).as("unique_bytes"))
+
+  /** Snapshot chunk delta: the chunks of snapshot B whose content does
+    * not exist anywhere in snapshot A — exactly the bytes an incremental
+    * archive store must ADD for B (everything else is a reference).
+    * Hash anti-join, payload-free both sides. */
+  def chunkDelta(chunksA: DataFrame, chunksB: DataFrame): DataFrame =
+    chunksB.join(chunksA.select(col("chunk_hash")).distinct(),
+      Seq("chunk_hash"), "left_anti")
+      .select("id", "chunk_no", "offset", "len", "chunk_hash")
+
   /** Shingle-CONTAINMENT pairs — Broder's second resemblance axis
     * (SEQUENCES 1997 §2: containment(A,B) = |S(A)∩S(B)| / |S(A)|), the
     * asymmetric measure MinHash resemblance cannot express: a short doc
