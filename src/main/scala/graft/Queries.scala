@@ -1336,6 +1336,23 @@ object Queries {
         .orderBy("url")
     }),
 
+    // ---- tokenizer prep: corpus vocabulary stats (token, tf, df) with
+    //      the hapax tail pruned. One (token, id, count) shuffle with
+    //      map-side combine; df is a second-level agg over the
+    //      already-distinct pairs, never a countDistinct over raw
+    //      occurrences. Fully independent SQL oracle.
+    "q_vocab_stats" -> ((s, dir) =>
+      TextOps.vocabStats(t(s, dir, "documents"), "doc_id", "text", minDf = 2L)
+        .orderBy("token")),
+
+    // ---- vocabulary cut: top-10 tokens by frequency (k < the corpus vocabulary, so the cut and its tie-break BIND) (ties by token) —
+    //      the single-stratum bounded-histogram selector, so a
+    //      billion-entry vocabulary never sorts in one task
+    "q_top_vocab" -> ((s, dir) =>
+      TextOps.topVocab(
+          TextOps.vocabStats(t(s, dir, "documents"), "doc_id", "text"), k = 10L)
+        .orderBy("token")),
+
     // ---- clustering: distributed integral k-means (Lloyd) over the
     //      embedding corpus — engine-exact (quantize once, integer
     //      distance/update arithmetic), replayed in DuckDB as the same
@@ -1600,6 +1617,25 @@ object Queries {
         |SELECT shard, CAST(floor(cum_before / 2048.0) AS BIGINT) AS pack_id,
         |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
         |FROM c GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin,
+    "q_vocab_stats" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    x -> x <> '')) AS token FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS tf,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM t GROUP BY token HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY token""".stripMargin,
+    // top-vocab: the bounded-histogram selector == row_number over
+    // (-tf, token) — the q_host_topk equivalence, single stratum
+    "q_top_vocab" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    x -> x <> '')) AS token FROM documents),
+        |g AS (SELECT token, CAST(count(*) AS BIGINT) AS tf,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM t GROUP BY token),
+        |r AS (SELECT token, tf, df,
+        |  row_number() OVER (ORDER BY -tf, token) AS rn FROM g)
+        |SELECT token, tf, df FROM r WHERE rn <= 10 ORDER BY token""".stripMargin,
     "q_decontaminate" -> decontaminateSql,
     // containment: same shingle CTE shape as decontaminateSql, then the
     // df guard window, guarded-set sizes, pair intersection counts and

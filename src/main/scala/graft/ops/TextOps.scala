@@ -612,6 +612,32 @@ object TextOps {
     quotaSelect(df, withOrd, idCol, stratumCol, quotas)
   }
 
+  /** Corpus vocabulary statistics — the tokenizer-training prep table:
+    * (token, tf = total occurrences, df = documents containing). The
+    * shuffle carries (token, id, in-doc count) with map-side combine —
+    * the df count is a second-level agg over those already-distinct
+    * (token, id) pairs, never a countDistinct over raw occurrences.
+    * `minDf` prunes the hapax tail (the vast majority of a web corpus's
+    * vocabulary) before it is ever materialized downstream. */
+  def vocabStats(df: DataFrame, idCol: String, textCol: String,
+      minDf: Long = 1L): DataFrame = {
+    require(minDf >= 1L, s"minDf must be >= 1, got $minDf")
+    val perDoc = df
+      .select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("token", "__id").agg(count(lit(1)).as("__c"))
+    perDoc.groupBy("token")
+      .agg(sum(col("__c")).as("tf"), count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+  }
+
+  /** Top-k vocabulary by total frequency (ties by token ascending) — the
+    * vocabulary-cut step. Single-stratum bounded-histogram selection:
+    * even a billion-token vocabulary never sorts in one task, the same
+    * selector as the per-host ops. */
+  def topVocab(stats: DataFrame, k: Long): DataFrame =
+    topKPerStratum(stats.withColumn("__all", lit(0)),
+      "token", "__all", col("tf"), k).drop("__all")
+
   /** [[capPerStratum]] with a PER-STRATUM cap table instead of one global
     * cap — the politeness-budget shape (each host's fetch budget differs).
     * `caps` is (stratumCol, capCol); the join is INNER, so a stratum

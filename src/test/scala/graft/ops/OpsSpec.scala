@@ -1209,6 +1209,30 @@ class OpsSpec extends AnyFunSuite {
     assert(out("nullRef")  == ((2L, 0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("vocabStats/topVocab: tf/df vs brute force, minDf pruning, top-k tie-break by token") {
+    val docs = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana banana date"),
+      (3L, "apple  \n date"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextOps.vocabStats(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("apple", 3L, 2L), ("banana", 3L, 2L),
+      ("cherry", 1L, 1L), ("date", 2L, 2L)))
+    val pruned = TextOps.vocabStats(docs, "doc_id", "text", minDf = 2L)
+      .as[(String, Long, Long)].collect().toSet
+    assert(pruned == got.filter(_._3 >= 2L))
+    // top-2 by tf: apple and banana tie at 3 — both beat date; the
+    // selector's tie order (token asc) only matters at the cut
+    val top = TextOps.topVocab(TextOps.vocabStats(docs, "doc_id", "text"), k = 2L)
+      .as[(String, Long, Long)].collect().map(_._1).toSet
+    assert(top == Set("apple", "banana"))
+    // k = 3 must admit date (tf 2) over cherry (tf 1)
+    val top3 = TextOps.topVocab(TextOps.vocabStats(docs, "doc_id", "text"), k = 3L)
+      .as[(String, Long, Long)].collect().map(_._1).toSet
+    assert(top3 == Set("apple", "banana", "date"))
+  }
+
   // ---- shingle containment (Broder's asymmetric axis) ----
 
   private def bruteContainment(docs: Seq[(Long, String)], n: Int,
