@@ -841,6 +841,27 @@ object Queries {
         .orderBy("url")
     }),
 
+    // ---- the COMPLETE archive-to-archive story: .warc.gz bytes in,
+    //      .wet.gz bytes out, one composed job — WARC parse → extraction
+    //      pipeline → WET conversion records → re-parse. Same oracle
+    //      class as q_wet_roundtrip (page-dump re-assembly + ORIGINAL
+    //      timestamps), but here the INPUT was archive bytes too, so url,
+    //      timestamp and text must survive BOTH formats end to end. This
+    //      is what a Common Crawl user actually runs at 100 TB: no
+    //      intermediate table is ever materialized.
+    "q_archive_pipeline" -> ((s, dir) => {
+      val table = graft.sources.Warc.readWarcTable(
+        vt(s, dir, "warc_files"), "data_gz")
+      val text = ExtractPipeline.run(
+          table.withColumn("text", lit("")).withColumn("lang", lit("")))
+        .select(col("url"), col("md").as("text"))
+      val withTs = text.join(table.select(col("url"), col("warc_ts")), Seq("url"))
+      graft.sources.Warc.readWetTable(
+        graft.sources.Warc.writeWetTable(withTs,
+          nFiles = math.max(1L, InputTable.docsForSfDir(dir) / 64).toInt),
+        "data_gz").orderBy("url")
+    }),
+
     // ---- CDX capture index off the .warc.gz member layout: the archive
     //      store's random-access sidecar (Common Crawl publishes exactly
     //      this). Map-only per file like the ingest scan itself — index
@@ -2808,6 +2829,19 @@ object Queries {
            |SELECT n.url, n.warc_ts, coalesce(t.title, '') AS title,
            |  CAST(coalesce(l.n_links, 0) AS BIGINT) AS n_links
            |FROM n LEFT JOIN t USING (url) LEFT JOIN l USING (url)
+           |ORDER BY url""".stripMargin,
+
+      // archive-to-archive composition: identical expectation to
+      // q_wet_roundtrip — the WARC leg must be invisible
+      "q_archive_pipeline" ->
+        s"""WITH t AS (
+           |  SELECT url, string_agg(md, e'\\n\\n---\\n\\n' ORDER BY page_no) AS text
+           |  FROM read_parquet('${VerifyTables.oracleGlob("extract_pages")}')
+           |  GROUP BY url
+           |)
+           |SELECT t.url, n.warc_ts, t.text
+           |FROM t JOIN read_parquet('${VerifyTables.oracleGlob("northrule")}') n
+           |  USING (url)
            |ORDER BY url""".stripMargin,
 
       // WET round-trip: expected text re-assembled from the page dumps,
