@@ -474,6 +474,13 @@ object MultimodalOps {
     * the way [[DedupOps]]'s band index does — the small-radius verify
     * keeps correctness under any candidate superset. */
   def nearDupPairs64(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // Deliberately NO hot-bucket guard (unlike the minhash/simhash band
+    // joins): this pairer is pigeonhole-EXACT — pruning a hot band value
+    // would silently drop true pairs. The k² cost of k identical-hash
+    // media (a logo repeated across a crawl) is the true answer's size;
+    // the scale mitigation is upstream EXACT dedup of identical hashes
+    // (hamming 0 ⇒ same hash ⇒ one representative suffices), which
+    // collapses the hot buckets without changing the near-dup relation.
     require(maxHamming <= 3, s"4x16 banding is exact only for hamming <= 3, got $maxHamming")
     val h = hashes.filter(col("error") === "").select("media_id", "dhash")
     val bands = h.select(col("media_id"), col("dhash"),
@@ -571,6 +578,8 @@ object MultimodalOps {
     * every frame; a clip sharing one scene matches on that scene's
     * frames — callers threshold matched_frames for their notion of dup. */
   def videoNearDupPairs(frameHashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // same no-guard exactness contract as [[nearDupPairs64]]: collapse
+    // identical frame hashes upstream rather than prune band values
     require(maxHamming <= 3, s"4x16 banding is exact only for hamming <= 3, got $maxHamming")
     val h = frameHashes.filter(col("error") === "")
       .select("media_id", "frame_no", "dhash")

@@ -649,9 +649,14 @@ object TextOps {
   def capPerStratumVariable(df: DataFrame, idCol: String, stratumCol: String,
       caps: DataFrame, capCol: String = "cap"): DataFrame = {
     val withOrd = df.withColumn("__ord", sampleOrd(idCol))
+    // defensive min over duplicate cap rows: a duplicated stratum row
+    // would otherwise duplicate every selected row through the quota
+    // join; min is the conservative read of conflicting caps
+    val dedupedCaps = caps
+      .groupBy(col(stratumCol))
+      .agg(min(col(capCol).cast("long")).as("__cap"))
     val quotas = withOrd.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
-      .join(caps.select(col(stratumCol), col(capCol).cast("long").as("__cap")),
-        Seq(stratumCol))
+      .join(dedupedCaps, Seq(stratumCol))
       .select(col(stratumCol), least(col("__n"), col("__cap")).as("__k"))
     quotaSelect(df, withOrd, idCol, stratumCol, quotas)
   }
