@@ -1332,6 +1332,27 @@ object Queries {
           DedupOps.chunkTable(VerifyTables.cdcRecrawlB(s, dir), "url", "html"))
         .orderBy("id", "chunk_no")),
 
+    // ---- bitext candidate mining: translation-pair edges + the real
+    //      corpus's per-doc languages and sidecar texts through the
+    //      division-free length-ratio gate. Edges here are synthesized
+    //      replayably (docid n % 5 == 0 → docid n+1 — both engines
+    //      construct the identical edge set from the parquet), standing
+    //      in for extractAlternates/hreflangClusters output so the
+    //      RELATIONAL core (normalization, lang-differ, ratio gate) is
+    //      what the oracle checks; the hreflang harvest itself is
+    //      oracled separately (q_hreflang_clusters).
+    "q_bitext_candidates" -> ((s, dir) => {
+      val n = regexp_extract(col("url"), "doc([0-9]+)$", 1).cast("long")
+      val docs = vt(s, dir, "northrule")
+        .select(col("url"), n.as("id"), col("lang"), col("text"))
+      val edges = docs.filter(col("id") % 5 === 0)
+        .select(col("url"), (col("id") + 1L).as("__tid"))
+        .join(docs.select(col("url").as("alt_url"), col("id").as("__tid")),
+          Seq("__tid"))
+        .select("url", "alt_url")
+      LinkOps.bitextCandidates(docs, edges).orderBy("url_a", "url_b")
+    }),
+
     // ---- crawl politeness: per-host Crawl-delay (group-scoped robots
     //      extension field, agent-scoping per RFC 9309's most-specific
     //      rule) → integer fetch budgets (windowSec DIV delay) → the
@@ -2393,6 +2414,27 @@ object Queries {
            |JOIN nb ON b.id = nb.url
            |WHERE b.chunk_hash NOT IN (SELECT chunk_hash FROM a)
            |ORDER BY b.id, b.chunk_no""".stripMargin,
+
+      // bitext candidates: identical edge synthesis + normalization +
+      // lang-differ + cross-multiplied ratio gate, token counts from the
+      // same split/filter replay as q_token_count
+      "q_bitext_candidates" ->
+        s"""WITH d AS (SELECT url,
+           |    CAST(regexp_extract(url, 'doc([0-9]+)$$', 1) AS BIGINT) AS id,
+           |    lang,
+           |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+           |      x -> x <> '')) AS BIGINT) AS n
+           |  FROM read_parquet('${VerifyTables.oracleGlob("northrule")}')),
+           |e AS (SELECT a.url AS u1, b.url AS u2
+           |  FROM d a JOIN d b ON a.id % 5 = 0 AND b.id = a.id + 1),
+           |ne AS (SELECT DISTINCT least(u1, u2) AS url_a,
+           |    greatest(u1, u2) AS url_b FROM e WHERE u1 <> u2)
+           |SELECT url_a, url_b, da.lang AS lang_a, db.lang AS lang_b,
+           |  da.n AS n_tokens_a, db.n AS n_tokens_b
+           |FROM ne JOIN d da ON ne.url_a = da.url JOIN d db ON ne.url_b = db.url
+           |WHERE da.lang <> db.lang AND da.n > 0 AND db.n > 0
+           |  AND da.n * 100 <= db.n * 200 AND db.n * 100 <= da.n * 200
+           |ORDER BY url_a, url_b""".stripMargin,
 
       // polite frontier: budget join + per-host variable cap replayed
       // from the robots_delays dump with the q_host_cap ord replay

@@ -710,6 +710,45 @@ object LinkOps {
       .toDF("url", "title", "description", "canonical")
   }
 
+  /** Bitext candidate mining — the parallel-corpus prep step (CCMatrix/
+    * CCAligned lineage, simplified to its exact relational core): given
+    * translation-pair EDGES (normally [[extractAlternates]]' hreflang
+    * declarations or [[hreflangClusters]] members) and the doc table,
+    * emit normalized candidate pairs whose languages differ and whose
+    * token counts pass a Gale–Church-style length-ratio gate —
+    * cross-multiplied (`n_a·100 ≤ n_b·maxLenRatioPct` both ways), so the
+    * gate is division-free and engine-exact. Edges are normalized
+    * (least/greatest + distinct) so mutual declarations yield one row;
+    * empty docs never pair.
+    *
+    * Scale shape: token counts are a map-only projection; the edge table
+    * joins two (url, lang, 8 B count) projections — text never moves.
+    * Output: (url_a, url_b, lang_a, lang_b, n_tokens_a, n_tokens_b). */
+  def bitextCandidates(docs: DataFrame, edges: DataFrame,
+      maxLenRatioPct: Long = 200L, urlCol: String = "url",
+      langCol: String = "lang", textCol: String = "text"): DataFrame = {
+    require(maxLenRatioPct >= 100L, s"ratio gate below 100% rejects everything: $maxLenRatioPct")
+    val toks = docs.select(col(urlCol).cast("string").as("__u"),
+      col(langCol).cast("string").as("__lang"),
+      TextOps.tokenCount(col(textCol)).as("__n"))
+    val norm = edges.select(col("url").cast("string").as("u1"),
+        col("alt_url").cast("string").as("u2"))
+      .filter(col("u1") =!= col("u2"))
+      .select(least(col("u1"), col("u2")).as("url_a"),
+        greatest(col("u1"), col("u2")).as("url_b"))
+      .distinct()
+    norm
+      .join(toks.select(col("__u").as("url_a"), col("__lang").as("lang_a"),
+        col("__n").as("n_tokens_a")), Seq("url_a"))
+      .join(toks.select(col("__u").as("url_b"), col("__lang").as("lang_b"),
+        col("__n").as("n_tokens_b")), Seq("url_b"))
+      .filter(col("lang_a") =!= col("lang_b"))
+      .filter(col("n_tokens_a") > 0L && col("n_tokens_b") > 0L)
+      .filter(col("n_tokens_a") * 100L <= col("n_tokens_b") * maxLenRatioPct &&
+        col("n_tokens_b") * 100L <= col("n_tokens_a") * maxLenRatioPct)
+      .select("url_a", "url_b", "lang_a", "lang_b", "n_tokens_a", "n_tokens_b")
+  }
+
   /** Block-level tags for main-content extraction. Sectioning containers
     * (header/nav/aside/footer) are included so a link-only nav bar becomes
     * a LEAF block with ~100% link density — classified boilerplate by the

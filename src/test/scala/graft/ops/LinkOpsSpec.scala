@@ -467,6 +467,29 @@ class LinkOpsSpec extends AnyFunSuite {
     assert(LinkOps.extractBlocks(pdf).count() == 0L)
   }
 
+  test("bitextCandidates: edge normalization, lang-differ, length-ratio gate, empty-doc exclusion") {
+    val docs = Seq(
+      ("https://x/en", "en", "one two three four five six"),      // 6 tokens
+      ("https://x/fr", "fr", "un deux trois quatre cinq"),        // 5 — within 2x of 6
+      ("https://x/de", "de", "eins"),                             // 1 — ratio vs 6 fails
+      ("https://x/en2", "en", "seven eight nine ten"),            // same lang as en
+      ("https://x/zz", "zz", "")).toDF("url", "lang", "text")     // empty
+    val edges = Seq(
+      ("https://x/en", "https://x/fr"),   // keep
+      ("https://x/fr", "https://x/en"),   // mutual duplicate → one row
+      ("https://x/en", "https://x/de"),   // ratio gate kills (6 vs 1)
+      ("https://x/en", "https://x/en2"),  // same language
+      ("https://x/fr", "https://x/zz"),   // empty side
+      ("https://x/en", "https://x/en")).toDF("url", "alt_url") // self edge
+    val out = LinkOps.bitextCandidates(docs, edges)
+      .as[(String, String, String, String, Long, Long)].collect().toSeq
+    assert(out == Seq(("https://x/en", "https://x/fr", "en", "fr", 6L, 5L)))
+    // a wider gate admits the 6:1 pair
+    val wide = LinkOps.bitextCandidates(docs, edges, maxLenRatioPct = 600L)
+      .as[(String, String, String, String, Long, Long)].collect()
+    assert(wide.length == 2)
+  }
+
   test("crawlDelayOf: agent scoping, first-wins, non-integer/negative fail-open") {
     val body = "User-agent: specialbot\nDisallow: /\nCrawl-delay: 60\n\n" +
       "User-agent: *\nDisallow: /x\nCrawl-delay: 2\nCrawl-delay: 9\n"
