@@ -1378,6 +1378,38 @@ object Queries {
         .orderBy("url")
     }),
 
+    // ---- search: inverted-index BUILD as a persisted partitioned
+    //      artifact (the text-retrieval analog of q_band_index_build) —
+    //      distinct per-doc tokens, df guard at BUILD time (binds at the
+    //      driver tier: the corpus's hottest tokens exceed 395 of 500
+    //      docs), md5-prefix bucket as the replayable partition key;
+    //      per-bucket stats read back from the WRITTEN files.
+    "q_inverted_index_build" -> ((s, dir) => {
+      val idxDir = s"/tmp/graft_inv_index_${java.nio.file.Paths.get(dir).getFileName}"
+      TextOps.invertedIndexPostings(t(s, dir, "documents"), "doc_id", "text",
+          maxDf = 395L, nBuckets = 16)
+        .write.mode("overwrite").partitionBy("bucket").parquet(idxDir)
+      s.read.parquet(idxDir)
+        .groupBy(col("bucket").cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_postings"),
+          countDistinct(col("token")).as("n_tokens"))
+        .orderBy("bucket")
+    }),
+
+    // ---- search: conjunctive term lookup against the persisted index —
+    //      driver-side O(#terms) bucket computation becomes a STATIC
+    //      partition filter (the IVF probed-list discipline), then
+    //      posting intersection by per-id distinct-term count
+    "q_index_search" -> ((s, dir) => {
+      val idxDir = s"/tmp/graft_inv_index_${java.nio.file.Paths.get(dir).getFileName}"
+      TextOps.invertedIndexPostings(t(s, dir, "documents"), "doc_id", "text",
+          maxDf = 395L, nBuckets = 16)
+        .write.mode("overwrite").partitionBy("bucket").parquet(idxDir)
+      TextOps.searchIndex(s.read.parquet(idxDir), Seq("data", "key"),
+          nBuckets = 16)
+        .orderBy("id")
+    }),
+
     // ---- tokenizer prep: corpus vocabulary stats (token, tf, df) with
     //      the hapax tail pruned. One (token, id, count) shuffle with
     //      map-side combine; df is a second-level agg over the
@@ -1659,6 +1691,35 @@ object Queries {
         |SELECT shard, CAST(floor(cum_before / 2048.0) AS BIGINT) AS pack_id,
         |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
         |FROM c GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin,
+    // inverted index: the df guard (QUALIFY window), the md5-prefix
+    // bucket (both engines agree on md5 hex) and the per-bucket stats
+    // all re-derived from the documents parquet
+    "q_inverted_index_build" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(list_distinct(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    x -> x <> ''))) AS token FROM documents),
+        |g AS (SELECT doc_id, token FROM
+        |  (SELECT doc_id, token, count(*) OVER (PARTITION BY token) AS df FROM t)
+        |  WHERE df <= 395),
+        |b AS (SELECT doc_id, token,
+        |  CAST(('0x' || substring(md5(token), 1, 4)) AS INTEGER) % 16 AS bucket
+        |  FROM g)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_postings,
+        |  CAST(count(DISTINCT token) AS BIGINT) AS n_tokens
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // conjunctive search: same guarded postings, intersection by
+    // distinct-term count
+    "q_index_search" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(list_distinct(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    x -> x <> ''))) AS token FROM documents),
+        |g AS (SELECT doc_id, token FROM
+        |  (SELECT doc_id, token, count(*) OVER (PARTITION BY token) AS df FROM t)
+        |  WHERE df <= 395)
+        |SELECT doc_id AS id FROM g WHERE token IN ('data', 'key')
+        |GROUP BY doc_id HAVING count(DISTINCT token) = 2
+        |ORDER BY id""".stripMargin,
     "q_vocab_stats" ->
       """WITH t AS (SELECT doc_id,
         |  unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),

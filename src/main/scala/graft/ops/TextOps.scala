@@ -638,6 +638,55 @@ object TextOps {
     topKPerStratum(stats.withColumn("__all", lit(0)),
       "token", "__all", col("tf"), k).drop("__all")
 
+  /** Engine-replayable token bucket: the md5-prefix hash (both engines
+    * agree on md5's lowercase hex, so DuckDB replays the partition key as
+    * `CAST('0x' || substring(md5(token),1,4) AS INTEGER) % n`). */
+  private def md5Bucket(token: Column, nBuckets: Int): Column =
+    pmod(conv(substring(md5(token), 1, 4), 16, 10).cast("long"),
+      lit(nBuckets.toLong))
+
+  /** Inverted-index postings `(bucket, token, id)` — the searchable
+    * corpus artifact (the text-retrieval analog of the persisted LSH band
+    * index): distinct per-doc tokens, with tokens over `maxDf` dropped at
+    * BUILD time (the stopword-class guard — a token in half the corpus
+    * carries no selectivity and its posting list alone can exceed a
+    * partition), bucketed by the replayable md5-prefix hash so a
+    * `partitionBy("bucket")` write makes every later term lookup
+    * partition-pruned by construction. Shuffle carries (token, id) pairs
+    * only. */
+  def invertedIndexPostings(df: DataFrame, idCol: String, textCol: String,
+      maxDf: Long = 100000L, nBuckets: Int = 64): DataFrame = {
+    require(maxDf >= 1L && nBuckets >= 1, s"bad maxDf/nBuckets: $maxDf/$nBuckets")
+    val post = df.select(col(idCol).cast("long").as("id"),
+      explode(array_distinct(tokens(col(textCol)))).as("token"))
+    val guarded = post.withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("token")))
+      .filter(col("__df") <= maxDf).drop("__df")
+    guarded.withColumn("bucket", md5Bucket(col("token"), nBuckets))
+      .select("bucket", "token", "id")
+  }
+
+  /** Conjunctive (AND) term lookup over a persisted postings index:
+    * the terms' buckets are computed driver-side (O(#terms) — the IVF
+    * probed-list discipline) and applied as a STATIC `bucket IN (...)`
+    * filter, so a partitioned index reads only the touched partitions;
+    * then token membership + a per-id distinct-term count == #terms.
+    * Returns matching ids. */
+  def searchIndex(index: DataFrame, terms: Seq[String],
+      nBuckets: Int = 64): DataFrame = {
+    val uniq = terms.distinct
+    require(uniq.nonEmpty, "need at least one term")
+    val spark = index.sparkSession
+    import spark.implicits._
+    val bks = uniq.toDF("token")
+      .select(md5Bucket(col("token"), nBuckets)).as[Long].collect().distinct.toSeq
+    index.filter(col("bucket").isin(bks: _*))
+      .filter(col("token").isin(uniq: _*))
+      .groupBy("id").agg(countDistinct(col("token")).as("__m"))
+      .filter(col("__m") === uniq.size.toLong)
+      .select("id")
+  }
+
   /** [[capPerStratum]] with a PER-STRATUM cap table instead of one global
     * cap — the politeness-budget shape (each host's fetch budget differs).
     * `caps` is (stratumCol, capCol); the join is INNER, so a stratum

@@ -1233,6 +1233,40 @@ class OpsSpec extends AnyFunSuite {
     assert(top3 == Set("apple", "banana", "date"))
   }
 
+  test("invertedIndexPostings/searchIndex: df guard, conjunctive lookup, STATIC partition pruning on the persisted index") {
+    val docs = Seq(
+      (1L, "alpha beta common"), (2L, "alpha common"), (3L, "beta common"),
+      (4L, "alpha beta common"), (5L, "gamma common")).toDF("doc_id", "text")
+    // 'common' (df 5) is guarded out at maxDf 4; the rest stay
+    val post = TextOps.invertedIndexPostings(docs, "doc_id", "text",
+      maxDf = 4L, nBuckets = 8)
+    assert(post.filter($"token" === "common").count() == 0L)
+    assert(post.filter($"token" === "alpha").count() == 3L)
+    val dir = java.nio.file.Files.createTempDirectory("inv_idx_spec").toString
+    post.write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    val index = spark.read.parquet(dir)
+    // conjunctive AND: alpha ∩ beta = {1, 4}
+    val hits = TextOps.searchIndex(index, Seq("alpha", "beta"), nBuckets = 8)
+      .as[Long].collect().toSet
+    assert(hits == Set(1L, 4L))
+    // guarded-out term can never match (honest: the index has no posting)
+    assert(TextOps.searchIndex(index, Seq("alpha", "common"), nBuckets = 8).count() == 0L)
+    // STATIC pruning: the bucket filter the lookup applies reads ONLY the
+    // touched partition directories
+    val bks = Seq("alpha", "beta").map(t => {
+      import org.apache.spark.sql.functions.{conv, lit => flit, md5 => fmd5, pmod, substring}
+      Seq(t).toDF("token")
+        .select(pmod(conv(substring(fmd5($"token"), 1, 4), 16, 10).cast("long"), flit(8L)))
+        .as[Long].collect().head
+    }).distinct
+    val filesRead = index.filter($"bucket".isin(bks: _*))
+      .select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().as[String].collect()
+    assert(filesRead.nonEmpty &&
+      filesRead.forall(f => bks.exists(b => f.contains(s"bucket=$b"))),
+      s"lookup scan escaped its buckets: ${filesRead.take(3).mkString(", ")}")
+  }
+
   // ---- shingle containment (Broder's asymmetric axis) ----
 
   private def bruteContainment(docs: Seq[(Long, String)], n: Int,
