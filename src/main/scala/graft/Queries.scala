@@ -1410,6 +1410,21 @@ object Queries {
         .orderBy("id")
     }),
 
+    // ---- search: ranked (OR) retrieval — integral tf·idf over the
+    //      pruned postings (score = Σ tf · (10^6 DIV df)), top-10 via the
+    //      single-stratum bounded selector so a popular query never
+    //      sorts its posting union in one task. k binds (hundreds of
+    //      docs match at the driver tier).
+    "q_ranked_search" -> ((s, dir) => {
+      val idxDir = s"/tmp/graft_inv_index_${java.nio.file.Paths.get(dir).getFileName}"
+      TextOps.invertedIndexPostings(t(s, dir, "documents"), "doc_id", "text",
+          maxDf = 395L, nBuckets = 16)
+        .write.mode("overwrite").partitionBy("bucket").parquet(idxDir)
+      TextOps.rankedSearch(s.read.parquet(idxDir), Seq("data", "key", "dup"),
+          k = 10L, nBuckets = 16)
+        .orderBy("id")
+    }),
+
     // ---- tokenizer prep: corpus vocabulary stats (token, tf, df) with
     //      the hapax tail pruned. One (token, id, count) shuffle with
     //      map-side combine; df is a second-level agg over the
@@ -1720,6 +1735,27 @@ object Queries {
         |SELECT doc_id AS id FROM g WHERE token IN ('data', 'key')
         |GROUP BY doc_id HAVING count(DISTINCT token) = 2
         |ORDER BY id""".stripMargin,
+    // ranked search: guarded tf postings, per-term df over the matched
+    // slice, integral tf*(1e6 DIV df) scoring, top-k == row_number over
+    // (-score, id)
+    "q_ranked_search" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    x -> x <> '')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM t GROUP BY doc_id, token),
+        |g AS (SELECT doc_id, token, tf FROM
+        |  (SELECT doc_id, token, tf, count(*) OVER (PARTITION BY token) AS df
+        |   FROM tf) WHERE df <= 395),
+        |p AS (SELECT * FROM g WHERE token IN ('data', 'key', 'dup')),
+        |d AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY token),
+        |s AS (SELECT doc_id AS id,
+        |    CAST(sum(tf * (1000000 // df)) AS BIGINT) AS score,
+        |    CAST(count(*) AS BIGINT) AS n_terms
+        |  FROM p JOIN d USING (token) GROUP BY doc_id),
+        |r AS (SELECT id, score, n_terms,
+        |  row_number() OVER (ORDER BY -score, id) AS rn FROM s)
+        |SELECT id, score, n_terms FROM r WHERE rn <= 10 ORDER BY id""".stripMargin,
     "q_vocab_stats" ->
       """WITH t AS (SELECT doc_id,
         |  unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),

@@ -657,13 +657,16 @@ object TextOps {
   def invertedIndexPostings(df: DataFrame, idCol: String, textCol: String,
       maxDf: Long = 100000L, nBuckets: Int = 64): DataFrame = {
     require(maxDf >= 1L && nBuckets >= 1, s"bad maxDf/nBuckets: $maxDf/$nBuckets")
+    // one row per (token, doc) carrying the in-doc term frequency — the
+    // ranked-retrieval payload rides along at zero extra rows
     val post = df.select(col(idCol).cast("long").as("id"),
-      explode(array_distinct(tokens(col(textCol)))).as("token"))
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy("token", "id").agg(count(lit(1)).as("tf"))
     val guarded = post.withColumn("__df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("token")))
       .filter(col("__df") <= maxDf).drop("__df")
     guarded.withColumn("bucket", md5Bucket(col("token"), nBuckets))
-      .select("bucket", "token", "id")
+      .select("bucket", "token", "id", "tf")
   }
 
   /** Conjunctive (AND) term lookup over a persisted postings index:
@@ -685,6 +688,32 @@ object TextOps {
       .groupBy("id").agg(countDistinct(col("token")).as("__m"))
       .filter(col("__m") === uniq.size.toLong)
       .select("id")
+  }
+
+  /** Ranked (OR) retrieval over the persisted index: integral tf·idf —
+    * score(d) = Σ_matched tf(t,d) · (10^6 DIV df(t)), df counted over the
+    * pruned postings themselves — then top-k through the single-stratum
+    * bounded-histogram selector (ties by id), so a popular query never
+    * sorts its whole posting union in one task. Same static bucket
+    * pruning as [[searchIndex]]. Output: (id, score, n_terms). */
+  def rankedSearch(index: DataFrame, terms: Seq[String], k: Long,
+      nBuckets: Int = 64): DataFrame = {
+    val uniq = terms.distinct
+    require(uniq.nonEmpty && k > 0L, "need terms and a positive k")
+    val spark = index.sparkSession
+    import spark.implicits._
+    val bks = uniq.toDF("token")
+      .select(md5Bucket(col("token"), nBuckets)).as[Long].collect().distinct.toSeq
+    val pruned = index.filter(col("bucket").isin(bks: _*))
+      .filter(col("token").isin(uniq: _*))
+      .select("token", "id", "tf")
+    val dfs = pruned.groupBy("token").agg(count(lit(1)).as("__df"))
+    val scored = pruned.join(dfs, Seq("token"))
+      .withColumn("__s", expr("tf * (1000000L DIV __df)"))
+      .groupBy("id")
+      .agg(sum(col("__s")).as("score"), count(lit(1)).as("n_terms"))
+    topKPerStratum(scored.withColumn("__all", lit(0)),
+      "id", "__all", col("score"), k).drop("__all")
   }
 
   /** [[capPerStratum]] with a PER-STRATUM cap table instead of one global

@@ -1267,6 +1267,26 @@ class OpsSpec extends AnyFunSuite {
       s"lookup scan escaped its buckets: ${filesRead.take(3).mkString(", ")}")
   }
 
+  test("rankedSearch: integral tf·idf, tf weighting, binding top-k with (-score, id) order") {
+    val docs = Seq(
+      (1L, "alpha alpha beta"),   // tf(alpha)=2 → scores double
+      (2L, "alpha"),
+      (3L, "beta"),
+      (4L, "alpha beta"),
+      (5L, "gamma")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("inv_idx_rank").toString
+    TextOps.invertedIndexPostings(docs, "doc_id", "text", maxDf = 10L, nBuckets = 8)
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    val index = spark.read.parquet(dir)
+    // dfs over matched slice: alpha 3, beta 3 → unit 333333
+    // doc1: 2·u + 1·u = 999999, doc4: 666666, doc2: 333333, doc3: 333333
+    val top3 = TextOps.rankedSearch(index, Seq("alpha", "beta"), k = 3L, nBuckets = 8)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(top3.toSeq == Seq((1L, 999999L, 2L), (2L, 333333L, 1L), (4L, 666666L, 2L)))
+    // k binds: doc3 ties doc2 on score but loses the id tie-break at the cut
+    assert(!top3.map(_._1).contains(3L))
+  }
+
   // ---- shingle containment (Broder's asymmetric axis) ----
 
   private def bruteContainment(docs: Seq[(Long, String)], n: Int,
