@@ -1052,6 +1052,23 @@ object Queries {
         .groupBy("keep_doc").agg(count(lit(1)).as("n"))
         .orderBy("keep_doc")),
 
+    // ---- the data-card report: per-language corpus summary (docs, gate
+    //      survivors, exact-dup docs, token/char volume) — the table a
+    //      curated release publishes. One groupBy over the gate features
+    //      + a text-keyed copy count (the q_dedup_exact convention).
+    "q_corpus_card" -> ((s, dir) => {
+      val d = TextOps.qualityGate(t(s, dir, "documents"), "text")
+      val copies = d.groupBy(col("text")).agg(count(lit(1)).as("__copies"))
+      d.join(copies, Seq("text"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep_doc"), 1L).otherwise(0L)).as("n_gate_kept"),
+          sum(when(col("__copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_chars_calc")).as("total_chars"))
+        .orderBy("lang")
+    }),
+
     // ---- BPE-ish subword counting (match-count formulation, RE2-safe →
     //      DuckDB replays the identical pattern)
     "q_subword_count" -> ((s, dir) =>
@@ -1892,6 +1909,25 @@ object Queries {
         |SELECT (n_chars_calc >= 20 AND n_tokens >= 5 AND n_sentences >= 1
         |        AND n_digits * 3 < n_chars_calc) AS keep_doc,
         |CAST(count(*) AS BIGINT) AS n FROM f GROUP BY keep_doc ORDER BY keep_doc""".stripMargin,
+    // corpus card: gate features + text-keyed copy count + per-lang agg,
+    // all re-derived (the q_quality_gate predicate verbatim)
+    "q_corpus_card" ->
+      """WITH f AS (SELECT lang, text,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |  CAST(length(regexp_replace(text, '[^.!?。]', '', 'g')) AS BIGINT) AS n_sentences,
+        |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits
+        |  FROM documents),
+        |c AS (SELECT lang, n_tokens, n_chars,
+        |  (n_chars >= 20 AND n_tokens >= 5 AND n_sentences >= 1
+        |   AND n_digits * 3 < n_chars) AS keep_doc,
+        |  count(*) OVER (PARTITION BY text) AS copies FROM f)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN keep_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_gate_kept,
+        |  CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
     "q_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 256),
         |scored AS (
