@@ -252,6 +252,26 @@ object Queries {
         .select(col("doc_id"), col("n_chars"))
         .orderBy("doc_id")),
 
+    // ---- training ops: near-exact dedup on the NFC+casefold+whitespace
+    //      normalized key. The corpus is ASCII, so the Unicode branch is
+    //      PLANTED in the query itself: every doc_id % 6 == 0 spawns two
+    //      variants whose raw bytes differ three ways (composed U+00E9 vs
+    //      e+U+0301, case, tab-vs-double-space) but whose normalized keys
+    //      are equal — both engines build the identical augmented corpus,
+    //      so NFC, lower and the collapse must all bind for the groups to
+    //      match. Spark groups by xxhash64(key), the oracle by the key
+    //      TEXT (the q_dedup_exact hash-for-text convention).
+    "q_normalized_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+      val base6 = docs.filter(col("id") % 6 === 0)
+      val vA = base6.select((col("id") + 100000).as("id"),
+        concat(col("text"), lit("  Caf\u00e9 DUP")).as("text"))
+      val vB = base6.select((col("id") + 200000).as("id"),
+        concat(upper(col("text")), lit("\tcafe\u0301 dup")).as("text"))
+      val aug = docs.unionByName(vA).unionByName(vB)
+      DedupOps.normalizedDupGroups(aug, "id", "text").orderBy("keep_id")
+    }),
+
     // ---- training ops: token counting
     "q_token_count" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1697,6 +1717,26 @@ object Queries {
       """SELECT doc_id, n_chars FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
         |ORDER BY doc_id""".stripMargin,
+    // normalized near-exact dedup: the identical augmented corpus is
+    // rebuilt here (chr(233) = composed é, chr(769) = combining acute),
+    // then NFC + lower + explicit-class whitespace collapse re-derived via
+    // DuckDB's own utf8proc nfc_normalize — grouping is by the normalized
+    // key TEXT where Spark groups by xxhash64 of it (q_dedup_exact
+    // convention, collision-sensitive on purpose)
+    "q_normalized_dedup" ->
+      """WITH docs AS (SELECT doc_id AS id, text FROM documents),
+        |aug AS (
+        |  SELECT id, text FROM docs
+        |  UNION ALL SELECT id + 100000, text || '  Caf' || chr(233) || ' DUP'
+        |    FROM docs WHERE id % 6 = 0
+        |  UNION ALL SELECT id + 200000, upper(text) || chr(9) || 'cafe' || chr(769) || ' dup'
+        |    FROM docs WHERE id % 6 = 0),
+        |k AS (SELECT id,
+        |  trim(regexp_replace(lower(nfc_normalize(text)), '[ \t\r\n]+', ' ', 'g')) AS nk
+        |  FROM aug)
+        |SELECT min(id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count,
+        |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS member_ids
+        |FROM k GROUP BY nk ORDER BY keep_id""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
         |x -> x <> '')) AS BIGINT) AS n_tokens FROM documents ORDER BY doc_id""".stripMargin,

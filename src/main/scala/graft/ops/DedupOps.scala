@@ -37,6 +37,50 @@ object DedupOps {
 
   private def broadcastIfSmall(df: DataFrame): DataFrame = df // AQE decides; hook for hints
 
+  /** Canonical near-exact key: NFC normalization → lowercase → ASCII
+    * whitespace collapse → trim (the CCNet/Dolma normalize-then-dedup
+    * form). Web text mixes composed (`é` U+00E9) and decomposed
+    * (`e`+U+0301) encodings of the same rendered word, so byte-keyed
+    * exact dedup silently misses equal-looking duplicates; this key
+    * closes that class plus case and whitespace jitter.
+    *
+    * Cross-engine contract: every stage replays verbatim in the oracle —
+    * [[graft.functions.NfcNormalize]] ↔ DuckDB `nfc_normalize` (both
+    * UAX #15 NFC), `lower` ↔ `lower`, and the whitespace class is the
+    * EXPLICIT `[ \t\r\n]+` (never `\s`: Java and RE2 disagree on U+000B). */
+  def normalizedKey(text: Column): Column =
+    trim(regexp_replace(lower(graft.functions.NfcNormalize(text)),
+      "[ \\t\\r\\n]+", " "))
+
+  /** Near-exact dedup on the normalized key: keep the smallest id per
+    * key. Same scale shape as [[exactDedup]] — only (64-bit key hash, id)
+    * pairs shuffle, the text (and its normalized form) never moves; the
+    * normalization itself is map-only codegen. Hash-for-key equivalence
+    * is the q_dedup_exact convention (an xxhash64 collision in Spark
+    * would mismatch the text-keyed oracle — collision-sensitive on
+    * purpose). */
+  def normalizedDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = df
+      .select(col(idCol).as(idCol), xxhash64(normalizedKey(col(textCol))).as("__h"))
+      .groupBy("__h").agg(min(col(idCol)).as(idCol))
+    df.join(broadcastIfSmall(keep.select(idCol)), Seq(idCol), "left_semi")
+  }
+
+  /** Near-exact duplicate GROUPS on the normalized key: one row per key
+    * — (keep_id, dup_count, member_ids). A report op like
+    * [[exactDupGroups]]; member lists are bounded by the corpus's largest
+    * normalized-duplicate family (collect_list on a hot key — e.g.
+    * empty-after-normalization docs — is the report's honest cost; gate
+    * upstream with a length filter if a corpus has a degenerate mass). */
+  def normalizedDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), xxhash64(normalizedKey(col(textCol))).as("__h"))
+      .groupBy("__h")
+      .agg(min(col("id")).as("keep_id"),
+        count(lit(1)).as("dup_count"),
+        concat_ws(",", transform(sort_array(collect_list(col("id"))),
+          i => i.cast("string"))).as("member_ids"))
+      .select("keep_id", "dup_count", "member_ids")
+
   /** MinHash signature: ONE fold over the shingle-hash array updating all
     * k min-slots per shingle (`zip_with`+`least`). A naive
     * `array(array_min(transform(sh, …)) × k)` duplicates the shingle

@@ -70,6 +70,58 @@ class OpsSpec extends AnyFunSuite {
     assert(deduped.filter(col("doc_id") >= 10000 && col("doc_id") < 20000).count() == 0)
   }
 
+  test("NfcNormalize: composed/decomposed collapse, quick-path identity, brute-force parity") {
+    val composedCafe = "Caf\u00e9 already composed"
+    val decomposedCafe = "Cafe\u0301 decomposed acute"
+    val decomposedRing = "A\u030aring decomposed ring"
+    val precomposedMulti = "\u1e69 multi-mark"
+    val decomposedMulti = "s\u0323\u0307 decomposed multi-mark"
+    val cases = Seq("plain ascii stays", composedCafe, decomposedCafe,
+      decomposedRing, precomposedMulti, decomposedMulti, "")
+    val out = cases.toDF("s")
+      .select(col("s"), graft.functions.NfcNormalize(col("s")).as("n"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { c =>
+      assert(out(c) == java.text.Normalizer.normalize(c, java.text.Normalizer.Form.NFC),
+        s"NFC mismatch for codepoints ${c.codePoints().toArray.mkString(",")}")
+    }
+    // the quick paths return the INPUT unchanged; the slow path composes
+    assert(out("plain ascii stays") == "plain ascii stays")
+    assert(out(composedCafe) == composedCafe)
+    assert(out(decomposedCafe) == "Caf\u00e9 decomposed acute")
+    assert(out(decomposedRing) == "\u00c5ring decomposed ring")
+    assert(out(decomposedMulti) == "\u1e69 decomposed multi-mark")
+    // null in -> null out
+    val nulls = Seq[Option[String]](None).toDF("s")
+      .select(graft.functions.NfcNormalize(col("s"))).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
+  test("normalized dedup: NFC + case + whitespace variants collapse, raw-distinct texts do not") {
+    // four raw-distinct spellings of one logical doc + one genuinely different doc
+    val rows = Seq(
+      (1L, "The  Caf\u00e9\tMenu"),      // composed, tab + double space
+      (2L, "the cafe\u0301 menu"),        // decomposed, lowercase, single spaces
+      (3L, "THE CAF\u00c9 MENU"),         // composed uppercase E-acute
+      (4L, "the cafe menu"),              // NO accent -- must stay distinct
+      (5L, "  the caf\u00e9 menu  ")      // leading/trailing whitespace
+    ).toDF("id", "text")
+    val groups = DedupOps.normalizedDupGroups(rows, "id", "text")
+      .orderBy("keep_id").collect()
+    assert(groups.length == 2)
+    assert(groups(0).getAs[Long]("keep_id") == 1L)
+    assert(groups(0).getAs[Long]("dup_count") == 4L)
+    assert(groups(0).getAs[String]("member_ids") == "1,2,3,5")
+    assert(groups(1).getAs[Long]("keep_id") == 4L)
+    val kept = DedupOps.normalizedDedup(rows, "id", "text")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L))
+    // on the planted corpus normalized dedup can only remove MORE than exact
+    val exactKept = DedupOps.exactDedup(dupCorpus, "doc_id", "text").count()
+    val normKept = DedupOps.normalizedDedup(dupCorpus, "doc_id", "text").count()
+    assert(normKept <= exactKept)
+  }
+
   test("MinHash-LSH finds every brute-force Jaccard≥0.7 pair (no false negatives at high sim)") {
     val brute = DedupOps.bruteForceJaccardPairs(dupCorpus, "doc_id", "text", threshold = 0.7)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
