@@ -525,6 +525,33 @@ object Queries {
         .orderBy("url")
     }),
 
+    // ---- crawl: snapshot change MAGNITUDE — graded token-level change
+    //      between consecutive versions, where q_crawl_delta /
+    //      q_recrawl_schedule see only digest equality. Planted revisit
+    //      history: every 7th doc re-fetched +1h with text unchanged
+    //      EXCEPT every 21st (appended update sentence → partial
+    //      overlap, change_ppm strictly between 0 and 10⁶); every 14th
+    //      re-fetched again +3h with the DOUBLED text, so MULTISET
+    //      semantics bind (recall vs prev is total, precision ~half — a
+    //      set intersection would report no change). Both engines build
+    //      the identical history from the parquet and re-derive the
+    //      overlap + truncating-DIV ppm math independently.
+    "q_change_magnitude" -> ((s, dir) => {
+      val n = regexp_extract(col("url"), "doc([0-9]+)$", 1).cast("long")
+      val base = vt(s, dir, "northrule")
+        .select(col("url"), col("warc_ts"), col("text"), n.as("n"))
+      val rev1 = base.filter(col("n") % 7 === 0)
+        .select(col("url"), (col("warc_ts") + expr("INTERVAL 1 HOUR")).as("warc_ts"),
+          when(col("n") % 21 === 0,
+            concat(col("text"), lit(" freshly minted update tokens")))
+            .otherwise(col("text")).as("text"))
+      val rev2 = base.filter(col("n") % 14 === 0)
+        .select(col("url"), (col("warc_ts") + expr("INTERVAL 3 HOUR")).as("warc_ts"),
+          concat(col("text"), lit(" "), col("text")).as("text"))
+      val snaps = base.drop("n").unionByName(rev1).unionByName(rev2)
+      LinkOps.snapshotChangeMagnitude(snaps).orderBy("url", "ts_ms")
+    }),
+
     // ---- curation: quality-ranked top-3 docs per host (score = sidecar
     //      text length, ties by doc id) — per-host cutoff from the score
     //      histogram, never a per-host sort of the data
@@ -2731,6 +2758,69 @@ object Queries {
            |  CAST(niv AS BIGINT) AS next_interval_sec,
            |  CAST(last_sec + niv AS BIGINT) AS next_crawl_sec
            |FROM i ORDER BY url""".stripMargin,
+
+      // snapshot change magnitude: planted history + lag pairing + the
+      // q_extract_quality multiset-overlap formulation keyed by
+      // (url, version ts) — epoch_ms ≡ unix_millis on the shared parquet
+      // instants, // ≡ DIV on the nonnegative counts
+      "q_change_magnitude" ->
+        s"""WITH b AS (SELECT url, warc_ts, text,
+           |    CAST(regexp_extract(url, 'doc([0-9]+)$$', 1) AS BIGINT) AS n
+           |  FROM read_parquet('${VerifyTables.oracleGlob("northrule")}')),
+           |h AS (
+           |  SELECT url, warc_ts, text FROM b
+           |  UNION ALL
+           |  SELECT url, warc_ts + INTERVAL 1 HOUR,
+           |    CASE WHEN n % 21 = 0 THEN text || ' freshly minted update tokens'
+           |         ELSE text END
+           |  FROM b WHERE n % 7 = 0
+           |  UNION ALL
+           |  SELECT url, warc_ts + INTERVAL 3 HOUR, text || ' ' || text
+           |  FROM b WHERE n % 14 = 0),
+           |v AS (SELECT url, epoch_ms(warc_ts) AS ts_ms, text,
+           |    lag(text) OVER (PARTITION BY url ORDER BY warc_ts) AS prev_text,
+           |    lag(epoch_ms(warc_ts)) OVER (PARTITION BY url ORDER BY warc_ts)
+           |      AS prev_ts_ms
+           |  FROM h),
+           |d AS (SELECT url, ts_ms, prev_ts_ms, text, prev_text FROM v
+           |  WHERE prev_ts_ms IS NOT NULL),
+           |ta AS (SELECT url, ts_ms, unnest(regexp_split_to_array(
+           |  lower(coalesce(text, '')), '[ \\t\\n\\r\\f]+')) AS tok FROM d),
+           |tb AS (SELECT url, ts_ms, unnest(regexp_split_to_array(
+           |  lower(coalesce(prev_text, '')), '[ \\t\\n\\r\\f]+')) AS tok FROM d),
+           |ac AS (SELECT url, ts_ms, tok, count(*) AS c FROM ta
+           |  WHERE tok <> '' GROUP BY 1, 2, 3),
+           |bc AS (SELECT url, ts_ms, tok, count(*) AS c FROM tb
+           |  WHERE tok <> '' GROUP BY 1, 2, 3),
+           |ax AS (SELECT url, ts_ms, CAST(sum(c) AS BIGINT) AS n_curr
+           |  FROM ac GROUP BY 1, 2),
+           |bx AS (SELECT url, ts_ms, CAST(sum(c) AS BIGINT) AS n_prev
+           |  FROM bc GROUP BY 1, 2),
+           |iv AS (SELECT ac.url, ac.ts_ms,
+           |    CAST(sum(least(ac.c, bc.c)) AS BIGINT) AS n_inter
+           |  FROM ac JOIN bc ON ac.url = bc.url AND ac.ts_ms = bc.ts_ms
+           |    AND ac.tok = bc.tok GROUP BY 1, 2),
+           |j AS (SELECT d.url, d.ts_ms, d.prev_ts_ms,
+           |    coalesce(ax.n_curr, 0) AS n_curr,
+           |    coalesce(bx.n_prev, 0) AS n_prev,
+           |    coalesce(iv.n_inter, 0) AS n_inter
+           |  FROM d LEFT JOIN ax ON d.url = ax.url AND d.ts_ms = ax.ts_ms
+           |  LEFT JOIN bx ON d.url = bx.url AND d.ts_ms = bx.ts_ms
+           |  LEFT JOIN iv ON d.url = iv.url AND d.ts_ms = iv.ts_ms),
+           |p AS (SELECT url, ts_ms, prev_ts_ms, n_curr, n_prev, n_inter,
+           |  CASE WHEN n_curr = 0 THEN 0
+           |       ELSE n_inter * 1000000 // n_curr END AS precision_ppm,
+           |  CASE WHEN n_prev = 0 THEN 0
+           |       ELSE n_inter * 1000000 // n_prev END AS recall_ppm
+           |  FROM j),
+           |f AS (SELECT *, CASE WHEN precision_ppm + recall_ppm = 0 THEN 0
+           |       ELSE 2 * precision_ppm * recall_ppm
+           |            // (precision_ppm + recall_ppm) END AS f1_ppm
+           |  FROM p)
+           |SELECT url, ts_ms, prev_ts_ms, n_curr, n_prev, n_inter,
+           |  precision_ppm, recall_ppm, f1_ppm,
+           |  1000000 - f1_ppm AS change_ppm
+           |FROM f ORDER BY url, ts_ms""".stripMargin,
 
       // domain blocklist: equals-or-subdomain replayed as suffix LIKE
       "q_domain_filter" ->

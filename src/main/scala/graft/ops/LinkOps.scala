@@ -306,6 +306,47 @@ object LinkOps {
       .groupBy("url")
       .agg(max(col("__ts")).as("latest_ts"), count(lit(1)).as("n_versions"))
 
+  /** Snapshot change MAGNITUDE — how much a page changed between
+    * consecutive crawls, not just whether it changed. crawlDelta and
+    * recrawlSchedule see digests, so a one-character edit and a full
+    * rewrite look identical; recrawl prioritization and incremental
+    * re-extraction both want the graded signal (re-extract and re-index
+    * a rewritten page first; a footer-year edit can wait).
+    *
+    * Per consecutive (prev, curr) version pair of each url: the integral
+    * token-overlap of [[graft.ops.TextOps.extractionQuality]] — multiset
+    * intersection of the lowercased QaTokenSplit token bags, ppm ratios
+    * via the same truncating DIV — plus `change_ppm = 10⁶ − f1_ppm` (0 =
+    * byte-identical text, 10⁶ = fully rewritten).
+    *
+    * Output: (url, ts_ms, prev_ts_ms, n_curr, n_prev, n_inter,
+    * precision_ppm [inter/curr], recall_ppm [inter/prev], f1_ppm,
+    * change_ppm) — one row per revisit (a url's FIRST version has no
+    * pair and emits nothing).
+    *
+    * Scale shape: the lag window is url-keyed and sorts each url's own
+    * handful of versions (the sessionize/recrawlSchedule bound); text
+    * moves ONCE into that url-partitioned shuffle — the honest cost of
+    * co-locating the pair — and the overlap pass itself is the map-only
+    * typed kernel, never a (doc, token) shuffle. */
+  def snapshotChangeMagnitude(snaps: DataFrame, urlCol: String = "url",
+      tsCol: String = "warc_ts", textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k1")).orderBy(col("k2"))
+    val pairs = snaps
+      .select(col(urlCol).cast("string").as("k1"),
+        unix_millis(col(tsCol)).as("k2"), col(textCol).cast("string").as("a"))
+      .withColumn("b", lag(col("a"), 1).over(w))
+      .withColumn("k3", lag(col("k2"), 1).over(w))
+      .filter(col("k3").isNotNull)
+    val counted = TextOps.tokenOverlapRows(pairs.select("k1", "k2", "k3", "a", "b"))
+    TextOps.withOverlapPpm(counted, "n_a", "n_b")
+      .withColumn("change_ppm", lit(1000000L) - col("f1_ppm"))
+      .select(col("k1").as("url"), col("k2").as("ts_ms"), col("k3").as("prev_ts_ms"),
+        col("n_a").as("n_curr"), col("n_b").as("n_prev"), col("n_inter"),
+        col("precision_ppm"), col("recall_ppm"), col("f1_ppm"), col("change_ppm"))
+  }
+
   /** Adaptive recrawl scheduling from revisit history — the change-rate
     * estimation problem of Cho & Garcia-Molina (TOIT 2003, "Estimating
     * frequency of change"), in the repo's exact integral form: per url,

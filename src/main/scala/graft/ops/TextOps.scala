@@ -994,6 +994,27 @@ object TextOps {
     * columns count as empty. */
   def extractionQuality(df: DataFrame, idCol: String,
       extractedCol: String, referenceCol: String): DataFrame = {
+    val counted = tokenOverlapRows(
+      df.select(col(idCol).cast("string").as("k1"), lit(0L).as("k2"),
+        lit(0L).as("k3"),
+        col(extractedCol).cast("string").as("a"),
+        col(referenceCol).cast("string").as("b")))
+    withOverlapPpm(counted, "n_a", "n_b")
+      .select(col("k1").as(idCol),
+        col("n_a").as("n_ext"), col("n_b").as("n_ref"), col("n_inter"),
+        col("precision_ppm"), col("recall_ppm"), col("f1_ppm"))
+  }
+
+  /** Shared typed multiset-overlap pass (extractionQuality +
+    * LinkOps.snapshotChangeMagnitude): input columns
+    * (k1: string, k2: bigint, k3: bigint, a: string, b: string) → one row
+    * per input row with (k1, k2, k3, n_a, n_b, n_inter) where n_inter is
+    * the MULTISET intersection Σ_token min(count_a, count_b) of the
+    * lowercased [[QaTokenSplit]] token bags. The two long keys ride
+    * through untouched so callers never need a recover-the-metadata
+    * self-join after the pass. Map-only; never throws; null text counts
+    * as empty. */
+  private[ops] def tokenOverlapRows(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val split = java.util.regex.Pattern.compile(QaTokenSplit)
@@ -1005,24 +1026,34 @@ object TextOps {
       }
       m
     }
-    df.select(col(idCol).cast("string").as("id"),
-        col(extractedCol).cast("string").as("e"),
-        col(referenceCol).cast("string").as("r"))
-      .as[(String, String, String)]
-      .map { case (id, e, r) =>
-        val ce = counts(e); val cr = counts(r)
-        val nExt = ce.valuesIterator.sum
-        val nRef = cr.valuesIterator.sum
-        val inter = ce.iterator.map { case (t, n) =>
-          math.min(n, cr.getOrElse(t, 0L)) }.sum
-        val p = if (nExt == 0) 0L else inter * 1000000L / nExt
-        val rr = if (nRef == 0) 0L else inter * 1000000L / nRef
-        val f1 = if (p + rr == 0) 0L else 2L * p * rr / (p + rr)
-        (id, nExt, nRef, inter, p, rr, f1)
+    df.select(col("k1"), col("k2"), col("k3"), col("a"), col("b"))
+      .as[(String, Long, Long, String, String)]
+      .map { case (k1, k2, k3, a, b) =>
+        val ca = counts(a); val cb = counts(b)
+        val nA = ca.valuesIterator.sum
+        val nB = cb.valuesIterator.sum
+        val inter = ca.iterator.map { case (t, n) =>
+          math.min(n, cb.getOrElse(t, 0L)) }.sum
+        (k1, k2, k3, nA, nB, inter)
       }
-      .toDF(idCol, "n_ext", "n_ref", "n_inter",
-        "precision_ppm", "recall_ppm", "f1_ppm")
+      .toDF("k1", "k2", "k3", "n_a", "n_b", "n_inter")
   }
+
+  /** Integral P/R/F1 ppm columns over overlap counts — the same
+    * truncating-DIV math both engines replay: p = inter·10⁶ DIV nA,
+    * r = inter·10⁶ DIV nB, f1 = 2pr DIV (p+r), each 0 on a zero
+    * denominator. Nonnegative longs only, so SQL DIV ≡ Scala `/`. */
+  private[ops] def withOverlapPpm(df: DataFrame, nACol: String, nBCol: String): DataFrame =
+    df.withColumn("precision_ppm",
+        when(col(nACol) === 0, 0L)
+          .otherwise(expr(s"n_inter * 1000000 DIV $nACol")))
+      .withColumn("recall_ppm",
+        when(col(nBCol) === 0, 0L)
+          .otherwise(expr(s"n_inter * 1000000 DIV $nBCol")))
+      .withColumn("f1_ppm",
+        when(col("precision_ppm") + col("recall_ppm") === 0, 0L)
+          .otherwise(expr(
+            "2 * precision_ppm * recall_ppm DIV (precision_ppm + recall_ppm)")))
 
   /** The PII patterns, shared VERBATIM by [[TextOps.redactPii]] (java.util
     * .regex) and the q_pii_redact DuckDB oracle (RE2): every construct is

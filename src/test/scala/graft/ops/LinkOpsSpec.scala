@@ -560,4 +560,60 @@ class LinkOpsSpec extends AnyFunSuite {
     assert(out("u/slow")   == (("u/slow", 2L, 1L, 10000000L, 1000000L, 5000L, 10005000L)))
     assert(out("u/tie")    == (("u/tie", 2L, 1L, 0L, 1000000L, 50L, 1050L)))
   }
+
+  test("snapshotChangeMagnitude: lag pairing, multiset overlap, change grades") {
+    import java.sql.Timestamp
+    def ts(h: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:00:00")
+    val snaps = Seq(
+      // u1: identical re-fetch -> change 0
+      ("https://a.example/u1", ts(1), "alpha beta gamma"),
+      ("https://a.example/u1", ts(2), "alpha beta gamma"),
+      // u2: fully rewritten -> change 1e6
+      ("https://a.example/u2", ts(1), "old stuff here"),
+      ("https://a.example/u2", ts(2), "completely different now"),
+      // u3: DOUBLED text -> recall vs prev total, precision exactly half
+      ("https://a.example/u3", ts(1), "tok tok two"),
+      ("https://a.example/u3", ts(2), "tok tok two tok tok two"),
+      // u4: three versions -> two pair rows, each vs its own predecessor
+      ("https://a.example/u4", ts(1), "a b c d"),
+      ("https://a.example/u4", ts(2), "a b c d e"),
+      ("https://a.example/u4", ts(3), "a b"),
+      // u5: single version -> no row
+      ("https://a.example/u5", ts(1), "lonely")
+    ).toDF("url", "warc_ts", "text")
+    val out = LinkOps.snapshotChangeMagnitude(snaps)
+      .orderBy("url", "ts_ms").collect()
+    assert(out.length == 5)
+    val byKey = out.map(r => (r.getAs[String]("url"), r.getAs[Long]("ts_ms")) -> r).toMap
+    def at(u: String, h: Int) = byKey((s"https://a.example/$u", ts(h).getTime))
+    assert(at("u1", 2).getAs[Long]("change_ppm") == 0L)
+    assert(at("u1", 2).getAs[Long]("f1_ppm") == 1000000L)
+    assert(at("u2", 2).getAs[Long]("n_inter") == 0L)
+    assert(at("u2", 2).getAs[Long]("change_ppm") == 1000000L)
+    // u3: n_prev=3, n_curr=6, inter=3 (multiset min: tok 2, two 1)
+    val u3 = at("u3", 2)
+    assert(u3.getAs[Long]("n_prev") == 3L && u3.getAs[Long]("n_curr") == 6L)
+    assert(u3.getAs[Long]("n_inter") == 3L)
+    assert(u3.getAs[Long]("precision_ppm") == 500000L)
+    assert(u3.getAs[Long]("recall_ppm") == 1000000L)
+    // f1 = 2*5e5*1e6/(15e5) = 666666 (truncating)
+    assert(u3.getAs[Long]("f1_ppm") == 666666L)
+    assert(u3.getAs[Long]("change_ppm") == 333334L)
+    // u4 pairs each version against its OWN predecessor, not the first
+    val u4a = at("u4", 2); val u4b = at("u4", 3)
+    assert(u4a.getAs[Long]("prev_ts_ms") == ts(1).getTime)
+    assert(u4a.getAs[Long]("n_inter") == 4L)
+    assert(u4b.getAs[Long]("prev_ts_ms") == ts(2).getTime)
+    assert(u4b.getAs[Long]("n_prev") == 5L && u4b.getAs[Long]("n_curr") == 2L)
+    assert(u4b.getAs[Long]("n_inter") == 2L)
+    // single-version u5 emits nothing
+    assert(!out.exists(_.getAs[String]("url").endsWith("u5")))
+    // null text counts as empty on either side
+    val withNull = Seq(
+      ("https://a.example/u6", ts(1), null.asInstanceOf[String]),
+      ("https://a.example/u6", ts(2), "x y")).toDF("url", "warc_ts", "text")
+    val r6 = LinkOps.snapshotChangeMagnitude(withNull).collect()
+    assert(r6.length == 1 && r6(0).getAs[Long]("n_prev") == 0L &&
+      r6(0).getAs[Long]("n_curr") == 2L && r6(0).getAs[Long]("change_ppm") == 1000000L)
+  }
 }
