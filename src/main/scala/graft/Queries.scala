@@ -1033,6 +1033,21 @@ object Queries {
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // ---- training ops: compressibility gate (RedPajama-v2's
+    //      quality-signal family). The live operator runs DeflateSize +
+    //      byte count + ppm ratio + both gate bounds over the shared
+    //      planted corpus (spam plant ~13k ppm binds the LOW bound, the
+    //      base64 blob plant >10⁶ ppm binds the HIGH bound — corpus docs
+    //      span ~386k-912k at sf0.01 — and the multibyte plant binds
+    //      BYTE-vs-char counting); the oracle trusts ONLY the dumped
+    //      independent-pass deflate scalar and re-derives n_bytes
+    //      (strlen ≡ octet_length), the truncating-DIV ratio and the
+    //      gate decision itself.
+    "q_compression_gate" -> ((s, dir) =>
+      TextOps.compressionGate(VerifyTables.compressionCorpus(s, dir),
+          "id", "text", minPpm = 100000L, maxPpm = 950000L)
+        .orderBy("id")),
+
     // ---- W1: reading-order span enumeration (posexplode over parsed
     //      cells, from the dumped page table; bbox emitted as a JSON
     //      string). DuckDB replays the JSON explode + ordinality.
@@ -2143,6 +2158,39 @@ object Queries {
       "q_fingerprint" ->
         s"""SELECT doc_id, fp
            |FROM read_parquet('${g("fingerprints")}') ORDER BY doc_id""".stripMargin,
+      // compressibility gate: the identical planted corpus is rebuilt
+      // here (repeat/md5/base64/chr all cross-engine exact), n_bytes
+      // re-derived as strlen (DuckDB strlen counts UTF-8 BYTES — the
+      // multibyte plant binds it against octet_length), and the ratio +
+      // both gate bounds recomputed; ONLY the deflate byte count comes
+      // from the independent-pass dump (no SQL engine exposes DEFLATE)
+      "q_compression_gate" ->
+        s"""WITH d AS (SELECT doc_id AS id, text FROM documents),
+           |aug AS (
+           |  SELECT id, text FROM d
+           |  UNION ALL SELECT id + 300000, repeat('spam ham ', 200)
+           |    FROM d WHERE id % 9 = 0
+           |  UNION ALL SELECT id + 400000,
+           |      to_base64(from_hex(md5(text))) ||
+           |      to_base64(from_hex(md5(text || 'x'))) ||
+           |      to_base64(from_hex(md5(text || 'y'))) ||
+           |      to_base64(from_hex(md5(text || 'z')))
+           |    FROM d WHERE id % 11 = 0
+           |  UNION ALL SELECT id + 500000,
+           |      text || ' caf' || chr(233) || ' ' || chr(19990) || chr(30028)
+           |    FROM d WHERE id % 13 = 0),
+           |z AS (SELECT id, n_deflate
+           |  FROM read_parquet('${g("deflate_sizes")}')),
+           |f AS (SELECT aug.id,
+           |    CAST(strlen(aug.text) AS BIGINT) AS n_bytes, z.n_deflate
+           |  FROM aug JOIN z USING (id)),
+           |r AS (SELECT id, n_bytes, n_deflate,
+           |  CASE WHEN n_bytes = 0 THEN 0
+           |       ELSE n_deflate * 1000000 // n_bytes END AS ratio_ppm
+           |  FROM f)
+           |SELECT id, n_bytes, n_deflate, ratio_ppm,
+           |  (ratio_ppm >= 100000 AND ratio_ppm <= 950000) AS kept
+           |FROM r ORDER BY id""".stripMargin,
       // C9 batch repair: same determinism replay over the repair-case dump
       "x_repair_batch" ->
         s"""SELECT case_id, original_length, predict_resized, cleaned_objects, success

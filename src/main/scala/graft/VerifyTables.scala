@@ -48,7 +48,7 @@ object VerifyTables {
     "robots_rules", "robots_sitemaps", "page_meta", "sitemap_entries",
     "warc_files", "alternates", "image_dhash", "audio_dhash",
     "video_frame_dhash", "html_blocks", "robots_delays",
-    "cdc_chunks", "cdc_chunks_b")
+    "cdc_chunks", "cdc_chunks_b", "deflate_sizes")
 
   /** The grounding-mode query bbox (original space) used by both the
     * x_extract_grounding query and the grounding_cells oracle dump. */
@@ -318,6 +318,15 @@ object VerifyTables {
         // CONTENT-VERIFIES every row by recomputing the hash from the
         // original payload's hex rendering at the dumped offsets
         graft.ops.DedupOps.chunkTable(read(s, sfDir, "northrule"), "url", "html")
+      case "deflate_sizes" =>
+        // raw-DEFLATE byte counts of the planted compressibility corpus,
+        // computed by the native expression in a separate pass (an
+        // independent JVM's run of the same deterministic codec; the
+        // fingerprints evidential class) — the q_compression_gate oracle
+        // trusts ONLY this scalar and re-derives byte counts, the ppm
+        // ratio and the gate decision itself
+        compressionCorpus(s, sfDir).select(col("id"),
+          graft.functions.DeflateSize(col("text"), 6).as("n_deflate"))
       case "cdc_chunks_b" =>
         // chunk table of the planted recrawl snapshot (every 7th doc with
         // a marker inserted mid-payload) — feeds the q_cdc_delta replay,
@@ -568,6 +577,33 @@ object VerifyTables {
 
   private def docs(s: SparkSession, sfDir: String): DataFrame =
     s.read.parquet(s"$sfDir/documents.parquet")
+
+  /** Planted compressibility corpus, shared verbatim by the
+    * deflate_sizes dump and the q_compression_gate live query (the
+    * cdcRecrawlB convention): documents plus (a) a too-repetitive spam
+    * variant (every 9th doc), (b) an incompressible base64-of-md5 blob
+    * variant (every 11th — base64's 64-symbol alphabet at ~6 bits/char
+    * leaves raw DEFLATE no headroom, so ratio lands ABOVE 10⁶ with the
+    * stream framing), and (c) a multibyte-suffix variant (every 13th —
+    * binds the UTF-8 BYTE count vs char count in both engines). Every
+    * construction replays in DuckDB SQL over the documents parquet. */
+  def compressionCorpus(s: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(s, sfDir).select(col("doc_id").as("id"), col("text"))
+    def b64(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      base64(unhex(md5(c)))
+    val spam = d.filter(col("id") % 9 === 0)
+      .select((col("id") + 300000).as("id"),
+        repeat(lit("spam ham "), 200).as("text"))
+    val blob = d.filter(col("id") % 11 === 0)
+      .select((col("id") + 400000).as("id"),
+        concat(b64(col("text")), b64(concat(col("text"), lit("x"))),
+          b64(concat(col("text"), lit("y"))),
+          b64(concat(col("text"), lit("z")))).as("text"))
+    val multi = d.filter(col("id") % 13 === 0)
+      .select((col("id") + 500000).as("id"),
+        concat(col("text"), lit(" caf\u00e9 \u4e16\u754c")).as("text"))
+    d.unionByName(spam).unionByName(blob).unionByName(multi)
+  }
 
   /** Media-corpus size for a tier — MUST match the x_media_features /
     * x_frame_sample queries so the dump and the live result align. */

@@ -28,6 +28,35 @@ object TextOps {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[\\p{L}\\p{N}]+|[^\\p{L}\\p{N}\\s]"), lit(0))).cast("long")
 
+  /** Compressibility quality signal (RedPajama-v2's quality-signal
+    * family): per doc, UTF-8 byte count, raw-DEFLATE byte count (native
+    * [[graft.functions.DeflateSize]], fixed level), and the integral
+    * ratio `ratio_ppm = n_deflate·10⁶ DIV n_bytes` (0 for empty text).
+    * Template farms and keyword-stuffed spam compress far below natural
+    * prose (low ppm); encoded blobs barely compress (high ppm). Map-only;
+    * O(bytes)/doc. */
+  def compressionSignal(df: DataFrame, idCol: String, textCol: String,
+      level: Int = 6): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+        octet_length(t).cast("long").as("n_bytes"),
+        graft.functions.DeflateSize(t, level).as("n_deflate"))
+      .withColumn("ratio_ppm",
+        when(col("n_bytes") === 0, 0L)
+          .otherwise(expr("n_deflate * 1000000 DIV n_bytes")))
+  }
+
+  /** Compressibility gate: keep docs whose deflate ratio lies in
+    * [minPpm, maxPpm] — drop the too-repetitive tail (spam/templates)
+    * and the incompressible tail (encoded/binary-ish payloads). Empty
+    * docs (ratio 0) fall below any positive minPpm. Returns
+    * (id, n_bytes, n_deflate, ratio_ppm, kept) for every doc so the
+    * decision is auditable; filter on `kept` to enforce. */
+  def compressionGate(df: DataFrame, idCol: String, textCol: String,
+      minPpm: Long, maxPpm: Long, level: Int = 6): DataFrame =
+    compressionSignal(df, idCol, textCol, level)
+      .withColumn("kept", col("ratio_ppm") >= minPpm && col("ratio_ppm") <= maxPpm)
+
   /** Integer quality features (kept integral so results are engine-exact):
     * chars, tokens, sentence punctuation, digits, uppercase letters. */
   def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {

@@ -122,6 +122,57 @@ class OpsSpec extends AnyFunSuite {
     assert(normKept <= exactKept)
   }
 
+  test("DeflateSize + compression gate: determinism, tails, byte counting") {
+    import java.util.zip.Deflater
+    def jdkDeflate(t: String): Long = {
+      val d = new Deflater(6, true)
+      d.setInput(t.getBytes(java.nio.charset.StandardCharsets.UTF_8)); d.finish()
+      val buf = new Array[Byte](8192)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      d.end(); n
+    }
+    val spam = "spam ham " * 200
+    val prose = docs.limit(1).select("text").as[String].head()
+    val cases = Seq(spam, prose, "", "caf\u00e9")
+    val out = TextOps.compressionSignal(
+        cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text"),
+        "id", "text")
+      .orderBy("id").collect()
+    // expression output == the JDK codec run driver-side (same zlib build)
+    cases.zip(out).foreach { case (t, r) =>
+      assert(r.getAs[Long]("n_deflate") == jdkDeflate(t))
+      assert(r.getAs[Long]("n_bytes") ==
+        t.getBytes(java.nio.charset.StandardCharsets.UTF_8).length)
+    }
+    // multibyte: 4 chars, 5 UTF-8 bytes
+    assert(out(3).getAs[Long]("n_bytes") == 5L)
+    // empty text: framing bytes > 0 but ratio pinned to 0
+    assert(out(2).getAs[Long]("n_deflate") > 0L)
+    assert(out(2).getAs[Long]("ratio_ppm") == 0L)
+    // the signal separates the tails by an order of magnitude
+    val spamR = out(0).getAs[Long]("ratio_ppm")
+    val proseR = out(1).getAs[Long]("ratio_ppm")
+    assert(spamR < 50000L, s"spam ratio $spamR")
+    assert(proseR > 300000L && proseR < 1000000L, s"prose ratio $proseR")
+    // gate: both bounds bind on the planted corpus
+    val gated = TextOps.compressionGate(
+      graft.VerifyTables.compressionCorpus(spark, "/root/testdata/sf0.001"),
+      "id", "text", minPpm = 100000L, maxPpm = 950000L)
+    val byRange = gated.withColumn("bucket",
+        when(col("id") >= 500000L, "multi")
+          .when(col("id") >= 400000L, "blob")
+          .when(col("id") >= 300000L, "spam")
+          .otherwise("doc"))
+      .groupBy("bucket", "kept").count().collect()
+      .map(r => (r.getString(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    assert(!byRange.contains(("spam", true)) && byRange(("spam", false)) > 0)
+    assert(!byRange.contains(("blob", true)) && byRange(("blob", false)) > 0)
+    assert(byRange(("doc", true)) > 0)
+    // the multibyte plant is ordinary prose plus a suffix — it survives
+    assert(byRange(("multi", true)) > 0)
+  }
+
   test("MinHash-LSH finds every brute-force Jaccard≥0.7 pair (no false negatives at high sim)") {
     val brute = DedupOps.bruteForceJaccardPairs(dupCorpus, "doc_id", "text", threshold = 0.7)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
