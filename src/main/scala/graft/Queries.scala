@@ -1544,6 +1544,41 @@ object Queries {
         .orderBy("vec_id")
     }),
 
+    // ---- composed curation: SemDeDup — k-means clusters scope EXACT
+    //      cosine pairing (no LSH), CC over ≥0.95 pairs, keep-one. The
+    //      planted corpus both engines rebuild identically: exact copies
+    //      of every 7th vec (cos exactly 1e6), second copies of every
+    //      21st (transitivity: triangle components), and a dim0+0.25
+    //      perturbed copy of every 11th (cos ~968k-975k on this
+    //      unit-norm corpus — binds the non-identical near-dup branch;
+    //      natural max pairwise cosine is ~513k, so margins to the
+    //      950000 threshold exceed 18k ppm on every side). The oracle
+    //      replays the kmeans ladder (shared CTE, src=aug), the
+    //      within-cluster pairing, the 1e-6-grain cosine and the
+    //      recursive-CTE reachability, all independently.
+    "q_semdedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      def cp(mod: Int, off: Long, perturb: Boolean) = {
+        val base = emb.filter(col("vec_id") % mod === 0)
+        val vec =
+          if (!perturb) transform(col("embedding"), x => x.cast("double"))
+          else concat(
+            array(element_at(col("embedding"), 1).cast("double") + 0.25),
+            transform(slice(col("embedding"), 2, 63), x => x.cast("double")))
+        base.select((col("vec_id") + off).as("vec_id"), vec.as("embedding"))
+      }
+      val aug = emb
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+        .unionByName(cp(7, 100000L, perturb = false))
+        .unionByName(cp(21, 200000L, perturb = false))
+        .unionByName(cp(11, 300000L, perturb = true))
+      SimilarityOps.semDedup(aug, "vec_id", "embedding",
+          k = 4, iters = 2, threshold = 0.95)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
+    }),
+
     // ---- corpus distribution report: exact token-count percentiles via
     //      the bounded value histogram — no corpus-sized sort anywhere
     //      (integral percentile_disc: smallest v with cum·100 ≥ pct·n)
@@ -1916,6 +1951,41 @@ object Queries {
     // integral k-means: the same quantize + 2-round Lloyd ladder replayed
     // in pure integer arithmetic (round_even ≡ bround, // ≡ DIV)
     "q_kmeans" -> kmeansSql(4, 2),
+    // SemDeDup: identical planted corpus (float->double casts exact in
+    // both engines), kmeans ladder over src=aug, within-cluster exact
+    // pairing at the 1e-6 cosine grain, recursive reachability, keep
+    // min-id. Fully independent replay — no dumps.
+    "q_semdedup" ->
+      s"""WITH RECURSIVE aug AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
+         |    FROM embeddings WHERE vec_id % 7 = 0
+         |  UNION ALL SELECT vec_id + 200000, CAST(embedding AS DOUBLE[])
+         |    FROM embeddings WHERE vec_id % 21 = 0
+         |  UNION ALL SELECT vec_id + 300000,
+         |      list_concat([CAST(embedding[1] AS DOUBLE) + 0.25],
+         |                  CAST(embedding[2:] AS DOUBLE[]))
+         |    FROM embeddings WHERE vec_id % 11 = 0),
+         |${kmeansCtes(4, 2, src = "aug")},
+         |cl AS (SELECT id, cluster FROM afin
+         |       QUALIFY count(*) OVER (PARTITION BY cluster) <= 5000),
+         |pr AS (SELECT l.id AS id_a, r.id AS id_b
+         |  FROM cl l JOIN cl r ON l.cluster = r.cluster AND l.id < r.id
+         |  JOIN aug va ON va.vec_id = l.id JOIN aug vb ON vb.vec_id = r.id
+         |  WHERE round(list_cosine_similarity(va.embedding, vb.embedding)
+         |              * 1000000) >= 950000),
+         |sym AS (SELECT id_a AS x, id_b AS y FROM pr
+         |        UNION SELECT id_b, id_a FROM pr),
+         |reach AS (
+         |  SELECT x, x AS r FROM (SELECT DISTINCT x FROM sym)
+         |  UNION
+         |  SELECT sym.x, reach.r FROM sym JOIN reach ON reach.x = sym.y),
+         |lab AS (SELECT x, min(r) AS g FROM reach GROUP BY x)
+         |SELECT a.id AS vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+         |  coalesce(l.g, a.id) AS group_id,
+         |  (coalesce(l.g, a.id) = a.id) AS kept
+         |FROM afin a LEFT JOIN lab l ON a.id = l.x
+         |ORDER BY vec_id""".stripMargin,
     // cluster-balanced sampling: the same ladder + the q_stratified_sample
     // permutation-quota replay over the final assignments
     "q_cluster_sample" ->
@@ -3519,7 +3589,8 @@ object Queries {
       |  CAST(coalesce(a.surprise, 0) AS BIGINT) AS surprise
       |FROM d LEFT JOIN agg a USING (doc_id))""".stripMargin
 
-  private def kmeansCtes(k: Int, iters: Int, scale: Long = 1000000L): String = {
+  private def kmeansCtes(k: Int, iters: Int, scale: Long = 1000000L,
+      src: String = "embeddings"): String = {
     def assign(name: String, cents: String): String =
       s"""$name AS (SELECT id, cid AS cluster FROM (
          |  SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
@@ -3534,7 +3605,7 @@ object Queries {
     s"""q AS (SELECT vec_id AS id,
        |    generate_subscripts(embedding, 1) - 1 AS dim,
        |    CAST(round_even(CAST(unnest(embedding) AS DOUBLE) * $scale, 0) AS BIGINT) AS v
-       |  FROM embeddings),
+       |  FROM $src),
        |ids AS (SELECT DISTINCT id FROM q ORDER BY id LIMIT $k),
        |ini AS (SELECT id, CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid
        |        FROM ids),

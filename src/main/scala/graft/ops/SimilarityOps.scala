@@ -407,4 +407,50 @@ object SimilarityOps {
     expl.unpersist()
     out
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup as
+    * ONE composed job: k-means cluster the embedding corpus, pair
+    * documents ONLY within a cluster with EXACT cosine (no LSH — the
+    * cluster scoping is the scale trick: pairing cost drops from O(n²)
+    * to O(k·(n/k)²), and k grows with the corpus so n/k stays a
+    * constant-sized cell), connected-components over the ≥threshold
+    * pairs, keep the min-id representative per semantic group.
+    *
+    * Scale shape: [[kmeansLloyd]]'s broadcast-centroid assignment, then
+    * the within-cluster self-join moves only (id, cluster) — ~16 B/row —
+    * through the shared hot-bucket guard ([[DedupOps.guardedSelfJoin]]:
+    * a degenerate cluster larger than `maxClusterSize` is dropped from
+    * PAIRING, logged by size, its rows still emitted as singletons —
+    * at crawl scale that cluster signals k too small, not a sort bomb);
+    * dense vectors re-attach to surviving candidates only. Cosine is
+    * compared at the 1e-6 rounding grain (the embeddingDupPairs
+    * convention) so an independent engine reproduces the exact pair set.
+    *
+    * Returns every input row: (id, cluster, group_id, kept) — cluster =
+    * k-means cell, group_id = semantic-duplicate component label (own id
+    * if unique), kept = is the representative. Known SemDeDup property:
+    * near-dups split across cluster boundaries are not paired — the
+    * recall/cost trade the paper makes explicit. */
+  def semDedup(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int = 4, iters: Int = 2, threshold: Double = 0.95,
+      maxClusterSize: Int = 5000): DataFrame = {
+    val v = vecs.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+    val assign = kmeansLloyd(vecs, idCol, vecCol, k, iters)
+    val banded = assign.select(col("id"), lit(0).as("band"),
+      col("cluster").as("chunk"))
+    val cand = DedupOps.attachPayloads(
+      DedupOps.guardedSelfJoin(banded, Seq.empty, maxClusterSize),
+      v, "id", Seq("vec"))
+    val thresholdMicros = math.round(threshold * 1e6)
+    val pairs = cand
+      .withColumn("cos_x1e6",
+        round(cosine(col("vec_a"), col("vec_b")) * 1e6).cast("long"))
+      .filter(col("cos_x1e6") >= thresholdMicros)
+      .select("id_a", "id_b")
+    val labels = DedupOps.connectedComponents(assign.select("id"), "id", pairs)
+    assign
+      .join(labels.withColumnRenamed("cluster_id", "group_id"), Seq("id"))
+      .withColumn("kept", col("id") === col("group_id"))
+  }
 }

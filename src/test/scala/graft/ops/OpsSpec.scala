@@ -963,6 +963,39 @@ class OpsSpec extends AnyFunSuite {
     assert(t == Map(1L -> 0L, 3L -> 0L, 2L -> 1L), t.toString)
   }
 
+  test("semDedup: within-cluster pairing, transitive groups, keep-min-id, cluster-size guard") {
+    // two well-separated direction blobs (ids interleaved so kmeans init
+    // — the two smallest ids — seeds one centroid per blob), plus planted
+    // duplicates inside blob A: 10,11 = exact copies of 1 (triangle),
+    // 12 = near copy of 3 (cos ~0.994); no cross-blob cosine reaches 0.95
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f)), (3L, Array(0.6f, 0.8f)), (5L, Array(0.0f, 1.0f)),
+      (2L, Array(-1.0f, 0.0f)), (4L, Array(-0.6f, -0.8f)), (6L, Array(0.0f, -1.0f)),
+      (10L, Array(1.0f, 0.0f)), (11L, Array(1.0f, 0.0f)), (12L, Array(0.7f, 0.75f))
+    ).toDF("vec_id", "embedding")
+    val r = SimilarityOps.semDedup(rows, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getBoolean(3)))).toMap
+    assert(r.size == 9, "every input row emitted")
+    // clusters: blobs stay together, copies land with their originals
+    val clA = Set(1L, 3L, 5L, 10L, 11L, 12L).map(r(_)._1)
+    val clB = Set(2L, 4L, 6L).map(r(_)._1)
+    assert(clA.size == 1 && clB.size == 1 && clA != clB)
+    // groups: {1,10,11} merge transitively to min id 1; {3,12} to 3
+    assert(Seq(1L, 10L, 11L).map(r(_)._2).forall(_ == 1L))
+    assert(Seq(3L, 12L).map(r(_)._2).forall(_ == 3L))
+    assert(r(1L)._3 && !r(10L)._3 && !r(11L)._3)
+    assert(r(3L)._3 && !r(12L)._3)
+    // non-dups are their own kept singletons
+    Seq(2L, 4L, 5L, 6L).foreach(i => assert(r(i)._2 == i && r(i)._3))
+    // guard: blob A has 6 members > maxClusterSize=5 — it is dropped from
+    // PAIRING (rows still emitted, all singleton-kept); blob B unaffected
+    val g = SimilarityOps.semDedup(rows, "vec_id", "embedding", k = 2,
+        iters = 2, maxClusterSize = 5)
+      .collect().map(x => x.getLong(0) -> x.getBoolean(3)).toMap
+    assert(g.size == 9 && g.values.forall(identity))
+  }
+
   test("exactQuantiles: matches brute-force percentile_disc on sorted values; duplicates and skew") {
     // skewed multiset with heavy duplication — the histogram path must
     // agree with the definitional sorted-order computation
