@@ -1033,6 +1033,21 @@ object Queries {
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // ---- curation: DSIR-style hashed n-gram importance selection —
+    //      target distribution = the English slice, raw = whole corpus;
+    //      integral smoothed ratio weights over 4096 md5 buckets, doc
+    //      score additive in ratio space (engine-exact surrogate for the
+    //      log-ratio; see TextOps.dsirWeights). minAvgW=440000 BINDS:
+    //      en medians sit ~450k, other languages ~434k, so both gate
+    //      outcomes are populated in every language. Fully independent
+    //      SQL oracle (tokens, bigrams, md5 buckets, add-one ratio,
+    //      score and gate all re-derived).
+    "q_dsir_select" -> ((s, dir) =>
+      TextOps.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+          targetPred = col("lang") === "en", minAvgW = 440000L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // ---- training ops: compressibility gate (RedPajama-v2's
     //      quality-signal family). The live operator runs DeflateSize +
     //      byte count + ppm ratio + both gate bounds over the shared
@@ -2228,6 +2243,35 @@ object Queries {
       "q_fingerprint" ->
         s"""SELECT doc_id, fp
            |FROM read_parquet('${g("fingerprints")}') ORDER BY doc_id""".stripMargin,
+      // DSIR selection: tokens, bigram construction, md5-prefix buckets,
+      // add-one integral ratio weights, the additive score and the gate
+      // all re-derived from the documents parquet — fully independent
+      "q_dsir_select" ->
+        s"""WITH d AS (SELECT doc_id AS id, text, (lang = 'en') AS tgt FROM documents),
+           |tok AS (SELECT id, tgt,
+           |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS ts
+           |  FROM d),
+           |uni AS (SELECT id, tgt, unnest(ts) AS f FROM tok),
+           |bi AS (SELECT id, tgt,
+           |    unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS f
+           |  FROM tok),
+           |feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+           |fb AS (SELECT id, tgt,
+           |    CAST('0x' || substring(md5(f),1,4) AS INTEGER) % 4096 AS bucket
+           |  FROM feats),
+           |bt AS (SELECT bucket, count(*) AS cr,
+           |    count(*) FILTER (WHERE tgt) AS ct FROM fb GROUP BY bucket),
+           |w AS (SELECT bucket, (ct+1)*1000000 // (cr+1) AS w FROM bt),
+           |pd AS (SELECT id, bucket, count(*) AS c FROM fb GROUP BY id, bucket),
+           |sc AS (SELECT id, sum(c*w) AS score, sum(c) AS n_feats
+           |  FROM pd JOIN w USING (bucket) GROUP BY id)
+           |SELECT d.id AS doc_id,
+           |  CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
+           |  CAST(coalesce(sc.score, 0) AS BIGINT) AS score,
+           |  (coalesce(sc.n_feats, 0) > 0 AND
+           |   coalesce(sc.score, 0) >= coalesce(sc.n_feats, 0) * 440000) AS kept
+           |FROM d LEFT JOIN sc ON d.id = sc.id
+           |ORDER BY doc_id""".stripMargin,
       // compressibility gate: the identical planted corpus is rebuilt
       // here (repeat/md5/base64/chr all cross-engine exact), n_bytes
       // re-derived as strlen (DuckDB strlen counts UTF-8 BYTES — the

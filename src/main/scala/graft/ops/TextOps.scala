@@ -674,6 +674,57 @@ object TextOps {
     pmod(conv(substring(md5(token), 1, 4), 16, 10).cast("long"),
       lit(nBuckets.toLong))
 
+  /** DSIR-style hashed n-gram importance weights (Xie et al. 2023,
+    * arXiv:2302.03169): featurize every doc as hashed uni+bigram counts
+    * over `nBuckets` bins, estimate the target distribution from the
+    * `targetPred` docs and the raw distribution from the whole corpus,
+    * and score each doc by how target-like its features are. Kept
+    * ENGINE-EXACT: the per-bucket weight is the integral smoothed ratio
+    * `w_b = (ct_b + 1)·scale DIV (cr_b + 1)` and the doc score is
+    * `Σ count_b · w_b` — additive in RATIO space rather than DSIR's
+    * log-ratio space (logs are transcendental; engines disagree at ulp),
+    * same hashed-feature family and add-one estimator. target ⊆ raw
+    * gives w_b ≤ scale, so the long arithmetic cannot overflow for any
+    * real document. The doc-independent normalizers (T+m)/(R+m) are
+    * rank-neutral and omitted.
+    *
+    * Scale shape: one explode pass; per-bucket totals are a payload-free
+    * m-row agg; the m-row weight table broadcasts BACK into the map-side
+    * score join (m is a fixed constant, never corpus-sized — the one
+    * forced broadcast this file allows); the per-doc score is one
+    * partial-aggregated groupBy(id). `kept` gates on the integral
+    * per-feature mean: score ≥ minAvgW · n_feats. Docs with no features
+    * emit (0, 0, false). */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, minAvgW: Long, nBuckets: Int = 4096,
+      scale: Long = 1000000L): DataFrame = {
+    require(nBuckets >= 2 && scale >= 1000L && minAvgW >= 0L,
+      s"bad nBuckets/scale/minAvgW: $nBuckets/$scale/$minAvgW")
+    val toks = tokens(col(textCol))
+    val bigrams = when(size(toks) > 1,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val fb = df.select(col(idCol).cast("long").as("id"), targetPred.as("__t"),
+        explode(concat(toks, bigrams)).as("f"))
+      .select(col("id"), col("__t"), md5Bucket(col("f"), nBuckets).as("bucket"))
+    val weights = fb.groupBy("bucket")
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("ct"))
+      .select(col("bucket"), expr(s"(ct + 1) * $scale DIV (cr + 1)").as("w"))
+    val scored = fb.groupBy("id", "bucket").agg(count(lit(1)).as("c"))
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy("id")
+      .agg(sum(col("c") * col("w")).as("score"), sum(col("c")).as("n_feats"))
+    df.select(col(idCol).cast("long").as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("score"), lit(0L)).as("score"))
+      .withColumn("kept",
+        col("n_feats") > 0 && col("score") >= col("n_feats") * minAvgW)
+  }
+
   /** Inverted-index postings `(bucket, token, id)` — the searchable
     * corpus artifact (the text-retrieval analog of the persisted LSH band
     * index): distinct per-doc tokens, with tokens over `maxDf` dropped at

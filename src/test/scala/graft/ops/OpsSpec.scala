@@ -963,6 +963,35 @@ class OpsSpec extends AnyFunSuite {
     assert(t == Map(1L -> 0L, 3L -> 0L, 2L -> 1L), t.toString)
   }
 
+  test("dsirWeights: target features score high, bigram order matters, empty doc, feature count") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma", true), (2L, "alpha beta delta", true),
+      (3L, "omega psi chi", false), (4L, "omega psi phi", false),
+      (5L, "beta alpha gamma", false), // same unigrams as 1, reversed bigrams
+      (6L, "", false)
+    ).toDF("doc_id", "text", "is_tgt")
+    val r = TextOps.dsirWeights(corpus, "doc_id", "text", col("is_tgt"),
+        minAvgW = 500000L)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getBoolean(3)))).toMap
+    assert(r.size == 6)
+    // n_feats = tokens + bigrams = 2*len - 1
+    assert(r(1L)._1 == 5 && r(3L)._1 == 5)
+    // empty doc: no features, never kept
+    assert(r(6L) == ((0L, 0L, false)))
+    // target-vocab docs outscore non-target-vocab docs per feature
+    def avg(id: Long) = r(id)._2.toDouble / r(id)._1
+    assert(avg(1L) > avg(3L) && avg(2L) > avg(4L))
+    // doc 5 shares doc 1's unigrams but reversed bigrams — the bigram
+    // buckets differ, so the scores differ (bigrams genuinely contribute)
+    assert(r(5L)._2 != r(1L)._2)
+    // the gate binds both ways at 500000 on this corpus
+    assert(r(1L)._3 && r(2L)._3 && !r(3L)._3 && !r(4L)._3)
+    // weight bound: target ⊆ raw ⟹ every per-bucket weight ≤ scale,
+    // so score ≤ n_feats · scale
+    r.values.foreach { case (nf, sc, _) => assert(sc <= nf * 1000000L) }
+  }
+
   test("semDedup: within-cluster pairing, transitive groups, keep-min-id, cluster-size guard") {
     // two well-separated direction blobs (ids interleaved so kmeans init
     // — the two smallest ids — seeds one centroid per blob), plus planted
