@@ -1033,6 +1033,38 @@ object Queries {
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // ---- curation: the full Gopher/MassiveWeb rule gate, one boolean
+    //      per rule (auditable). The corpus is single-line 10-99-word
+    //      docs, so ok_word_count and ok_stopwords bind naturally (half
+    //      the corpus is under 50 words; non-English docs lack the
+    //      stopword list) and three plants bind the line-shaped rules:
+    //      bullet spam (every 9th — fails bullet + dup-line rules),
+    //      digit salad (every 11th — fails alpha + stopwords),
+    //      ellipsis spam (every 13th — fails ellipsis-line + symbol +
+    //      dup-line rules), clean prose (every 7th — passes ALL rules,
+    //      binding keep=true: the NATURAL corpus is keyword soup that
+    //      the stopword rule correctly rejects, exactly the doc class
+    //      Gopher's rule targets), and paragraph spam (every 17th —
+    //      fails the dup-paragraph rules). Fully independent SQL
+    //      oracle: every rule is an integer cross-multiplication
+    //      re-derived from the rebuilt corpus.
+    "q_gopher_gate" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+      def plant(mod: Int, off: Long, body: String, n: Int) =
+        d.filter(col("id") % mod === 0)
+          .select((col("id") + off).as("id"), repeat(lit(body), n).as("text"))
+      val aug = d
+        .unionByName(plant(9, 300000L, "- buy now great deal\n", 60))
+        .unionByName(plant(11, 400000L, "1234 5678 9012 3456 ", 15))
+        .unionByName(plant(13, 500000L, "and the story continues to be good...\n", 12))
+        .unionByName(plant(7, 200000L,
+          "the data of this page seems to be useful and that is why we have kept it with care ", 4))
+        .unionByName(plant(17, 600000L, "good paragraph with the best of stories\n\n", 8))
+      TextOps.gopherRules(aug, "id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ---- curation: DSIR-style hashed n-gram importance selection —
     //      target distribution = the English slice, raw = whole corpus;
     //      integral smoothed ratio weights over 4096 md5 buckets, doc
@@ -2243,6 +2275,76 @@ object Queries {
       "q_fingerprint" ->
         s"""SELECT doc_id, fp
            |FROM read_parquet('${g("fingerprints")}') ORDER BY doc_id""".stripMargin,
+      // Gopher gate: identical planted corpus (repeat is cross-engine
+      // exact), every rule re-derived as integer cross-multiplications
+      // over DuckDB's list algebra — fully independent, no dumps
+      "q_gopher_gate" ->
+        s"""WITH d AS (SELECT doc_id AS id, text FROM documents),
+           |aug AS (
+           |  SELECT id, text FROM d
+           |  UNION ALL SELECT id + 300000, repeat('- buy now great deal' || chr(10), 60)
+           |    FROM d WHERE id % 9 = 0
+           |  UNION ALL SELECT id + 400000, repeat('1234 5678 9012 3456 ', 15)
+           |    FROM d WHERE id % 11 = 0
+           |  UNION ALL SELECT id + 500000,
+           |      repeat('and the story continues to be good...' || chr(10), 12)
+           |    FROM d WHERE id % 13 = 0
+           |  UNION ALL SELECT id + 200000,
+           |      repeat('the data of this page seems to be useful and that is why we have kept it with care ', 4)
+           |    FROM d WHERE id % 7 = 0
+           |  UNION ALL SELECT id + 600000,
+           |      repeat('good paragraph with the best of stories' || chr(10) || chr(10), 8)
+           |    FROM d WHERE id % 17 = 0),
+           |f AS (SELECT id, text,
+           |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS ts,
+           |    list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ls,
+           |    list_filter(string_split(text, chr(10) || chr(10)), p -> trim(p) <> '') AS ps
+           |  FROM aug),
+           |m AS (SELECT id,
+           |    CAST(len(ts) AS BIGINT) AS nw,
+           |    CAST(coalesce(list_sum(list_transform(ts, x -> length(x))), 0) AS BIGINT) AS sumlen,
+           |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS nhash,
+           |    CAST((length(text) - length(replace(text, '...', ''))) // 3
+           |         + (length(text) - length(replace(text, '…', ''))) AS BIGINT) AS nell,
+           |    CAST(len(ls) AS BIGINT) AS nl,
+           |    CAST(len(list_distinct(ls)) AS BIGINT) AS ndl,
+           |    CAST(len(list_filter(ls, l -> starts_with(trim(l), '- ')
+           |      OR starts_with(trim(l), '* ') OR starts_with(trim(l), '• '))) AS BIGINT) AS nbul,
+           |    CAST(len(list_filter(ls, l -> ends_with(rtrim(l), '...')
+           |      OR ends_with(rtrim(l), '…'))) AS BIGINT) AS nellend,
+           |    CAST(len(list_filter(ts, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS nalpha,
+           |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+           |      s -> list_contains(list_transform(ts, w -> lower(w)), s))) AS BIGINT) AS nstop,
+           |    CAST(coalesce(list_sum(list_transform(list_distinct(ls),
+           |      d2 -> CASE WHEN len(list_filter(ls, x -> x = d2)) > 1
+           |            THEN len(list_filter(ls, x -> x = d2)) * length(d2) ELSE 0 END)), 0) AS BIGINT) AS duplc,
+           |    CAST(coalesce(list_sum(list_transform(ls, l -> length(l))), 0) AS BIGINT) AS totlc,
+           |    CAST(len(ps) AS BIGINT) AS np,
+           |    CAST(len(list_distinct(ps)) AS BIGINT) AS ndp,
+           |    CAST(coalesce(list_sum(list_transform(list_distinct(ps),
+           |      d2 -> CASE WHEN len(list_filter(ps, x -> x = d2)) > 1
+           |            THEN len(list_filter(ps, x -> x = d2)) * length(d2) ELSE 0 END)), 0) AS BIGINT) AS duppc,
+           |    CAST(coalesce(list_sum(list_transform(ps, p -> length(p))), 0) AS BIGINT) AS totpc
+           |  FROM f),
+           |r AS (SELECT id AS doc_id, nw AS n_words,
+           |    (nw >= 50 AND nw <= 100000) AS ok_word_count,
+           |    (nw * 3 <= sumlen AND sumlen <= nw * 10) AS ok_mean_word_len,
+           |    ((nhash + nell) * 10 <= nw) AS ok_symbol_ratio,
+           |    (nbul * 10 <= nl * 9) AS ok_bullet_lines,
+           |    (nellend * 10 <= nl * 3) AS ok_ellipsis_lines,
+           |    (nalpha * 5 >= nw * 4) AS ok_alpha_words,
+           |    (nstop >= 2) AS ok_stopwords,
+           |    ((nl - ndl) * 10 <= nl * 3) AS ok_dup_lines,
+           |    ((np - ndp) * 10 <= np * 3) AS ok_dup_paras,
+           |    (duplc * 5 <= totlc) AS ok_dup_line_chars,
+           |    (duppc * 5 <= totpc) AS ok_dup_para_chars
+           |  FROM m)
+           |SELECT *,
+           |  (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
+           |   AND ok_bullet_lines AND ok_ellipsis_lines AND ok_alpha_words
+           |   AND ok_stopwords AND ok_dup_lines AND ok_dup_paras
+           |   AND ok_dup_line_chars AND ok_dup_para_chars) AS keep
+           |FROM r ORDER BY doc_id""".stripMargin,
       // DSIR selection: tokens, bigram construction, md5-prefix buckets,
       // add-one integral ratio weights, the additive score and the gate
       // all re-derived from the documents parquet — fully independent

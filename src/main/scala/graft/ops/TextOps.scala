@@ -674,6 +674,77 @@ object TextOps {
     pmod(conv(substring(md5(token), 1, 4), 16, 10).cast("long"),
       lit(nBuckets.toLong))
 
+  /** The Gopher / MassiveWeb quality rule set (Rae et al. 2021, App. A)
+    * as ONE map-only pass with a boolean PER RULE — auditable, so a
+    * curation report can say which rule killed a doc, not just that one
+    * did. Every ratio threshold is an integer cross-multiplication
+    * (mean word length in [3,10] ⟺ 3·n ≤ Σlen ≤ 10·n), so both engines
+    * compare exact integers — no float ratio ever exists.
+    *
+    * Rules: word count in [50, 100 000]; mean word length in [3, 10];
+    * (# + ellipsis) ≤ 10% of words; ≤90% of lines bullet-started; ≤30%
+    * of lines ellipsis-ended; ≥80% of words contain a letter; ≥2
+    * distinct English stopwords (lowercased membership); duplicate-line
+    * / duplicate-paragraph fraction ≤30%; characters inside duplicated
+    * lines / paragraphs ≤20%. The within-doc duplicate char fractions
+    * are O(distinct·total) HOF algebra per doc — bounded by document
+    * size, never a shuffle. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val ts = tokens(t)
+    val nWords = size(ts).cast("long")
+    val sumLen = coalesce(
+      aggregate(ts, lit(0L), (a, w) => a + length(w)), lit(0L))
+    val nHash = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
+    val nEll =
+      (((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3) +
+        (length(t) - length(regexp_replace(t, "…", "")))).cast("long")
+    val lines = filter(split(t, "\n"), l => trim(l) =!= "")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, l =>
+      trim(l).startsWith("- ") || trim(l).startsWith("* ") ||
+        trim(l).startsWith("• "))).cast("long")
+    val nEllEnd = size(filter(lines, l =>
+      rtrim(l).endsWith("...") || rtrim(l).endsWith("…"))).cast("long")
+    val nAlpha = size(filter(ts, w => w.rlike("[A-Za-z]"))).cast("long")
+    val stops = array(Seq("the", "be", "to", "of", "and", "that", "have",
+      "with").map(lit): _*)
+    val tsLower = transform(ts, w => lower(w))
+    val stopHits = size(filter(stops, s_ => array_contains(tsLower, s_))).cast("long")
+    // duplicate stats over an array: (n, n_distinct, dup_chars, total_chars)
+    def dupStats(arr: Column): (Column, Column, Column, Column) = {
+      val per = transform(array_distinct(arr), d =>
+        struct(size(filter(arr, x => x === d)).cast("long").as("c"),
+          length(d).cast("long").as("len")))
+      (size(arr).cast("long"), size(array_distinct(arr)).cast("long"),
+        coalesce(aggregate(per, lit(0L),
+          (a, s_) => a + when(s_("c") > 1, s_("c") * s_("len")).otherwise(0L)), lit(0L)),
+        coalesce(aggregate(per, lit(0L),
+          (a, s_) => a + s_("c") * s_("len")), lit(0L)))
+    }
+    val (nL, ndL, dupLC, totLC) = dupStats(lines)
+    val paras = filter(split(t, "\n\n"), p => trim(p) =!= "")
+    val (nP, ndP, dupPC, totPC) = dupStats(paras)
+    df.select(col(idCol), nWords.as("n_words"),
+        (nWords >= 50 && nWords <= 100000).as("ok_word_count"),
+        (nWords * 3 <= sumLen && sumLen <= nWords * 10).as("ok_mean_word_len"),
+        ((nHash + nEll) * 10 <= nWords).as("ok_symbol_ratio"),
+        (nBullet * 10 <= nLines * 9).as("ok_bullet_lines"),
+        (nEllEnd * 10 <= nLines * 3).as("ok_ellipsis_lines"),
+        (nAlpha * 5 >= nWords * 4).as("ok_alpha_words"),
+        (stopHits >= 2).as("ok_stopwords"),
+        ((nL - ndL) * 10 <= nL * 3).as("ok_dup_lines"),
+        ((nP - ndP) * 10 <= nP * 3).as("ok_dup_paras"),
+        (dupLC * 5 <= totLC).as("ok_dup_line_chars"),
+        (dupPC * 5 <= totPC).as("ok_dup_para_chars"))
+      .withColumn("keep",
+        col("ok_word_count") && col("ok_mean_word_len") &&
+          col("ok_symbol_ratio") && col("ok_bullet_lines") &&
+          col("ok_ellipsis_lines") && col("ok_alpha_words") &&
+          col("ok_stopwords") && col("ok_dup_lines") && col("ok_dup_paras") &&
+          col("ok_dup_line_chars") && col("ok_dup_para_chars"))
+  }
+
   /** DSIR-style hashed n-gram importance weights (Xie et al. 2023,
     * arXiv:2302.03169): featurize every doc as hashed uni+bigram counts
     * over `nBuckets` bins, estimate the target distribution from the

@@ -963,6 +963,41 @@ class OpsSpec extends AnyFunSuite {
     assert(t == Map(1L -> 0L, 3L -> 0L, 2L -> 1L), t.toString)
   }
 
+  test("gopherRules: each rule binds on a targeted violation; clean doc passes all") {
+    val clean = ("the quick brown fox jumps over the lazy dog and then " +
+      "rests with a calm mind beside the old river bank watching boats " +
+      "drift past while children play games that have simple rules and " +
+      "everyone laughs at the warm sunny afternoon full of joy today now " +
+      "because good weather makes every single moment feel light and easy")
+    val cases = Seq(
+      (1L, clean),                                             // passes all
+      (2L, "too short to be kept with these few words"),       // word count
+      (3L, ("a " * 60).trim),                                  // mean word len < 3
+      (4L, Array.fill(60)("#tag").mkString(" ")),              // symbol ratio (+alpha ok)
+      (5L, Array.fill(20)("- item with the best offers of all time").mkString("\n")), // bullets+dups
+      (6L, Array.fill(20)("the story continues to be told with more...").mkString("\n")), // ellipsis lines
+      (7L, Array.fill(60)("12345").mkString(" ")),             // alpha words
+      (8L, Array.fill(60)("zebra").mkString(" ")),             // stopwords < 2
+      (9L, "")                                                 // empty
+    ).toDF("doc_id", "text")
+    val r = TextOps.gopherRules(cases, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    def ok(id: Long, colName: String) =
+      r(id).getAs[Boolean](colName)
+    assert(r(1L).getAs[Boolean]("keep"), r(1L).toString)
+    assert(!ok(2L, "ok_word_count") && !r(2L).getAs[Boolean]("keep"))
+    assert(!ok(3L, "ok_mean_word_len") && ok(3L, "ok_word_count"))
+    assert(!ok(4L, "ok_symbol_ratio") && ok(4L, "ok_alpha_words"))
+    assert(!ok(5L, "ok_bullet_lines") && !ok(5L, "ok_dup_lines") &&
+      !ok(5L, "ok_dup_line_chars"))
+    assert(!ok(6L, "ok_ellipsis_lines"))
+    assert(!ok(7L, "ok_alpha_words") && !ok(7L, "ok_stopwords"))
+    assert(!ok(8L, "ok_stopwords") && ok(8L, "ok_alpha_words"))
+    // empty doc: zero-line rules vacuously pass, word count fails, never kept
+    assert(!ok(9L, "ok_word_count") && ok(9L, "ok_bullet_lines") &&
+      !r(9L).getAs[Boolean]("keep"))
+  }
+
   test("dsirWeights: target features score high, bigram order matters, empty doc, feature count") {
     val corpus = Seq(
       (1L, "alpha beta gamma", true), (2L, "alpha beta delta", true),
