@@ -1033,6 +1033,36 @@ object Queries {
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // ---- tokenizer prep: BPE merge-pair statistics — adjacent char
+    //      pairs over the DISTINCT vocabulary weighted by tf, top-20
+    //      merge candidates (k < #distinct pairs so the cut binds; ties
+    //      by pair ascending through the shared selector). Fully
+    //      independent SQL oracle.
+    "q_bpe_pairs" -> ((s, dir) =>
+      TextOps.bpePairStats(t(s, dir, "documents"), "doc_id", "text", k = 20L)
+        .orderBy("pair")),
+
+    // ---- curation: encoding-damage (mojibake) gate — replacement
+    //      chars, C1 controls, UTF-8-as-Latin-1 digraphs, one integral
+    //      count per damage class. Plants (built identically in both
+    //      engines via chr()): a Ã©-digraph variant (every 10th), a
+    //      U+FFFD variant (every 15th), a C1-NEL variant (every 12th);
+    //      the natural corpus is clean, so the gate binds both ways.
+    "q_mojibake_gate" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+      def plant(mod: Int, off: Long, suffix: String) =
+        d.filter(col("id") % mod === 0)
+          .select((col("id") + off).as("id"),
+            concat(col("text"), lit(suffix)).as("text"))
+      val aug = d
+        .unionByName(plant(10, 300000L, " caf\u00C3\u00A9 it\u00E2\u20AC\u2122s"))
+        .unionByName(plant(15, 400000L, " lost\uFFFDchar"))
+        .unionByName(plant(12, 500000L, " nel\u0085break"))
+      TextOps.encodingDamage(aug, "id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ---- curation: the full Gopher/MassiveWeb rule gate, one boolean
     //      per rule (auditable). The corpus is single-line 10-99-word
     //      docs, so ok_word_count and ok_stopwords bind naturally (half
@@ -2275,6 +2305,51 @@ object Queries {
       "q_fingerprint" ->
         s"""SELECT doc_id, fp
            |FROM read_parquet('${g("fingerprints")}') ORDER BY doc_id""".stripMargin,
+      // BPE merge pairs: vocab tf, adjacent-char-pair explode, weighted
+      // counts and the top-20 cut (ties by pair) all re-derived — fully
+      // independent
+      "q_bpe_pairs" ->
+        s"""WITH tok AS (SELECT
+           |    unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+           |                       x -> x <> '')) AS token
+           |  FROM documents),
+           |v AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+           |p AS (SELECT unnest(list_transform(range(1, length(token)),
+           |        i -> substring(token, CAST(i AS INT), 2))) AS pair, tf
+           |      FROM v),
+           |pc AS (SELECT pair, CAST(sum(tf) AS BIGINT) AS pair_count
+           |       FROM p GROUP BY pair),
+           |top AS (SELECT pair, pair_count,
+           |    row_number() OVER (ORDER BY pair_count DESC, pair) AS rn FROM pc)
+           |SELECT pair, substring(pair, 1, 1) AS lhs,
+           |  substring(pair, 2, 1) AS rhs, pair_count
+           |FROM top WHERE rn <= 20 ORDER BY pair""".stripMargin,
+      // mojibake gate: identical plants and the identical RE2 patterns,
+      // both built from chr() so the SQL stays ASCII — fully independent
+      "q_mojibake_gate" ->
+        s"""WITH d AS (SELECT doc_id AS id, text FROM documents),
+           |aug AS (
+           |  SELECT id, text FROM d
+           |  UNION ALL SELECT id + 300000,
+           |      text || ' caf' || chr(195) || chr(169) || ' it' ||
+           |      chr(226) || chr(8364) || chr(8482) || 's'
+           |    FROM d WHERE id % 10 = 0
+           |  UNION ALL SELECT id + 400000, text || ' lost' || chr(65533) || 'char'
+           |    FROM d WHERE id % 15 = 0
+           |  UNION ALL SELECT id + 500000, text || ' nel' || chr(133) || 'break'
+           |    FROM d WHERE id % 12 = 0),
+           |m AS (SELECT id,
+           |    CAST(len(regexp_extract_all(text, chr(65533))) AS BIGINT) AS n_replacement,
+           |    CAST(len(regexp_extract_all(text,
+           |      '[' || chr(128) || '-' || chr(159) || ']')) AS BIGINT) AS n_c1,
+           |    CAST(len(regexp_extract_all(text,
+           |      chr(195) || '[' || chr(128) || '-' || chr(191) || ']|' ||
+           |      chr(194) || '[' || chr(160) || '-' || chr(191) || ']|' ||
+           |      chr(226) || chr(8364) || '.')) AS BIGINT) AS n_mojibake
+           |  FROM aug)
+           |SELECT id AS doc_id, n_replacement, n_c1, n_mojibake,
+           |  (n_replacement = 0 AND n_c1 = 0 AND n_mojibake = 0) AS clean
+           |FROM m ORDER BY doc_id""".stripMargin,
       // Gopher gate: identical planted corpus (repeat is cross-engine
       // exact), every rule re-derived as integer cross-multiplications
       // over DuckDB's list algebra — fully independent, no dumps

@@ -796,6 +796,52 @@ object TextOps {
         col("n_feats") > 0 && col("score") >= col("n_feats") * minAvgW)
   }
 
+  /** Encoding-damage (mojibake) detection — the curation gate for text
+    * that survived extraction with broken transcoding: counts of U+FFFD
+    * replacement characters (a decoder already gave up), C1 control
+    * characters U+0080–U+009F (the tell of Windows-1252 bytes decoded as
+    * Latin-1), and the classic UTF-8-read-as-Latin-1 digraph families
+    * (Ã/Â followed by a continuation-range character; the â€¦-style
+    * punctuation triples). Map-only integral counts, `clean` = all three
+    * zero; each count emitted so a report can say WHICH damage class
+    * fired. Patterns are RE2-safe and replayed verbatim in the oracle. */
+  def encodingDamage(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(re: String) =
+      size(regexp_extract_all(t, lit(re), lit(0))).cast("long")
+    df.select(col(idCol),
+        cnt("\uFFFD").as("n_replacement"),
+        cnt("[\u0080-\u009F]").as("n_c1"),
+        cnt("\u00C3[\u0080-\u00BF]|\u00C2[\u00A0-\u00BF]|\u00E2\u20AC.").as("n_mojibake"))
+      .withColumn("clean",
+        col("n_replacement") === 0 && col("n_c1") === 0 && col("n_mojibake") === 0)
+  }
+
+  /** BPE merge-pair statistics (Sennrich et al. 2016, the first merge
+    * iteration — tokenizer-training prep): adjacent CHARACTER pairs,
+    * counted across the corpus weighted by token frequency, top-k merge
+    * candidates out. The pair explode runs over the DISTINCT vocabulary
+    * (a vocab-sized relation — the real BPE implementation trick), never
+    * the raw corpus: a trillion-token corpus contributes exactly one row
+    * per distinct token to the pair scan. Top-k via the shared
+    * bounded-histogram selector (ties by pair ascending); output
+    * `(pair, lhs, rhs, pair_count)` — the merge-table row shape. */
+  def bpePairStats(df: DataFrame, idCol: String, textCol: String,
+      k: Long = 20L): DataFrame = {
+    val vocab = vocabStats(df, idCol, textCol)
+    val pairs = vocab.select(col("tf"),
+        explode(when(length(col("token")) > 1,
+            transform(sequence(lit(1), length(col("token")) - 1),
+              i => col("token").substr(i, lit(2))))
+          .otherwise(array().cast("array<string>"))).as("pair"))
+      .groupBy("pair").agg(sum(col("tf")).as("pair_count"))
+    topKPerStratum(pairs.withColumn("__all", lit(0)),
+        "pair", "__all", col("pair_count"), k)
+      .drop("__all")
+      .select(col("pair"), col("pair").substr(1, 1).as("lhs"),
+        col("pair").substr(2, 1).as("rhs"), col("pair_count"))
+  }
+
   /** Inverted-index postings `(bucket, token, id)` — the searchable
     * corpus artifact (the text-retrieval analog of the persisted LSH band
     * index): distinct per-doc tokens, with tokens over `maxDf` dropped at

@@ -963,6 +963,43 @@ class OpsSpec extends AnyFunSuite {
     assert(t == Map(1L -> 0L, 3L -> 0L, 2L -> 1L), t.toString)
   }
 
+  test("bpePairStats: tf-weighted pair counts over distinct vocab; k cut; single-char tokens") {
+    // "ab ab abc x": vocab ab(tf2) abc(1) x(1); pairs: ab -> ab:2;
+    // abc -> ab:1, bc:1; x -> none. Totals: ab=3, bc=1.
+    val d = Seq((1L, "ab ab abc"), (2L, "x")).toDF("doc_id", "text")
+    val all = TextOps.bpePairStats(d, "doc_id", "text", k = 10L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3)))).toMap
+    assert(all == Map("ab" -> (("a", "b", 3L)), "bc" -> (("b", "c", 1L))))
+    // k=1 keeps only the top pair
+    val top1 = TextOps.bpePairStats(d, "doc_id", "text", k = 1L).collect()
+    assert(top1.length == 1 && top1(0).getString(0) == "ab")
+    // tie at the cut: equal counts break by pair ascending
+    val tie = Seq((1L, "xy zw")).toDF("doc_id", "text")
+    val t1 = TextOps.bpePairStats(tie, "doc_id", "text", k = 1L).collect()
+    assert(t1.length == 1 && t1(0).getString(0) == "xy")
+  }
+
+  test("encodingDamage: each damage class counted separately; clean text passes") {
+    val d = Seq(
+      (1L, "perfectly clean ascii text"),
+      (2L, "two bad� marks� here"),
+      (3L, "nel\u0085break and del-range\u009F"),
+      (4L, "caf\u00C3\u00A9 digraph"),     // the U+00C3 U+00A9 digraph - UTF-8 e-acute read as Latin-1
+      (5L, "it\u00E2\u20AC\u2122s quoted"), // the U+00E2 U+20AC U+2122 triple - Win-1252 misdecode
+      (6L, "real caf\u00E9 is fine")        // genuine é — NOT damage
+    ).toDF("doc_id", "text")
+    val r = TextOps.encodingDamage(d, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getBoolean(4)))).toMap
+    assert(r(1L) == ((0L, 0L, 0L, true)))
+    assert(r(2L) == ((2L, 0L, 0L, false)))
+    assert(r(3L) == ((0L, 2L, 0L, false)))
+    assert(r(4L) == ((0L, 0L, 1L, false)))
+    assert(r(5L) == ((0L, 0L, 1L, false)))
+    assert(r(6L) == ((0L, 0L, 0L, true)), "genuine accented text is not damage")
+  }
+
   test("gopherRules: each rule binds on a targeted violation; clean doc passes all") {
     val clean = ("the quick brown fox jumps over the lazy dog and then " +
       "rests with a calm mind beside the old river bank watching boats " +
