@@ -1033,6 +1033,52 @@ object Queries {
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // ---- curation: contamination overlap FRACTION (the GPT-3
+    //      appendix-C dirtiness grade) — bench = every 97th doc; the
+    //      corpus gains two planted contamination tiers built FROM the
+    //      bench docs (full: bench text + filler -> high ppm; partial:
+    //      first 10 bench tokens + 10 filler tokens -> mid-range ppm
+    //      binding the integral DIV), so the ppm threshold separates
+    //      graded classes instead of a single natural outlier.
+    "q_contamination_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val full = bench.select((col("doc_id") + 700000).as("doc_id"),
+        concat(col("text"), lit(" unrelated filler tokens appended here now")).as("text"))
+      val partial = bench.select((col("doc_id") + 800000).as("doc_id"),
+        concat(concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 10)),
+          lit(" filler alpha beta gamma delta epsilon zeta eta theta iota kappa")).as("text"))
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(full).unionByName(partial)
+      TextOps.contaminationScore(corpus, "doc_id", "text",
+          bench, "text", n = 3, maxPpm = 100000L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // ---- curation: mixed-language detection — paragraph-level langId
+    //      consistency (the CCNet-style filter; boilerplate in one
+    //      language glued to content in another is the classic doc a
+    //      whole-doc language ID misses). The corpus is single-paragraph,
+    //      so two plants bind: a German paragraph appended to every 6th
+    //      doc (mixed unless the base already IDs as de) and a 3-para
+    //      majority plant on every 8th (base, base, German — major_ppm
+    //      binds the integral DIV at 666666).
+    "q_lang_mixed" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+      val p2 = d.filter(col("id") % 6 === 0)
+        .select((col("id") + 300000).as("id"),
+          concat(col("text"), lit("\n\nman sagt es ist und nicht mit der zeit")).as("text"))
+      val p3 = d.filter(col("id") % 8 === 0)
+        .select((col("id") + 400000).as("id"),
+          concat(col("text"), lit("\n\n"), col("text"),
+            lit("\n\nman sagt es ist und nicht mit der zeit")).as("text"))
+      TextOps.langConsistency(d.unionByName(p2).unionByName(p3), "id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ---- tokenizer prep: BPE merge-pair statistics — adjacent char
     //      pairs over the DISTINCT vocabulary weighted by tf, top-20
     //      merge candidates (k < #distinct pairs so the cut binds; ties
@@ -1809,6 +1855,23 @@ object Queries {
   /** Shared by q_decontaminate and q_decontaminate_bloom (identical
     * results by contract — the Bloom path is an exactness-preserving
     * prefilter). */
+  /** The langId rule chain as a DuckDB CASE over an arbitrary string
+    * expression — ONE definition feeds the whole-doc replay (q_lang_id)
+    * and the per-paragraph replay (q_lang_mixed) so the rule order can
+    * never drift between them. Non-interpolated string: the \x{...}
+    * classes stay literal. */
+  private def langIdCaseSql(v: String): String =
+    """CASE
+      |WHEN regexp_matches(V, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+      |WHEN regexp_matches(V, '[\x{0400}-\x{04ff}]') THEN 'ru'
+      |WHEN regexp_matches(V, '[\x{0f00}-\x{0fff}]') THEN 'bo'
+      |WHEN regexp_matches(V, '[\x{0c80}-\x{0cff}]') THEN 'kn'
+      |WHEN regexp_matches(V, ' (der|die|das|und|nicht|mit) ') THEN 'de'
+      |WHEN regexp_matches(V, ' (le|la|les|des|une|est) ') THEN 'fr'
+      |WHEN regexp_matches(V, ' (el|los|las|una|que|con) ') THEN 'es'
+      |WHEN regexp_matches(V, ' (de|het|een|van|met|voor) ') THEN 'nl'
+      |ELSE 'en' END""".stripMargin.replace("V", v)
+
   private val decontaminateSql: String =
     """WITH tok AS (SELECT doc_id,
       |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
@@ -2113,16 +2176,7 @@ object Queries {
         |CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT) AS n_upper
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->
-      """SELECT doc_id, CASE
-        |WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
-        |WHEN regexp_matches(text, '[\x{0400}-\x{04ff}]') THEN 'ru'
-        |WHEN regexp_matches(text, '[\x{0f00}-\x{0fff}]') THEN 'bo'
-        |WHEN regexp_matches(text, '[\x{0c80}-\x{0cff}]') THEN 'kn'
-        |WHEN regexp_matches(text, ' (der|die|das|und|nicht|mit) ') THEN 'de'
-        |WHEN regexp_matches(text, ' (le|la|les|des|une|est) ') THEN 'fr'
-        |WHEN regexp_matches(text, ' (el|los|las|una|que|con) ') THEN 'es'
-        |WHEN regexp_matches(text, ' (de|het|een|van|met|voor) ') THEN 'nl'
-        |ELSE 'en' END AS lang_pred FROM documents ORDER BY doc_id""".stripMargin,
+      s"SELECT doc_id, ${langIdCaseSql("text")} AS lang_pred FROM documents ORDER BY doc_id",
     "q_salted_agg" ->
       "SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id ORDER BY user_id",
     "q_embedding_stats" ->
@@ -2305,6 +2359,72 @@ object Queries {
       "q_fingerprint" ->
         s"""SELECT doc_id, fp
            |FROM read_parquet('${g("fingerprints")}') ORDER BY doc_id""".stripMargin,
+      // contamination fraction: planted two-tier corpus rebuilt from the
+      // bench docs, shingles, semi-join hits, integral ppm and the gate
+      // all re-derived — fully independent
+      "q_contamination_score" ->
+        s"""WITH base AS (SELECT doc_id, text FROM documents),
+           |bencht AS (SELECT doc_id, text FROM base WHERE doc_id % 97 = 0),
+           |corp AS (
+           |  SELECT doc_id, text FROM base WHERE doc_id % 97 <> 0
+           |  UNION ALL SELECT doc_id + 700000,
+           |      text || ' unrelated filler tokens appended here now' FROM bencht
+           |  UNION ALL SELECT doc_id + 800000,
+           |      array_to_string(list_slice(
+           |        list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''),
+           |        1, 10), ' ')
+           |      || ' filler alpha beta gamma delta epsilon zeta eta theta iota kappa'
+           |    FROM bencht),
+           |shc AS (SELECT doc_id,
+           |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+           |    ELSE list_distinct(list_transform(range(0, len(toks) - 2),
+           |      i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))) END AS shs
+           |  FROM (SELECT doc_id,
+           |      list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
+           |    FROM corp)),
+           |shb AS (SELECT
+           |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+           |    ELSE list_distinct(list_transform(range(0, len(toks) - 2),
+           |      i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))) END AS shs
+           |  FROM (SELECT
+           |      list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
+           |    FROM bencht)),
+           |bench AS (SELECT DISTINCT unnest(shs) AS s FROM shb),
+           |c AS (SELECT doc_id, unnest(shs) AS s FROM shc),
+           |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nh FROM c
+           |  WHERE s IN (SELECT s FROM bench) GROUP BY doc_id),
+           |n AS (SELECT doc_id, CAST(len(shs) AS BIGINT) AS n_shingles FROM shc)
+           |SELECT n.doc_id, n.n_shingles,
+           |  CAST(coalesce(h.nh, 0) AS BIGINT) AS n_hits,
+           |  CAST(coalesce(h.nh, 0) * 1000000 // n.n_shingles AS BIGINT) AS overlap_ppm,
+           |  (coalesce(h.nh, 0) * 1000000 // n.n_shingles) > 100000 AS dirty
+           |FROM n LEFT JOIN hits h USING (doc_id) ORDER BY n.doc_id""".stripMargin,
+      // mixed-language: identical plants, the SHARED langId CASE applied
+      // per paragraph, majority by struct max — fully independent
+      "q_lang_mixed" ->
+        s"""WITH d AS (SELECT doc_id AS id, text FROM documents),
+           |aug AS (SELECT id, text FROM d
+           |  UNION ALL SELECT id + 300000,
+           |      text || chr(10) || chr(10) || 'man sagt es ist und nicht mit der zeit'
+           |    FROM d WHERE id % 6 = 0
+           |  UNION ALL SELECT id + 400000,
+           |      text || chr(10) || chr(10) || text || chr(10) || chr(10)
+           |      || 'man sagt es ist und nicht mit der zeit'
+           |    FROM d WHERE id % 8 = 0),
+           |f AS (SELECT id,
+           |    list_filter(string_split(text, chr(10) || chr(10)), p -> trim(p) <> '') AS ps
+           |  FROM aug),
+           |l AS (SELECT id, len(ps) AS np,
+           |    list_transform(ps, p -> ${langIdCaseSql("p")}) AS langs FROM f),
+           |m AS (SELECT id, np, len(list_distinct(langs)) AS nl,
+           |    list_max(list_transform(list_distinct(langs),
+           |      d2 -> {'c': len(list_filter(langs, x -> x = d2)), 'lang': d2})) AS mx
+           |  FROM l)
+           |SELECT id AS doc_id, CAST(np AS BIGINT) AS n_paras,
+           |  CAST(nl AS BIGINT) AS n_langs, mx.lang AS major_lang,
+           |  CAST(CASE WHEN np > 0 THEN mx.c * 1000000 // np ELSE 0 END AS BIGINT) AS major_ppm,
+           |  (nl > 1) AS mixed
+           |FROM m ORDER BY doc_id""".stripMargin,
       // BPE merge pairs: vocab tf, adjacent-char-pair explode, weighted
       // counts and the top-20 cut (ties by pair) all re-derived — fully
       // independent

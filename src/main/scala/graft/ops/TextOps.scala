@@ -796,6 +796,58 @@ object TextOps {
         col("n_feats") > 0 && col("score") >= col("n_feats") * minAvgW)
   }
 
+  /** Contamination overlap FRACTION — the graded upgrade of
+    * [[decontaminate]]'s boolean (the GPT-3 Appendix-C "dirtiness"
+    * methodology): per corpus doc, the distinct-shingle count, the
+    * count found in the benchmark set, and the integral overlap ratio
+    * `overlap_ppm = n_hits·10⁶ DIV n_shingles`; `dirty` gates on a ppm
+    * threshold instead of any-hit (one idiom shared with an eval doc no
+    * longer kills a long document). Same broadcast-semi-join plan shape
+    * as decontaminate — the corpus never shuffles; the shingle column is
+    * built once and reused for both the count and the probe. */
+  def contaminationScore(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 3,
+      maxPpm: Long = 100000L): DataFrame = {
+    val benchSh = bench
+      .select(explode(shingles(col(benchTextCol), n)).as("sh")).distinct()
+    val withSh = corpus.select(col(idCol).as("id"),
+      shingles(col(textCol), n).as("__shs"))
+    val hits = withSh.select(col("id"), explode(col("__shs")).as("sh"))
+      .join(benchSh, Seq("sh"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+    withSh.select(col("id"), size(col("__shs")).cast("long").as("n_shingles"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), col("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("overlap_ppm", expr("n_hits * 1000000 DIV n_shingles"))
+      .withColumn("dirty", col("overlap_ppm") > maxPpm)
+  }
+
+  /** Mixed-language detection (the CCNet-style paragraph-consistency
+    * filter): language-ID each PARAGRAPH with the same [[langId]] rule
+    * chain, then report paragraph count, distinct languages, the
+    * majority language and its integral share. Web pages that glue
+    * boilerplate in one language onto content in another are the
+    * classic false-"clean" doc a whole-doc language ID misses. Majority
+    * ties break to the lexicographically LARGER language code (struct
+    * max over (count, lang) — deterministic, replayed identically).
+    * Map-only HOF algebra; no shuffle. */
+  def langConsistency(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val paras = filter(split(col(textCol), "\n\n"), p => trim(p) =!= "")
+    val langs = transform(paras, p => langId(p))
+    val per = transform(array_distinct(langs), l =>
+      struct(size(filter(langs, x => x === l)).cast("long").as("c"),
+        l.as("lang")))
+    df.select(col(idCol), size(paras).cast("long").as("n_paras"),
+        size(array_distinct(langs)).cast("long").as("n_langs"),
+        array_max(per).as("__m"))
+      .select(col(idCol), col("n_paras"), col("n_langs"),
+        col("__m.lang").as("major_lang"),
+        when(col("n_paras") > 0,
+          expr("__m.c * 1000000 DIV n_paras")).otherwise(0L).as("major_ppm"),
+        (col("n_langs") > 1).as("mixed"))
+  }
+
   /** Encoding-damage (mojibake) detection — the curation gate for text
     * that survived extraction with broken transcoding: counts of U+FFFD
     * replacement characters (a decoder already gave up), C1 control

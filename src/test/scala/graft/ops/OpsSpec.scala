@@ -963,6 +963,44 @@ class OpsSpec extends AnyFunSuite {
     assert(t == Map(1L -> 0L, 3L -> 0L, 2L -> 1L), t.toString)
   }
 
+  test("contaminationScore: graded ppm overlap, short-doc shingle floor, gate binds") {
+    val bench = Seq((100L, "the quick brown fox jumps over lazy dogs")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over lazy dogs extra"), // near-full overlap
+      (2L, "the quick brown cat sat still"),                  // partial: 1 of 4 shingles
+      (3L, "completely different content with no shared phrases at all"),
+      (4L, "tiny doc")                                        // < n tokens: one joined shingle
+    ).toDF("doc_id", "text")
+    val r = TextOps.contaminationScore(corpus, "doc_id", "text", bench, "text",
+        n = 3, maxPpm = 100000L)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getBoolean(4)))).toMap
+    // doc 1: 7 shingles, 6 hit (the 6 bench trigrams it contains)
+    assert(r(1L) == ((7L, 6L, 857142L, true)), r(1L).toString)
+    // doc 2: 4 shingles, exactly "the quick brown" hits -> 250000 ppm
+    assert(r(2L) == ((4L, 1L, 250000L, true)))
+    assert(r(3L) == ((7L, 0L, 0L, false)))
+    assert(r(4L) == ((1L, 0L, 0L, false)))
+  }
+
+  test("langConsistency: paragraph langs, majority share, tie order, single-para docs") {
+    val d = Seq(
+      (1L, "plain english words here"),                        // 1 para en
+      (2L, "plain english text\n\nman sagt und nicht mit der"), // en + de -> mixed
+      (3L, "good text one\n\ngood text two\n\nwas ist und nicht mit der"), // 2 en 1 de
+      (4L, "erste war und nicht mit der\n\nplain english here") // de + en: tie -> larger code
+    ).toDF("doc_id", "text")
+    val r = TextOps.langConsistency(d, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(3), x.getLong(4), x.getBoolean(5)))).toMap
+    assert(r(1L) == ((1L, 1L, "en", 1000000L, false)))
+    assert(r(2L) == ((2L, 2L, "en", 500000L, true)) ||
+      r(2L) == ((2L, 2L, "de", 500000L, true))) // 1-1 tie -> larger code wins
+    assert(r(2L)._3 == "en", "tie breaks to the lexicographically larger lang code")
+    assert(r(3L) == ((3L, 2L, "en", 666666L, true)))
+    assert(r(4L)._1 == 2L && r(4L)._3 == "en" && r(4L)._5)
+  }
+
   test("bpePairStats: tf-weighted pair counts over distinct vocab; k cut; single-char tokens") {
     // "ab ab abc x": vocab ab(tf2) abc(1) x(1); pairs: ab -> ab:2;
     // abc -> ab:1, bc:1; x -> none. Totals: ab=3, bc=1.
