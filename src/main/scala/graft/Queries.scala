@@ -1033,6 +1033,17 @@ object Queries {
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // ---- writer prep: token-balanced shard packing — every doc to one
+    //      of 8 shards of near-equal TOKEN mass via the shared
+    //      permutation order + the range-sliced distributed prefix sum.
+    //      The oracle computes the DEFINITIONAL single-window global
+    //      cumsum, so the green row proves the two-phase slice/offset
+    //      decomposition exactly equals the straight global order.
+    "q_shard_pack" -> ((s, dir) =>
+      TextOps.balancedShards(t(s, dir, "documents"), "doc_id", "text", m = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // ---- curation: contamination overlap FRACTION (the GPT-3
     //      appendix-C dirtiness grade) — bench = every 97th doc; the
     //      corpus gains two planted contamination tiers built FROM the
@@ -2359,6 +2370,24 @@ object Queries {
       "q_fingerprint" ->
         s"""SELECT doc_id, fp
            |FROM read_parquet('${g("fingerprints")}') ORDER BY doc_id""".stripMargin,
+      // shard packing: the definitional global-order cumsum (ORDER BY
+      // ord, id in ONE window) — equality with Spark's range-sliced
+      // two-phase prefix sum is the point of the check
+      "q_shard_pack" ->
+        s"""WITH b AS (SELECT doc_id AS id,
+           |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+           |                         x -> x <> '')) AS BIGINT) AS nt,
+           |    ((doc_id % 1000003) * 2654435761) % 1000003 AS ord
+           |  FROM documents),
+           |c AS (SELECT id, nt,
+           |    coalesce(sum(nt) OVER (ORDER BY ord, id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+           |  FROM b),
+           |t AS (SELECT sum(nt) AS total FROM b)
+           |SELECT id AS doc_id, nt AS n_tokens,
+           |  CAST(cum_before AS BIGINT) AS cum_before,
+           |  CAST(cum_before * 8 // greatest(total, 1) AS BIGINT) AS shard
+           |FROM c, t ORDER BY doc_id""".stripMargin,
       // contamination fraction: planted two-tier corpus rebuilt from the
       // bench docs, shingles, semi-join hits, integral ppm and the gate
       // all re-derived — fully independent

@@ -1120,12 +1120,19 @@ object TextOps {
     * boundaries come from RangePartitioner sampling, but the output is
     * boundary-independent — every row's global prefix is exact. */
   private[graft] def distributedCumSum(
-      df: DataFrame, ordCol: String, cntCol: String, cumCol: String): DataFrame = {
+      df: DataFrame, ordCol: String, cntCol: String, cumCol: String): DataFrame =
+    distributedCumSumMulti(df, Seq(ordCol), cntCol, cumCol)
+
+  /** [[distributedCumSum]] over a COMPOSITE order key — the extra columns
+    * break ties deterministically (a single-column order with duplicate
+    * keys would leave the within-tie running sum engine-dependent). */
+  private[graft] def distributedCumSumMulti(
+      df: DataFrame, ordCols: Seq[String], cntCol: String, cumCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val slices = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val sliced = df.repartitionByRange(slices, col(ordCol))
+    val sliced = df.repartitionByRange(slices, ordCols.map(col): _*)
       .withColumn("__slice", spark_partition_id())
-    val wLocal = Window.partitionBy("__slice").orderBy(ordCol)
+    val wLocal = Window.partitionBy("__slice").orderBy(ordCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = sliced.withColumn("__lcum", sum(col(cntCol)).over(wLocal))
     // per-slice totals: ≤ `slices` rows — the ONLY unpartitioned window
@@ -1138,6 +1145,35 @@ object TextOps {
     local.join(broadcast(offsets), Seq("__slice"))
       .withColumn(cumCol, col("__lcum") + col("__off"))
       .drop("__slice", "__lcum")
+  }
+
+  /** Token-balanced shard packing — assign every document to one of `m`
+    * output shards of near-equal TOKEN mass (the unit a training loader
+    * reads; id-hash sharding balances doc COUNTS and lets a shard of
+    * long documents run hot). Documents take the shared [[sampleOrd]]
+    * permutation order (ties by id), the exact global running token
+    * total before each doc comes from the range-sliced distributed
+    * prefix sum (no task ever holds the corpus), and
+    * `shard = cum_before·m DIV total` — shard boundaries land exactly on
+    * total/m token marks, so every shard's mass is within one document
+    * of ideal. All integral; `cum_before·m` needs headroom: at 10¹³
+    * corpus tokens and m ≤ 10⁵ the product stays under 2⁶³.
+    *
+    * Output: (id, n_tokens, cum_before, shard) — the assignment is
+    * auditable and the writer just partitions by `shard`. */
+  def balancedShards(df: DataFrame, idCol: String, textCol: String,
+      m: Int): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    val base = df.select(col(idCol).cast("long").as("id"),
+        tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("__ord", sampleOrd("id"))
+    val cum = distributedCumSumMulti(base, Seq("__ord", "id"), "n_tokens", "__cum")
+      .withColumn("cum_before", col("__cum") - col("n_tokens"))
+    val total = base.agg(sum(col("n_tokens")).as("__total"))
+    cum.crossJoin(broadcast(total))
+      .withColumn("shard",
+        expr(s"cum_before * $m DIV greatest(__total, 1)").cast("long"))
+      .select("id", "n_tokens", "cum_before", "shard")
   }
 
   /** Deterministic train/val/test carve-out: every row gets a split label

@@ -963,6 +963,33 @@ class OpsSpec extends AnyFunSuite {
     assert(t == Map(1L -> 0L, 3L -> 0L, 2L -> 1L), t.toString)
   }
 
+  test("balancedShards: near-equal token mass, exact definitional cumsum, m=1") {
+    val r = TextOps.balancedShards(docs, "doc_id", "text", m = 4)
+      .collect()
+    assert(r.length == docs.count())
+    val total = r.map(_.getAs[Long]("n_tokens")).sum
+    val maxDoc = r.map(_.getAs[Long]("n_tokens")).max
+    val byShard = r.groupBy(_.getAs[Long]("shard"))
+      .view.mapValues(_.map(_.getAs[Long]("n_tokens")).sum).toMap
+    assert(byShard.keySet == Set(0L, 1L, 2L, 3L), byShard.toString)
+    // every shard within one document of the ideal total/4 mass
+    byShard.values.foreach(s_ =>
+      assert(math.abs(s_ - total / 4) <= maxDoc, s"$byShard vs ideal ${total / 4}"))
+    // the two-phase prefix sum equals the definitional driver-side cumsum
+    def ordOf(id: Long): Long = ((id % 1000003L) * 2654435761L) % 1000003L
+    val sorted = r.sortBy(x => (ordOf(x.getAs[Long]("id")), x.getAs[Long]("id")))
+    var run = 0L
+    sorted.foreach { x =>
+      assert(x.getAs[Long]("cum_before") == run,
+        s"id ${x.getAs[Long]("id")}: ${x.getAs[Long]("cum_before")} != $run")
+      run += x.getAs[Long]("n_tokens")
+    }
+    // m=1: everything in shard 0
+    val one = TextOps.balancedShards(docs.limit(20), "doc_id", "text", m = 1)
+      .select("shard").distinct().collect()
+    assert(one.map(_.getLong(0)).toSet == Set(0L))
+  }
+
   test("contaminationScore: graded ppm overlap, short-doc shingle floor, gate binds") {
     val bench = Seq((100L, "the quick brown fox jumps over lazy dogs")).toDF("doc_id", "text")
     val corpus = Seq(
