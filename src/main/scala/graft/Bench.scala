@@ -155,7 +155,10 @@ object Bench {
       // and 32 is measured once). Round 1 always runs to completion; later
       // rounds start only if their estimated cost fits in the remaining
       // budget minus the headline reserve.
-      val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROUNDS", "5").toInt
+      // 7 rounds on a quiet box (~1.1ks sweep, well inside the guard);
+      // the budget guard stops earlier on a contended one — more rounds
+      // only ever sharpen the cross-round-min estimate
+      val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROUNDS", "7").toInt
       val fullLevels = sys.env.getOrElse("SPARK_GRAFT_SCALING_LEVELS", "1,4,8,32")
         .split(',').map(_.trim.toInt).toSeq
       val pairLevels = sys.env.getOrElse("SPARK_GRAFT_SCALING_PAIR", "1,4")
@@ -163,48 +166,55 @@ object Bench {
       val fullPasses = sys.env.getOrElse("SPARK_GRAFT_FULL_PASSES", "3").toInt
       val pairPasses = sys.env.getOrElse("SPARK_GRAFT_PAIR_PASSES", "2").toInt
       val byRoundBuf = Vector.newBuilder[(Seq[Int], Map[Int, Double])]
-      var lastPairRoundCost = 0.0
-      var round0Walls = Map.empty[Int, Double]
-      var r = 0
-      var stop = false
-      while (r < rounds && !stop) {
-        val levels = if (r == 0) fullLevels else pairLevels
-        val passes = if (r == 0) fullPasses else pairPasses
-        // estimated cost of the NEXT pair round: measured cost of the last
-        // one, or (first pair round) projected from round 1's walls plus
-        // per-JVM startup overhead
-        val estCost =
-          if (r == 0) 0.0
-          else if (lastPairRoundCost > 0) lastPairRoundCost * 1.15
-          else pairLevels.map(n => round0Walls.getOrElse(n, 60.0) * pairPasses + 25.0).sum * 1.15
-        if (r > 0 && elapsedSec + estCost > budgetSec - headlineReserveSec) {
-          System.err.println(f"[bench] budget guard: stopping after $r rounds (elapsed ${elapsedSec}%.0fs, est next ${estCost}%.0fs, reserve ${headlineReserveSec}%.0fs, budget ${budgetSec}%.0fs)")
-          stop = true
-        } else {
-          val t0 = elapsedSec
-          val walls = levels.map(n => n -> extractAt(n, passes)).toMap
-          byRoundBuf += ((levels, walls))
-          if (r == 0) round0Walls = walls else lastPairRoundCost = elapsedSec - t0
-          r += 1
-        }
+      // round 1: the full curve, always runs to completion
+      val round0Walls: Map[Int, Double] = {
+        val walls = fullLevels.map(n => n -> extractAt(n, fullPasses)).toMap
+        byRoundBuf += ((fullLevels, walls))
+        walls
       }
-      // Executor-topology proxy, MEASURED every window: 4 CONCURRENT
-      // local[8] worker JVMs (separate heaps, same input) — the closest a
-      // single box gets to 4 executors. If their aggregate throughput
-      // lands at/above the single-JVM local[32] rate, the 8→32 falloff is
-      // shared-DRAM contention, not the dataflow — the empirical basis
-      // for reporting the uncontended 1→4 pair as the N→4N proxy.
+      // projected cost of one {1,4} pair round: round-1 walls x passes
+      // plus per-JVM startup overhead
+      val estPairCost =
+        pairLevels.map(n => round0Walls.getOrElse(n, 60.0) * pairPasses + 25.0).sum * 1.15
+      // Executor-topology proxy, RIGHT AFTER round 1 (the prior
+      // end-of-sweep placement let a contended window skip it entirely):
+      // 4 CONCURRENT local[8] worker JVMs (separate heaps, same input) —
+      // the closest a single box gets to 4 executors. If their aggregate
+      // throughput lands at/above the single-JVM local[32] rate, the 8→32
+      // falloff is shared-DRAM contention, not the dataflow — the
+      // empirical basis for reporting the uncontended 1→4 pair as the
+      // N→4N proxy. The budget check reserves room for ≥2 pair rounds so
+      // the proxy can never starve the reported cross-round-min pair.
       var wall8x4 = Double.NaN
       var agg8x4 = Double.NaN
       val est8x4 = round0Walls.getOrElse(8, 60.0) * 2 * 4.0
       if (round0Walls.contains(8) &&
-          elapsedSec + est8x4 < budgetSec - headlineReserveSec) {
+          elapsedSec + est8x4 + 2 * estPairCost < budgetSec - headlineReserveSec) {
         val ws = (1 to 4).map(_ => startWorker(8, 2))
         val walls = ws.map(awaitWorker).filterNot(_.isNaN)
         if (walls.length == 4) {
           wall8x4 = walls.max
           agg8x4 = 4.0 * nDocs / wall8x4
           System.err.println(f"[bench] 4 x local[8] CONCURRENT JVMs: walls ${walls.map(w => f"$w%.2f").mkString(", ")} -> aggregate ${agg8x4}%.0f docs/s (elapsed ${elapsedSec}%.0fs)")
+        }
+      }
+      // rounds 2..N: re-measure only the reported {1,4} pair, guarded by
+      // the measured cost of the previous pair round
+      var lastPairRoundCost = 0.0
+      var r = 1
+      var stop = false
+      while (r < rounds && !stop) {
+        val estCost =
+          if (lastPairRoundCost > 0) lastPairRoundCost * 1.15 else estPairCost
+        if (elapsedSec + estCost > budgetSec - headlineReserveSec) {
+          System.err.println(f"[bench] budget guard: stopping after $r rounds (elapsed ${elapsedSec}%.0fs, est next ${estCost}%.0fs, reserve ${headlineReserveSec}%.0fs, budget ${budgetSec}%.0fs)")
+          stop = true
+        } else {
+          val t0 = elapsedSec
+          val walls = pairLevels.map(n => n -> extractAt(n, pairPasses)).toMap
+          byRoundBuf += ((pairLevels, walls))
+          lastPairRoundCost = elapsedSec - t0
+          r += 1
         }
       }
       val byRound = byRoundBuf.result()
@@ -290,6 +300,12 @@ object Bench {
       try {
         val warm = VerifyTables.read(spark, sfDir, "northrule").limit(25000)
         ExtractPipeline.run(warm).write.format("noop").mode("overwrite").save()
+        // the OCR-mode plan compiles its own generated code: unwarmed,
+        // x_extract_ocr's first execution pays ~5s of C2/codegen (isolated
+        // BenchOne walls 5.1 → 0.95 → 0.80s) — a smaller slice suffices
+        // since the kernel JVM is already hot from the pass above
+        ExtractPipeline.run(warm.limit(5000), core.PromptMode.Ocr)
+          .write.format("noop").mode("overwrite").save()
       } catch { case e: Throwable =>
         System.err.println(s"[bench] kernel JIT warm-up failed: ${e.getMessage}") }
       // `materialize = false` (headline, FROZEN r4 semantics) times
