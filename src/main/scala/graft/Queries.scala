@@ -1099,6 +1099,25 @@ object Queries {
       TextOps.bpePairStats(t(s, dir, "documents"), "doc_id", "text", k = 20L)
         .orderBy("pair")),
 
+    // ---- tokenizer prep: multi-round BPE merge TRAINING — the real
+    //      iterative loop (count → argmax → greedy apply → recount), 4
+    //      rounds over the corpus vocabulary plus ONE planted document of
+    //      200 000 'qqq' tokens. The plant forces round 1's merge to be
+    //      (q, q) with OVERLAPPING occurrences, so the symbols_after
+    //      column (total corpus symbols after each greedy apply) proves
+    //      both engines merge "qqq" exactly once per token — left-to-right
+    //      non-overlapping — not pair_count times. Oracle: a 4-round
+    //      DuckDB CTE ladder re-deriving vocab, the ␟-delimited symbol
+    //      representation, pair counts, the (cnt DESC, lhs, rhs) argmax
+    //      and the replace()-based apply, fully independently.
+    "q_bpe_train" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+      val plant = d.limit(1).select(lit(900001L).as("id"),
+        expr("repeat('qqq ', 200000)").as("text"))
+      TextOps.bpeTrain(d.unionByName(plant), "id", "text", rounds = 4)
+        .orderBy("round")
+    }),
+
     // ---- curation: encoding-damage (mojibake) gate — replacement
     //      chars, C1 controls, UTF-8-as-Latin-1 digraphs, one integral
     //      count per damage class. Plants (built identically in both
@@ -1863,6 +1882,55 @@ object Queries {
 
   def oracles: Map[String, String] = staticOracles ++ materializedOracles
 
+  /** The q_bpe_train oracle: one (pairs → argmax → apply → symbol-count)
+    * CTE block per round, chained v0 → v1 → … — DuckDB's analog of the
+    * Spark driver loop, derived from the documents table + the same
+    * planted 'qqq' doc with no dumps. chr(31) = the U+001F symbol
+    * separator (single at string ends, DOUBLE at symbol junctions, so
+    * one literal replace() is exactly BPE's greedy left-to-right pass —
+    * see TextOps.bpeTrain). */
+  private def bpeTrainOracleSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT (u).lhs AS lhs, (u).rhs AS rhs,
+         |    CAST(sum(tf) AS BIGINT) AS cnt FROM (
+         |  SELECT tf, unnest(list_transform(range(1, len(syms)),
+         |      i -> {'lhs': syms[i], 'rhs': syms[i+1]})) AS u
+         |  FROM (SELECT tf, str_split(substring(seq, 2, length(seq)-2),
+         |          chr(31)||chr(31)) AS syms FROM v${r - 1}))
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT lhs, rhs, cnt FROM p$r
+         |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |v$r AS (SELECT tf,
+         |    replace(seq, chr(31)||b.lhs||chr(31)||chr(31)||b.rhs||chr(31),
+         |      chr(31)||b.lhs||b.rhs||chr(31)) AS seq FROM v${r - 1}, b$r b),
+         |s$r AS (SELECT CAST(sum(tf * len(str_split(
+         |    substring(seq, 2, length(seq)-2), chr(31)||chr(31)))) AS BIGINT)
+         |    AS sa FROM v$r)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to rounds).map { r =>
+      val sel = if (r == 1) s"SELECT CAST(1 AS BIGINT) AS round, lhs, rhs, " +
+        s"cnt AS pair_count, (SELECT sa FROM s1) AS symbols_after FROM b1"
+      else s"SELECT $r, lhs, rhs, cnt, (SELECT sa FROM s$r) FROM b$r"
+      sel
+    }.mkString("\n  UNION ALL ")
+    s"""WITH docs AS (
+       |  SELECT doc_id AS id, text FROM documents
+       |  UNION ALL SELECT 900001, repeat('qqq ', 200000)),
+       |tok AS (SELECT
+       |    unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |                       x -> x <> '')) AS token
+       |  FROM docs),
+       |v AS (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM tok
+       |  WHERE NOT contains(token, chr(31)) GROUP BY token),
+       |v0 AS (SELECT tf, chr(31) || array_to_string(
+       |    list_transform(range(1, length(token)+1),
+       |      i -> substring(token, CAST(i AS INT), 1)),
+       |    chr(31)||chr(31)) || chr(31) AS seq FROM v),
+       |$roundCtes
+       |SELECT * FROM (
+       |  $rows) ORDER BY round""".stripMargin
+  }
+
   /** Shared by q_decontaminate and q_decontaminate_bloom (identical
     * results by contract — the Bloom path is an exactness-preserving
     * prefilter). */
@@ -2473,6 +2541,12 @@ object Queries {
            |SELECT pair, substring(pair, 1, 1) AS lhs,
            |  substring(pair, 2, 1) AS rhs, pair_count
            |FROM top WHERE rn <= 20 ORDER BY pair""".stripMargin,
+      // BPE merge TRAINING: a 4-round CTE ladder re-deriving the vocab,
+      // the chr(31)-delimited symbol encoding, per-round pair counts, the
+      // (cnt DESC, lhs, rhs) argmax and the greedy replace()-apply —
+      // symbols_after binds the left-to-right non-overlapping semantics
+      // (the planted 200k-tf 'qqq' token merges ONCE per occurrence)
+      "q_bpe_train" -> bpeTrainOracleSql(4),
       // mojibake gate: identical plants and the identical RE2 patterns,
       // both built from chr() so the SQL stays ASCII — fully independent
       "q_mojibake_gate" ->

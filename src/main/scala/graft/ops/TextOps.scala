@@ -894,6 +894,89 @@ object TextOps {
         col("pair").substr(2, 1).as("rhs"), col("pair_count"))
   }
 
+  /** Multi-round BPE merge TRAINING (Sennrich et al. 2016 §3.2 — the real
+    * iterative loop [[bpePairStats]] only statistics the first step of):
+    * `rounds` merge iterations, each counting adjacent symbol pairs
+    * tf-weighted over the DISTINCT vocabulary, picking the most frequent
+    * pair (ties: lhs then rhs ascending), and applying the merge greedily
+    * left-to-right before the next count. Output: the ordered merge table
+    * `(round, lhs, rhs, pair_count, symbols_after)` — `symbols_after` is
+    * the total corpus symbol count after the apply, the column that BINDS
+    * greedy-apply semantics: overlapping occurrences ("qqq" under merge
+    * (q,q)) merge ONCE, so symbols_after ≠ symbols_before − pair_count
+    * exactly when overlaps exist.
+    *
+    * Engine-exact representation: each vocab token becomes a U+001F-
+    * delimited symbol string — single separators at the ends, DOUBLE
+    * separators at symbol junctions — and a merge is ONE literal
+    * `replace(seq, ␟lhs␟␟rhs␟ → ␟lhsrhs␟)`. The double junction makes
+    * the pattern consume one separator from each side, so back-to-back
+    * merge sites ("a a a a" → "(aa)(aa)") still match while the scan
+    * (which continues after each match, never rescanning output — the
+    * shared Spark/DuckDB `replace` contract) skips the overlapping third
+    * occurrence in "a a a", exactly BPE's greedy pass. Tokens containing
+    * U+001F are dropped at vocab build (both engines identically).
+    *
+    * Scale shape: the corpus is touched ONCE (the vocab build); every
+    * round runs on vocab-sized relations only (pair explode ≤ Σ|token|
+    * over DISTINCT tokens), the argmax is TakeOrderedAndProject (no
+    * global sort), the apply is map-only codegen, and the per-round
+    * 1-row collect is the IVF-codebook O(k) driver discipline — each
+    * merge is inherently sequential in BPE, so k driver round-trips is
+    * the algorithm, not a shortcut. Per-round eager localCheckpoint
+    * keeps lineage linear (the CC/PageRank ladder discipline).
+    * symbols_after headroom: 10^13 corpus tokens × avg length ≪ 2^63.
+    * Stops early (fewer than `rounds` rows) if no pair remains. */
+  def bpeTrain(df: DataFrame, idCol: String, textCol: String,
+      rounds: Int = 4): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds out of range: $rounds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val SEP = "\u001F"
+    val SEP2 = SEP + SEP
+    def syms(seq: Column): Column =
+      split(seq.substr(lit(2), length(seq) - 2), SEP2)
+    var vocab = vocabStats(df, idCol, textCol)
+      .filter(!col("token").contains(SEP))
+      .select(col("tf"),
+        concat(lit(SEP),
+          array_join(transform(sequence(lit(1), length(col("token"))),
+            i => col("token").substr(i, lit(1))), SEP2),
+          lit(SEP)).as("seq"))
+      .localCheckpoint(true)
+    val merges = Vector.newBuilder[(Long, String, String, Long, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val pairs = vocab
+        .select(col("tf"), syms(col("seq")).as("s"))
+        .filter(size(col("s")) > 1)
+        .select(col("tf"), explode(transform(sequence(lit(1), size(col("s")) - 1),
+          i => struct(element_at(col("s"), i).as("lhs"),
+            element_at(col("s"), i + 1).as("rhs")))).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("tf")).as("cnt"))
+      val top = pairs.orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (lhs, rhs, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        vocab = vocab.withColumn("seq",
+            replace(col("seq"), lit(SEP + lhs + SEP2 + rhs + SEP),
+              lit(SEP + lhs + rhs + SEP)))
+          .localCheckpoint(true)
+        val symbolsAfter = vocab
+          .select(sum(col("tf") * size(syms(col("seq"))).cast("long")))
+          .as[Long].collect()(0)
+        merges += ((r.toLong, lhs, rhs, cnt, symbolsAfter))
+        r += 1
+      }
+    }
+    merges.result()
+      .toDF("round", "lhs", "rhs", "pair_count", "symbols_after")
+  }
+
   /** Inverted-index postings `(bucket, token, id)` — the searchable
     * corpus artifact (the text-retrieval analog of the persisted LSH band
     * index): distinct per-doc tokens, with tokens over `maxDf` dropped at

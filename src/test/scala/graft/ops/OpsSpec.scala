@@ -1045,6 +1045,34 @@ class OpsSpec extends AnyFunSuite {
     assert(t1.length == 1 && t1(0).getString(0) == "xy")
   }
 
+  test("bpeTrain: greedy non-overlapping apply, tie order, early stop, sep-token drop") {
+    // vocab: "aaa" tf2, "bc" tf2 (plus a U+001F-carrying token that must
+    // be DROPPED at vocab build). Hand-derived ladder:
+    //   r1: (a,a) cnt 4 (2 per "aaa" x tf2) beats (b,c) 2; GREEDY apply
+    //       merges "aaa" ONCE -> (aa)(a): symbols 2*2 + 2*2 = 8 (naive
+    //       count-subtraction would claim 10-4 = 6)
+    //   r2: (aa,a) 2 ties (b,c) 2 -> lhs "aa" < "b" wins; symbols 6
+    //   r3: (b,c) 2; symbols 4
+    //   r4: no pair left -> EARLY STOP (3 rows despite rounds=4)
+    val d = Seq((1L, "aaa bc bc"), (2L, "aaa"), (3L, "x\u001Fy x\u001Fy"))
+      .toDF("doc_id", "text")
+    val m = TextOps.bpeTrain(d, "doc_id", "text", rounds = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(m.size == 3, s"early stop expected 3 merges, got ${m.size}")
+    assert(m(1L) == (("a", "a", 4L, 8L)))
+    assert(m(2L) == (("aa", "a", 2L, 6L)))
+    assert(m(3L) == (("b", "c", 2L, 4L)))
+    // back-to-back merge sites both fire in ONE pass: "aaaa" tf1 under
+    // (a,a) -> (aa)(aa), so round 2's top pair is (aa,aa)
+    val d2 = Seq((1L, "aaaa aaaa aaaa")).toDF("doc_id", "text")
+    val m2 = TextOps.bpeTrain(d2, "doc_id", "text", rounds = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(m2(1L) == (("a", "a", 9L, 6L)), s"got ${m2.get(1L)}")
+    assert(m2(2L) == (("aa", "aa", 3L, 3L)), s"got ${m2.get(2L)}")
+  }
+
   test("encodingDamage: each damage class counted separately; clean text passes") {
     val d = Seq(
       (1L, "perfectly clean ascii text"),
