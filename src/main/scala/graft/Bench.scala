@@ -469,8 +469,14 @@ object Bench {
       md ++= f"The executor-topology proxy, MEASURED in THIS window: 4 CONCURRENT\n"
       md ++= f"local[8] worker JVMs (separate heaps, same input) sustain\n"
       md ++= f"**${agg}%.0f docs/s aggregate** (slowest wall ${scaling.getOrElse("t_4x8jvms_sec", Double.NaN)}%.2f s) vs ${nDocs / t(32)}%.0f docs/s for\n"
-      md ++= f"one local[32] JVM — separate heaps recover the parallelism a single\n"
-      md ++= f"shared-heap JVM loses, exactly as 4N executors would.\n"
+      md ++= (if (agg >= nDocs / t(32))
+        f"one local[32] JVM — separate heaps recover the parallelism a single\n" +
+        f"shared-heap JVM loses, exactly as 4N executors would.\n"
+      else
+        f"one local[32] JVM in this window (aggregate uses the SLOWEST of the\n" +
+        f"4 concurrent walls — one ambient stall penalizes the whole quartet,\n" +
+        f"where min-of-passes filters it for the single-JVM levels; a\n" +
+        f"conservative-by-construction comparison).\n")
     }
     md ++= "On a real cluster 4N executors bring 4x memory channels — the one\n"
     md ++= "resource a single box cannot multiply. The sandbox also shows minute-scale\n"

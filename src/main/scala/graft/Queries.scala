@@ -1118,6 +1118,25 @@ object Queries {
         .orderBy("round")
     }),
 
+    // ---- tokenizer prep: BPE ENCODE with the trained merges — the
+    //      train→apply composition: bpeTrain's 4-round merge table
+    //      (collected O(k) driver state) segments the corpus vocabulary
+    //      through one map-only chain of literal replaces in merge-
+    //      priority order. The oracle derives the SAME merges via the
+    //      training CTE ladder and applies the identical nested-replace
+    //      chain — so a drift in EITHER the training argmax or the greedy
+    //      apply breaks the row hash.
+    "q_bpe_encode" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+      val plant = d.limit(1).select(lit(900001L).as("id"),
+        expr("repeat('qqq ', 200000)").as("text"))
+      val aug = d.unionByName(plant)
+      val merges = TextOps.bpeTrain(aug, "id", "text", rounds = 4)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextOps.bpeEncode(aug, "id", "text", merges).orderBy("token")
+    }),
+
     // ---- curation: encoding-damage (mojibake) gate — replacement
     //      chars, C1 controls, UTF-8-as-Latin-1 digraphs, one integral
     //      count per damage class. Plants (built identically in both
@@ -1889,7 +1908,7 @@ object Queries {
     * separator (single at string ends, DOUBLE at symbol junctions, so
     * one literal replace() is exactly BPE's greedy left-to-right pass —
     * see TextOps.bpeTrain). */
-  private def bpeTrainOracleSql(rounds: Int): String = {
+  private def bpeLadderCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""p$r AS (SELECT (u).lhs AS lhs, (u).rhs AS rhs,
          |    CAST(sum(tf) AS BIGINT) AS cnt FROM (
@@ -1907,13 +1926,7 @@ object Queries {
          |    substring(seq, 2, length(seq)-2), chr(31)||chr(31)))) AS BIGINT)
          |    AS sa FROM v$r)""".stripMargin
     }.mkString(",\n")
-    val rows = (1 to rounds).map { r =>
-      val sel = if (r == 1) s"SELECT CAST(1 AS BIGINT) AS round, lhs, rhs, " +
-        s"cnt AS pair_count, (SELECT sa FROM s1) AS symbols_after FROM b1"
-      else s"SELECT $r, lhs, rhs, cnt, (SELECT sa FROM s$r) FROM b$r"
-      sel
-    }.mkString("\n  UNION ALL ")
-    s"""WITH docs AS (
+    s"""docs AS (
        |  SELECT doc_id AS id, text FROM documents
        |  UNION ALL SELECT 900001, repeat('qqq ', 200000)),
        |tok AS (SELECT
@@ -1922,13 +1935,40 @@ object Queries {
        |  FROM docs),
        |v AS (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM tok
        |  WHERE NOT contains(token, chr(31)) GROUP BY token),
-       |v0 AS (SELECT tf, chr(31) || array_to_string(
+       |v0 AS (SELECT token, tf, chr(31) || array_to_string(
        |    list_transform(range(1, length(token)+1),
        |      i -> substring(token, CAST(i AS INT), 1)),
        |    chr(31)||chr(31)) || chr(31) AS seq FROM v),
-       |$roundCtes
+       |$roundCtes""".stripMargin
+  }
+
+  private def bpeTrainOracleSql(rounds: Int): String = {
+    val rows = (1 to rounds).map { r =>
+      if (r == 1) s"SELECT CAST(1 AS BIGINT) AS round, lhs, rhs, " +
+        s"cnt AS pair_count, (SELECT sa FROM s1) AS symbols_after FROM b1"
+      else s"SELECT $r, lhs, rhs, cnt, (SELECT sa FROM s$r) FROM b$r"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${bpeLadderCtes(rounds)}
        |SELECT * FROM (
        |  $rows) ORDER BY round""".stripMargin
+  }
+
+  /** The q_bpe_encode oracle: the SAME training ladder derives b1..bk,
+    * then the encode is the nested replace chain in merge-priority order
+    * over v0 — one scalar expression, exactly the Spark fold. */
+  private def bpeEncodeOracleSql(rounds: Int): String = {
+    val encExpr = (1 to rounds).foldLeft("seq") { (e, r) =>
+      s"replace($e, chr(31)||b$r.lhs||chr(31)||chr(31)||b$r.rhs||chr(31), " +
+        s"chr(31)||b$r.lhs||b$r.rhs||chr(31))"
+    }
+    val bs = (1 to rounds).map(r => s"b$r").mkString(", ")
+    s"""WITH ${bpeLadderCtes(rounds)},
+       |enc AS (SELECT token, tf, str_split(substring(e.s, 2, length(e.s)-2),
+       |    chr(31)||chr(31)) AS pieces
+       |  FROM (SELECT token, tf, $encExpr AS s FROM v0, $bs) e)
+       |SELECT token, tf, CAST(len(pieces) AS BIGINT) AS n_pieces,
+       |  array_to_string(pieces, ' ') AS encoded
+       |FROM enc ORDER BY token""".stripMargin
   }
 
   /** Shared by q_decontaminate and q_decontaminate_bloom (identical
@@ -2547,6 +2587,10 @@ object Queries {
       // symbols_after binds the left-to-right non-overlapping semantics
       // (the planted 200k-tf 'qqq' token merges ONCE per occurrence)
       "q_bpe_train" -> bpeTrainOracleSql(4),
+      // BPE encode: the same training ladder derives the merges, then the
+      // nested replace chain segments the vocab — train and apply bound
+      // in one row hash
+      "q_bpe_encode" -> bpeEncodeOracleSql(4),
       // mojibake gate: identical plants and the identical RE2 patterns,
       // both built from chr() so the SQL stays ASCII — fully independent
       "q_mojibake_gate" ->

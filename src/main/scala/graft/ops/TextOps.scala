@@ -977,6 +977,37 @@ object TextOps {
       .toDF("round", "lhs", "rhs", "pair_count", "symbols_after")
   }
 
+  /** BPE ENCODING with a trained merge table — the inference side of
+    * [[bpeTrain]]: segment every distinct vocab token by applying the
+    * merges in priority (training) order. Because BPE applies each merge
+    * everywhere before the next (Sennrich et al. 2016 — encoding replays
+    * the training passes), the whole encode is ONE map-only chain of k
+    * literal `replace`s over the same U+001F symbol encoding: zero
+    * shuffles beyond the vocab build, whole-stage codegen end to end,
+    * and the merge list is O(k) driver state (it came from bpeTrain's
+    * merge table). Output `(token, tf, n_pieces, encoded)` — `encoded`
+    * joins the pieces with spaces (tokens are whitespace-split, so the
+    * join is unambiguous); Σ tf·n_pieces over the result is the corpus
+    * fertility of the trained tokenizer. */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val SEP = "\u001F"
+    val SEP2 = SEP + SEP
+    val vocab = vocabStats(df, idCol, textCol)
+      .filter(!col("token").contains(SEP))
+    val seq0 = concat(lit(SEP),
+      array_join(transform(sequence(lit(1), length(col("token"))),
+        i => col("token").substr(i, lit(1))), SEP2),
+      lit(SEP))
+    val encodedSeq = merges.foldLeft(seq0) { case (seq, (lhs, rhs)) =>
+      replace(seq, lit(SEP + lhs + SEP2 + rhs + SEP), lit(SEP + lhs + rhs + SEP))
+    }
+    val pieces = split(encodedSeq.substr(lit(2), length(encodedSeq) - 2), SEP2)
+    vocab.select(col("token"), col("tf"),
+      size(pieces).cast("long").as("n_pieces"),
+      array_join(pieces, " ").as("encoded"))
+  }
+
   /** Inverted-index postings `(bucket, token, id)` — the searchable
     * corpus artifact (the text-retrieval analog of the persisted LSH band
     * index): distinct per-doc tokens, with tokens over `maxDf` dropped at

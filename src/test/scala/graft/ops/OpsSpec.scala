@@ -1073,6 +1073,25 @@ class OpsSpec extends AnyFunSuite {
     assert(m2(2L) == (("aa", "aa", 3L, 3L)), s"got ${m2.get(2L)}")
   }
 
+  test("bpeEncode: merges apply in priority order; unseen tokens segment; no merges = chars") {
+    // merges trained on the bpeTrain corpus: (a,a), (aa,a), (b,c)
+    val merges = Seq(("a", "a"), ("aa", "a"), ("b", "c"))
+    // encode a DIFFERENT corpus (train/apply split): "aab" was never a
+    // training token — (a)(a)(b) -> (aa)(b) under merge 1, merges 2-3
+    // don't fire -> "aa b"
+    val d = Seq((1L, "aaa bc aab aab"), (2L, "z")).toDF("doc_id", "text")
+    val e = TextOps.bpeEncode(d, "doc_id", "text", merges).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(e("aaa") == ((1L, 1L, "aaa")), s"got ${e.get("aaa")}")
+    assert(e("bc") == ((1L, 1L, "bc")))
+    assert(e("aab") == ((2L, 2L, "aa b")))
+    assert(e("z") == ((1L, 1L, "z")))
+    // empty merge list degenerates to the character split
+    val raw = TextOps.bpeEncode(d, "doc_id", "text", Seq.empty).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(raw("aab") == "a a b")
+  }
+
   test("encodingDamage: each damage class counted separately; clean text passes") {
     val d = Seq(
       (1L, "perfectly clean ascii text"),
