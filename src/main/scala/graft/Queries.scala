@@ -483,6 +483,15 @@ object Queries {
       LinkOps.pageRank(LinkOps.hostGraph(vt(s, dir, "links")), iterations = 5)
         .orderBy("node")),
 
+    // ---- web graph: integral HITS hubs/authorities (5 iterations) over
+    //      the host graph — the quality-prior complement to PageRank
+    //      (directory/spam farms score high-hub low-authority); max-
+    //      normalized scaled-integer rounds so the DuckDB iteration-
+    //      ladder replay is bit-exact
+    "q_hits" -> ((s, dir) =>
+      LinkOps.hits(LinkOps.hostGraph(vt(s, dir, "links")), iterations = 5)
+        .orderBy("node")),
+
     // ---- crawl: recrawl consolidation — latest warc_ts wins per url
     //      (planted revisits over the snapshot: every 7th doc re-fetched
     //      +1h, every 14th again +2h)
@@ -3989,6 +3998,9 @@ object Queries {
       // integral PageRank: the same 5-round iteration ladder unrolled as
       // CTEs — every step integer DIV, so the replay is bit-exact
       "q_pagerank" -> pagerankSql(5),
+      // integral HITS: the 5-round hub/auth half-step ladder unrolled as
+      // CTEs — L-infinity (max) normalization keeps every step integer
+      "q_hits" -> hitsSql(5),
       // host-reputation gate: the same 5-round ladder joined onto the
       // extraction output's urls
       "q_host_reputation" ->
@@ -4130,6 +4142,47 @@ object Queries {
   private def pagerankSql(k: Int): String =
     s"""WITH ${pagerankCtes(k)}
        |SELECT node, CAST(rank AS BIGINT) AS rank FROM r$k ORDER BY node""".stripMargin
+
+  /** Integral HITS iteration ladder: each round one auth half-step (sum of
+    * in-neighbor hubs, max-normalized to 10⁶) then one hub half-step (sum
+    * of out-neighbor auths, same normalization) — mirroring
+    * [[graft.ops.LinkOps.hits]] exactly; `//` is integer division and all
+    * values stay non-negative BIGINTs so the replay is bit-exact. The
+    * per-level max is a window function and every chain CTE is
+    * MATERIALIZED + referenced exactly once by the next level — a scalar
+    * `(SELECT max(..))` subquery would reference each level 3× and
+    * DuckDB's CTE inlining would blow up exponentially over the rounds.
+    * `greatest(max, 1)` replaces the max>0 CASE: values are non-negative,
+    * so max=0 forces every raw value to 0 and 0 DIV 1 = 0, matching the
+    * Spark branch. */
+  private def hitsSql(k: Int): String = {
+    val iters = (1 to k).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |  SELECT node, (ar * 1000000) // greatest(max(ar) OVER (), 1) AS auth
+         |  FROM (SELECT n.node, coalesce(s.m, 0) AS ar FROM n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(h${i - 1}.hub) AS m
+         |    FROM e JOIN h${i - 1} ON h${i - 1}.node = e.src
+         |    GROUP BY e.dst) s USING (node))),
+         |h$i AS MATERIALIZED (
+         |  SELECT node, (hr * 1000000) // greatest(max(hr) OVER (), 1) AS hub
+         |  FROM (SELECT n.node, coalesce(s.m, 0) AS hr FROM n LEFT JOIN (
+         |    SELECT e.src AS node, sum(a$i.auth) AS m
+         |    FROM e JOIN a$i ON a$i.node = e.dst
+         |    GROUP BY e.src) s USING (node)))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH l AS (SELECT
+       |    regexp_extract(src, '^https?://([^/?#]+)', 1) AS sh,
+       |    regexp_extract(dst, '^https?://([^/?#]+)', 1) AS dh
+       |  FROM read_parquet('${VerifyTables.oracleGlob("links")}')),
+       |e AS MATERIALIZED (SELECT DISTINCT sh AS src, dh AS dst FROM l
+       |      WHERE sh <> dh AND sh <> '' AND dh <> ''),
+       |n AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub FROM n),
+       |$iters
+       |SELECT h$k.node, CAST(h$k.hub AS BIGINT) AS hub,
+       |  CAST(a$k.auth AS BIGINT) AS auth
+       |FROM h$k JOIN a$k USING (node) ORDER BY node""".stripMargin
+  }
 
   /** MinHash band-join replay (band-hash equality ⟺ chunk equality):
     * explode 16 bands of 4 sig slots, hot-bucket cap 1000, dedup'd

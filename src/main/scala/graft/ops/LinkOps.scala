@@ -689,6 +689,72 @@ object LinkOps {
     ranks
   }
 
+  /** Fixed-iteration HITS (Kleinberg 1999) with scaled-integer arithmetic
+    * — the hubs/authorities complement to [[pageRank]]: a good HUB links
+    * to many good authorities, a good AUTHORITY is linked from many good
+    * hubs. Corpus curation uses the authority axis as a quality prior
+    * (directory/spam farms score high-hub low-authority; canonical
+    * sources the reverse) — a different signal than PageRank's single
+    * centrality score.
+    *
+    * Each round over the DISTINCT cross-edge set:
+    *
+    *   auth_raw(n) = Σ_{(s,n)∈E} hub(s);   auth = (auth_raw·scale) DIV max(auth_raw)
+    *   hub_raw(n)  = Σ_{(n,d)∈E} auth(d);  hub  = (hub_raw·scale)  DIV max(hub_raw)
+    *
+    * Max-normalization (the standard L∞ variant) replaces the float L2
+    * norm so every operation is integral and a SQL iteration-ladder
+    * replay is bit-exact; the per-round max is one tiny aggregate
+    * crossJoined back (1 row — AQE broadcasts it, no collect). Hubs
+    * start at `scale`; nodes with no in-edges (pure hubs) hold auth 0,
+    * no out-edges (pure authorities) hold hub 0.
+    *
+    * Scale shape: identical to pageRank — per half-round one join on the
+    * edge endpoint + one hash agg, all rows (string, long) only, payload
+    * never enters; `localCheckpoint(true)` per round caps plan depth.
+    * Overflow bound: raw sums ≤ indeg_max·scale, and the normalization
+    * multiply needs raw·scale < 2⁶³ → indeg_max < 2⁶³/scale² (≈9.2M at
+    * the default scale; pass a smaller scale for denser graphs). */
+  def hits(edges0: DataFrame, srcCol: String = "src_host",
+      dstCol: String = "dst_host", iterations: Int = 5,
+      scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 1 && scale >= 100L, "need iterations >= 1, scale >= 100")
+    val edges = edges0
+      .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    def normalize(raw: DataFrame, rawCol: String, outCol: String): DataFrame =
+      raw.crossJoin(raw.agg(max(col(rawCol)).as("__mx")))
+        .select(col("node"),
+          when(col("__mx") > 0, expr(s"($rawCol * $scale) DIV __mx"))
+            .otherwise(lit(0L)).as(outCol))
+        .localCheckpoint(true)
+    var hub = nodes.withColumn("hub", lit(scale))
+    var auth = nodes.withColumn("auth", lit(0L))
+    for (_ <- 0 until iterations) {
+      val aRaw = nodes
+        .join(edges.join(hub.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("ar")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("ar"), lit(0L)).as("ar"))
+      auth = normalize(aRaw, "ar", "auth")
+      val hRaw = nodes
+        .join(edges.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+          .groupBy(col("src").as("node")).agg(sum(col("auth")).as("hr")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("hr"), lit(0L)).as("hr"))
+      hub = normalize(hRaw, "hr", "hub")
+    }
+    val out = hub.join(auth, Seq("node"))
+    edges.unpersist()
+    out
+  }
+
   /** First-wins page metadata of one parsed DOM: (title, description,
     * canonical). title = normalized visible text of the first `<title>`;
     * description = the first `<meta name=description>` content

@@ -203,6 +203,31 @@ class LinkOpsSpec extends AnyFunSuite {
     assert(r.toSeq == Seq(("a", 150000L), ("b", 150000L + 85L * 150000L / 100L)))
   }
 
+  test("hits: hand-computed integral hub/authority ladder on a 3-node graph") {
+    // a->b, a->c, b->c (+ a duplicate and a self-loop that must be dropped)
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("a", "b"), ("c", "c"))
+      .toDF("src_host", "dst_host")
+    // round 1: auth_raw b=1e6, c=2e6 -> auth b=500000, c=1e6, a=0
+    //          hub_raw  a=1.5e6, b=1e6 -> hub a=1e6, b=666666, c=0
+    val r1 = LinkOps.hits(edges, iterations = 1).orderBy("node")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r1.toSeq == Seq(("a", 1000000L, 0L), ("b", 666666L, 500000L),
+      ("c", 0L, 1000000L)))
+    // round 2: auth_raw b=1e6, c=1666666 -> auth b=600000, c=1e6
+    //          hub_raw  a=1.6e6, b=1e6   -> hub a=1e6, b=625000
+    val r2 = LinkOps.hits(edges, iterations = 2).orderBy("node")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r2.toSeq == Seq(("a", 1000000L, 0L), ("b", 625000L, 600000L),
+      ("c", 0L, 1000000L)))
+  }
+
+  test("hits: pure hub holds auth 0, pure authority holds hub 0, fixpoint is stable") {
+    val edges = Seq(("a", "b")).toDF("src_host", "dst_host")
+    val r = LinkOps.hits(edges, iterations = 4).orderBy("node")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq(("a", 1000000L, 0L), ("b", 0L, 1000000L)))
+  }
+
   test("crawlDelta: new/deleted/changed/unchanged, digest join carries no payload") {
     val a = Seq(("u1", "t1"), ("u2", "t2"), ("u3", "t3")).toDF("url", "text")
     val b = Seq(("u2", "t2"), ("u3", "t3-edited"), ("u4", "t4")).toDF("url", "text")
