@@ -272,6 +272,31 @@ object Queries {
       DedupOps.normalizedDupGroups(aug, "id", "text").orderBy("keep_id")
     }),
 
+    // ---- dedup: host-level MIRROR detection (Bharat & Broder's host
+    //      pairs sharing identical content) over planted mirror hosts:
+    //      every 4th doc copied verbatim under host "m-"+host (a partial
+    //      mirror of every host), every 20th ALSO copied under
+    //      "m2-"+host (m2 ⊂ m ⊂ original — a containment triangle with
+    //      three distinct denominators), and every 8th copied EDITED
+    //      under "x-"+host (binding text sensitivity: edited copies
+    //      share no digest, so x- hosts appear in no pair). Both engines
+    //      build the identical augmented corpus; digests are md5(text)
+    //      (the cross-engine digest idiom), ratios integral ppm.
+    "q_host_mirrors" -> ((s, dir) => {
+      val base = vt(s, dir, "northrule").select(col("url"), col("text"))
+      val n = regexp_extract(col("url"), "doc([0-9]+)$", 1).cast("long")
+      def mirror(mod: Int, prefix: String) = base.filter(n % mod === 0)
+        .select(regexp_replace(col("url"), "^(https?://)", s"$$1$prefix-").as("url"),
+          col("text"))
+      val edited = base.filter(n % 8 === 0)
+        .select(regexp_replace(col("url"), "^(https?://)", "$1x-").as("url"),
+          concat(col("text"), lit(" edited")).as("text"))
+      val aug = base.unionByName(mirror(4, "m")).unionByName(mirror(20, "m2"))
+        .unionByName(edited)
+      DedupOps.hostMirrors(aug, "url", "text", minShared = 2L)
+        .orderBy("host_a", "host_b")
+    }),
+
     // ---- training ops: token counting
     "q_token_count" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -2082,6 +2107,39 @@ object Queries {
         |SELECT min(id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count,
         |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS member_ids
         |FROM k GROUP BY nk ORDER BY keep_id""".stripMargin,
+    // host mirrors: identical augmented corpus (verbatim m-/m2- mirrors,
+    // edited x- copies), md5 digests, hot-digest guard (<=100 hosts),
+    // totals over ALL digests, integral ppm ratios — fully re-derived
+    "q_host_mirrors" ->
+      s"""WITH base AS (SELECT url, text,
+         |    CAST(regexp_extract(url, 'doc([0-9]+)$$', 1) AS BIGINT) AS n
+         |  FROM read_parquet('${VerifyTables.oracleGlob("northrule")}')),
+         |aug AS (
+         |  SELECT url, text FROM base
+         |  UNION ALL SELECT regexp_replace(url, '^(https?://)', '\\1m-'), text
+         |    FROM base WHERE n % 4 = 0
+         |  UNION ALL SELECT regexp_replace(url, '^(https?://)', '\\1m2-'), text
+         |    FROM base WHERE n % 20 = 0
+         |  UNION ALL SELECT regexp_replace(url, '^(https?://)', '\\1x-'), text || ' edited'
+         |    FROM base WHERE n % 8 = 0),
+         |hd AS (SELECT DISTINCT host, digest FROM (
+         |    SELECT regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+         |      md5(text) AS digest FROM aug)
+         |  WHERE host <> ''),
+         |tot AS (SELECT host, count(*) AS n FROM hd GROUP BY host),
+         |hg AS (SELECT host, digest FROM hd
+         |  QUALIFY count(*) OVER (PARTITION BY digest) <= 100),
+         |sh AS (SELECT a.host AS host_a, b.host AS host_b, count(*) AS n_shared
+         |  FROM hg a JOIN hg b ON a.digest = b.digest AND a.host < b.host
+         |  GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT s.host_a, s.host_b, CAST(s.n_shared AS BIGINT) AS n_shared,
+         |  CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+         |  CAST(s.n_shared * 1000000 // ta.n AS BIGINT) AS containment_a_ppm,
+         |  CAST(s.n_shared * 1000000 // tb.n AS BIGINT) AS containment_b_ppm,
+         |  CAST(s.n_shared * 1000000 // (ta.n + tb.n - s.n_shared) AS BIGINT) AS jaccard_ppm
+         |FROM sh s JOIN tot ta ON ta.host = s.host_a
+         |  JOIN tot tb ON tb.host = s.host_b
+         |ORDER BY host_a, host_b""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
         |x -> x <> '')) AS BIGINT) AS n_tokens FROM documents ORDER BY doc_id""".stripMargin,

@@ -679,6 +679,59 @@ object DedupOps {
           .as("text_clean"))
   }
 
+  /** Host-level mirror detection: host PAIRS sharing content — the dedup
+    * axis document-level near-dup misses (a full site mirror duplicates
+    * thousands of documents under a different host; curation wants to
+    * drop the mirror wholesale, and crawl scheduling wants to stop
+    * re-fetching it). Classic shape: Bharat & Broder 1999's "mirror, a
+    * host pair sharing a large fraction of identical content".
+    *
+    * Per host pair with ≥ `minShared` shared md5 content digests:
+    * (host_a, host_b, n_shared, n_a, n_b, containment_a_ppm [shared DIV
+    * a's digests — 10⁶ means a is fully contained in b], containment_b_ppm,
+    * jaccard_ppm), host_a < host_b, all ratios integral.
+    *
+    * Scale shape: text reduces map-side to (host, md5) DISTINCT pairs —
+    * payloads never shuffle; the pairing self-join is guarded by a
+    * per-digest host count cap (`maxHostsPerDigest`) exactly like the LSH
+    * hot-bucket guard — a universal error page shared by 100k hosts would
+    * otherwise emit 10¹⁰ pairs; per-host totals still count EVERY digest
+    * (the guard only scopes pair discovery, so containment denominators
+    * stay true). The pair aggregate and both total joins carry
+    * (host, host, long) rows only. */
+  def hostMirrors(df: DataFrame, urlCol: String, textCol: String,
+      minShared: Long = 2L, maxHostsPerDigest: Int = 100): DataFrame = {
+    // eager localCheckpoint, not persist: the returned plan references hd
+    // through three branches (totals + both self-join sides) and must not
+    // recompute the corpus-wide distinct after this method returns (the
+    // kmeansLloyd unpersist-before-eval lesson)
+    val hd = df
+      .select(LinkOps.hostOf(col(urlCol)).as("host"), md5(col(textCol)).as("digest"))
+      .filter(col("host") =!= "")
+      .distinct()
+      .localCheckpoint(true)
+    val totals = hd.groupBy("host").agg(count(lit(1)).as("n"))
+    val hotGuarded = hd
+      .withColumn("__nh", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("digest")))
+      .filter(col("__nh") <= maxHostsPerDigest)
+      .drop("__nh")
+    val shared = hotGuarded.select(col("host").as("host_a"), col("digest"))
+      .join(hotGuarded.select(col("host").as("host_b"), col("digest")), Seq("digest"))
+      .filter(col("host_a") < col("host_b"))
+      .groupBy("host_a", "host_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    val out = shared
+      .join(totals.select(col("host").as("host_a"), col("n").as("n_a")), Seq("host_a"))
+      .join(totals.select(col("host").as("host_b"), col("n").as("n_b")), Seq("host_b"))
+      .select(col("host_a"), col("host_b"), col("n_shared"), col("n_a"), col("n_b"),
+        expr("n_shared * 1000000 DIV n_a").as("containment_a_ppm"),
+        expr("n_shared * 1000000 DIV n_b").as("containment_b_ppm"),
+        expr("n_shared * 1000000 DIV (n_a + n_b - n_shared)").as("jaccard_ppm"))
+    out
+  }
+
   /** Shared window machinery: (docs with token arrays, exploded
     * payload-free (id, pos, wh) windows). */
   private def spanWindows(df: DataFrame, idCol: String, textCol: String,

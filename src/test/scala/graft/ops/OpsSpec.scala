@@ -122,6 +122,38 @@ class OpsSpec extends AnyFunSuite {
     assert(normKept <= exactKept)
   }
 
+  test("hostMirrors: containment/jaccard ppm, minShared cutoff, hot-digest guard vs true totals") {
+    // host a: t1..t4; host b mirrors t1..t3; host c holds t1 only (+ a
+    // same-host duplicate url that must collapse in the DISTINCT);
+    // host d shares nothing
+    val rows = Seq(
+      ("https://a.example/doc1", "t1"), ("https://a.example/doc2", "t2"),
+      ("https://a.example/doc3", "t3"), ("https://a.example/doc4", "t4"),
+      ("https://b.example/doc1", "t1"), ("https://b.example/doc2", "t2"),
+      ("https://b.example/doc3", "t3"),
+      ("https://c.example/doc1", "t1"), ("https://c.example/dup", "t1"),
+      ("https://d.example/doc9", "t9")).toDF("url", "text")
+    val r = DedupOps.hostMirrors(rows, "url", "text", minShared = 2L)
+      .orderBy("host_a", "host_b").collect()
+    // only (a,b) reaches minShared=2: shared 3, n_a=4, n_b=3
+    assert(r.length == 1)
+    val p = r(0)
+    assert(p.getAs[String]("host_a") == "a.example" &&
+      p.getAs[String]("host_b") == "b.example")
+    assert(p.getAs[Long]("n_shared") == 3L && p.getAs[Long]("n_a") == 4L &&
+      p.getAs[Long]("n_b") == 3L)
+    assert(p.getAs[Long]("containment_a_ppm") == 750000L)
+    assert(p.getAs[Long]("containment_b_ppm") == 1000000L)
+    assert(p.getAs[Long]("jaccard_ppm") == 750000L) // 3e6 DIV (4+3-3)
+    // hot-digest guard: t1 sits on 3 hosts; cap 2 removes it from PAIR
+    // discovery ((a,b) drops to shared 2 — t2,t3) but totals stay true
+    val g = DedupOps.hostMirrors(rows, "url", "text", minShared = 2L,
+        maxHostsPerDigest = 2).orderBy("host_a", "host_b").collect()
+    assert(g.length == 1)
+    assert(g(0).getAs[Long]("n_shared") == 2L && g(0).getAs[Long]("n_a") == 4L)
+    assert(g(0).getAs[Long]("containment_a_ppm") == 500000L)
+  }
+
   test("DeflateSize + compression gate: determinism, tails, byte counting") {
     import java.util.zip.Deflater
     def jdkDeflate(t: String): Long = {
