@@ -1254,6 +1254,24 @@ object Queries {
           "id", "text", minPpm = 100000L, maxPpm = 950000L)
         .orderBy("id")),
 
+    // ---- curation: the filter FUNNEL report — per ordered gate, docs
+    //      entering / dropped / surviving, all cumulative-AND counts in
+    //      ONE aggregate pass (the stage accounting C4/Gopher/RefinedWeb
+    //      publish). Four gates chosen so every stage drops non-trivially
+    //      on the synthetic corpus: word floor, lang=en, stopword
+    //      presence, length cap. The oracle re-derives each cumulative
+    //      sum independently, so a drift in ANY gate or in the funnel
+    //      order breaks the row hash.
+    "q_filter_funnel" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextOps.filterFunnel(d, Seq(
+        "min_words" -> (TextOps.tokenCount(col("text")) >= 20L),
+        "english" -> (col("lang") === "en"),
+        "has_stopword" -> col("text").contains(" the "),
+        "max_chars" -> (length(col("text")).cast("long") <= 400L)))
+        .orderBy("stage")
+    }),
+
     // ---- W1: reading-order span enumeration (posexplode over parsed
     //      cells, from the dumped page table; bbox emitted as a JSON
     //      string). DuckDB replays the JSON explode + ordinality.
@@ -2816,6 +2834,28 @@ object Queries {
            |SELECT id, n_bytes, n_deflate, ratio_ppm,
            |  (ratio_ppm >= 100000 AND ratio_ppm <= 950000) AS kept
            |FROM r ORDER BY id""".stripMargin,
+      // filter funnel: every cumulative-AND survival sum re-derived
+      // independently (gates: token floor, lang, stopword, length cap)
+      "q_filter_funnel" ->
+        """WITH d AS (SELECT text, lang,
+          |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+          |      x -> x <> '')) AS n_tok,
+          |    length(text) AS n_chars FROM documents),
+          |g AS (SELECT (n_tok >= 20) AS g1, (lang = 'en') AS g2,
+          |    contains(text, ' the ') AS g3, (n_chars <= 400) AS g4 FROM d),
+          |a AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+          |    CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+          |    CAST(sum(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+          |    CAST(sum(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+          |    CAST(sum(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END) AS BIGINT) AS s4
+          |  FROM g)
+          |SELECT * FROM (
+          |  SELECT CAST(1 AS BIGINT) AS stage, 'min_words' AS gate,
+          |    n0 AS n_in, n0 - s1 AS n_dropped, s1 AS n_out FROM a
+          |  UNION ALL SELECT 2, 'english', s1, s1 - s2, s2 FROM a
+          |  UNION ALL SELECT 3, 'has_stopword', s2, s2 - s3, s3 FROM a
+          |  UNION ALL SELECT 4, 'max_chars', s3, s3 - s4, s4 FROM a)
+          |ORDER BY stage""".stripMargin,
       // C9 batch repair: same determinism replay over the repair-case dump
       "x_repair_batch" ->
         s"""SELECT case_id, original_length, predict_resized, cleaned_objects, success

@@ -76,6 +76,34 @@ object TextOps {
       col("n_chars_calc") >= 20 && col("n_tokens") >= 5 &&
         col("n_sentences") >= 1 && col("n_digits") * 3 < col("n_chars_calc"))
 
+  /** Curation-funnel report: per ORDERED gate, how many documents entered
+    * the stage, were dropped by it, and survived — the stage-by-stage
+    * accounting every released corpus publishes (C4/Gopher/RefinedWeb all
+    * report their filter funnels) and the first thing a curation run's
+    * operator asks when the output looks thin. Applying each gate as a
+    * separate filter+count would scan the corpus k times; this computes
+    * every cumulative-AND survival count in ONE aggregate pass (k+1
+    * integral sums, map-side combined to a single row) and explodes the
+    * k stage rows map-only from it. Gate columns must be deterministic
+    * row-local predicates (the usual quality-gate shape); a null gate
+    * evaluates as a drop.
+    * Output: (stage, gate, n_in, n_dropped, n_out) with stage 1..k. */
+  def filterFunnel(df: DataFrame, gates: Seq[(String, Column)]): DataFrame = {
+    require(gates.nonEmpty, "need at least one gate")
+    val cum = gates.map(_._2).scanLeft(lit(true))(_ && _).tail
+    val aggCols = count(lit(1)).cast("long").as("n0") +:
+      cum.zipWithIndex.map { case (c, i) =>
+        sum(when(coalesce(c, lit(false)), lit(1L)).otherwise(lit(0L))).as(s"s$i")
+      }
+    val one = df.agg(aggCols.head, aggCols.tail: _*)
+    val stages = gates.indices.map { i =>
+      val in = if (i == 0) col("n0") else col(s"s${i - 1}")
+      struct(lit((i + 1).toLong).as("stage"), lit(gates(i)._1).as("gate"),
+        in.as("n_in"), (in - col(s"s$i")).as("n_dropped"), col(s"s$i").as("n_out"))
+    }
+    one.select(explode(array(stages: _*)).as("st")).select(col("st.*"))
+  }
+
   /** Script/stopword language-ID heuristic. Deliberately CASE-expressible
     * so a SQL oracle can replay it exactly (see Queries.oracles). */
   def langId(text: Column): Column = {

@@ -154,6 +154,31 @@ class OpsSpec extends AnyFunSuite {
     assert(g(0).getAs[Long]("containment_a_ppm") == 500000L)
   }
 
+  test("filterFunnel: cumulative stage accounting, null gate drops, single-pass plan") {
+    val rows = Seq((1L, "aa", 5L), (2L, "bb", 50L), (3L, "aa", 60L),
+      (4L, "aa", 70L), (5L, null.asInstanceOf[String], 80L))
+      .toDF("id", "tag", "score")
+    val r = TextOps.filterFunnel(rows, Seq(
+      "score_floor" -> (col("score") >= 50L),
+      "tag_aa" -> (col("tag") === "aa"))) // null tag -> null predicate -> drop
+      .orderBy("stage").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    assert(r.toSeq == Seq(
+      (1L, "score_floor", 5L, 1L, 4L),   // id1 dropped
+      (2L, "tag_aa", 4L, 2L, 2L)))       // id2 (bb) and id5 (null) dropped
+    intercept[IllegalArgumentException] {
+      TextOps.filterFunnel(rows, Seq.empty)
+    }
+    // single pass: exactly one aggregate over the input in the plan
+    val plan = TextOps.filterFunnel(rows,
+      Seq("a" -> (col("score") > 0L), "b" -> (col("score") > 1L)))
+      .queryExecution.optimizedPlan
+    val nAggs = plan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.size
+    assert(nAggs == 1)
+  }
+
   test("DeflateSize + compression gate: determinism, tails, byte counting") {
     import java.util.zip.Deflater
     def jdkDeflate(t: String): Long = {
