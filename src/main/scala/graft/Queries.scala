@@ -1272,6 +1272,23 @@ object Queries {
         .orderBy("stage")
     }),
 
+    // ---- curation: token-distribution DRIFT between two crawl
+    //      snapshots — snapshot B simulates a spam-farm takeover (every
+    //      6th doc's text replaced by a crypto template), the shift a
+    //      recurring crawl's monitoring job must catch before training.
+    //      Per token with >=100 ppm mass on either side: tf and integral
+    //      ppm both sides + delta. Both engines build the identical B;
+    //      the oracle re-derives tokenization, totals, the DIV ppm math
+    //      and the full-outer drift join independently.
+    "q_token_drift" -> ((s, dir) => {
+      val a = t(s, dir, "documents").select(col("text"))
+      val b = t(s, dir, "documents").select(
+        when(col("doc_id") % 6 === 0,
+          lit("win free crypto now click here win free")).otherwise(col("text"))
+          .as("text"))
+      TextOps.tokenDrift(a, b, "text", minPpm = 100L).orderBy("token")
+    }),
+
     // ---- W1: reading-order span enumeration (posexplode over parsed
     //      cells, from the dumped page table; bbox emitted as a JSON
     //      string). DuckDB replays the JSON explode + ordinality.
@@ -2856,6 +2873,30 @@ object Queries {
           |  UNION ALL SELECT 3, 'has_stopword', s2, s2 - s3, s3 FROM a
           |  UNION ALL SELECT 4, 'max_chars', s3, s3 - s4, s4 FROM a)
           |ORDER BY stage""".stripMargin,
+      // token drift: identical spam-takeover snapshot B, independent
+      // tokenization/total/ppm/full-outer re-derivation
+      "q_token_drift" ->
+        """WITH ta AS (SELECT unnest(list_filter(regexp_split_to_array(trim(text),
+          |    '\s+'), x -> x <> '')) AS token FROM documents),
+          |tb AS (SELECT unnest(list_filter(regexp_split_to_array(trim(
+          |    CASE WHEN doc_id % 6 = 0
+          |      THEN 'win free crypto now click here win free'
+          |      ELSE text END), '\s+'), x -> x <> '')) AS token FROM documents),
+          |da AS MATERIALIZED (SELECT token, count(*) AS tf FROM ta GROUP BY token),
+          |db AS MATERIALIZED (SELECT token, count(*) AS tf FROM tb GROUP BY token),
+          |pa AS (SELECT token, tf, tf * 1000000 // (SELECT sum(tf) FROM da) AS ppm
+          |  FROM da),
+          |pb AS (SELECT token, tf, tf * 1000000 // (SELECT sum(tf) FROM db) AS ppm
+          |  FROM db)
+          |SELECT coalesce(pa.token, pb.token) AS token,
+          |  CAST(coalesce(pa.tf, 0) AS BIGINT) AS tf_a,
+          |  CAST(coalesce(pb.tf, 0) AS BIGINT) AS tf_b,
+          |  CAST(coalesce(pa.ppm, 0) AS BIGINT) AS ppm_a,
+          |  CAST(coalesce(pb.ppm, 0) AS BIGINT) AS ppm_b,
+          |  CAST(coalesce(pb.ppm, 0) - coalesce(pa.ppm, 0) AS BIGINT) AS delta_ppm
+          |FROM pa FULL OUTER JOIN pb ON pa.token = pb.token
+          |WHERE greatest(coalesce(pa.ppm, 0), coalesce(pb.ppm, 0)) >= 100
+          |ORDER BY token""".stripMargin,
       // C9 batch repair: same determinism replay over the repair-case dump
       "x_repair_batch" ->
         s"""SELECT case_id, original_length, predict_resized, cleaned_objects, success

@@ -76,6 +76,43 @@ object TextOps {
       col("n_chars_calc") >= 20 && col("n_tokens") >= 5 &&
         col("n_sentences") >= 1 && col("n_digits") * 3 < col("n_chars_calc"))
 
+  /** Corpus drift report between two snapshots: per token, its frequency
+    * (count and integral ppm of each snapshot's total token mass) on both
+    * sides and the ppm delta — the monitoring job a recurring crawl runs
+    * to catch distribution shift before it poisons training (a spam-farm
+    * takeover, a template flood, an extraction regression all surface as
+    * token-mass movers long before eyeballing finds them).
+    *
+    * Scale shape: each snapshot reduces map-side to its vocabulary-sized
+    * (token, tf) relation (text never shuffles — explode + partial-agg
+    * combine); totals are 1-row aggregates crossJoined back (AQE
+    * broadcasts); the drift join is vocabulary-sized, FULL OUTER so
+    * appeared/vanished tokens both report (absent side = 0). Each
+    * distribution is eager-localCheckpointed — it feeds both its total
+    * and the join, and must not recompute the corpus pass. `minPpm`
+    * bounds the report to tokens with visible mass on at least one side
+    * (the full vocabulary tail is noise at report granularity).
+    * Output: (token, tf_a, tf_b, ppm_a, ppm_b, delta_ppm). */
+  def tokenDrift(a: DataFrame, b: DataFrame, textCol: String,
+      minPpm: Long = 100L): DataFrame = {
+    def dist(df: DataFrame): DataFrame = df
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    def withPpm(d: DataFrame, suf: String): DataFrame = d
+      .crossJoin(d.agg(sum(col("tf")).as("__tot")))
+      .select(col("token"), col("tf").as(s"tf_$suf"),
+        expr("tf * 1000000 DIV __tot").as(s"ppm_$suf"))
+    withPpm(dist(a), "a").join(withPpm(dist(b), "b"), Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("tf_a"), lit(0L)).as("tf_a"),
+        coalesce(col("tf_b"), lit(0L)).as("tf_b"),
+        coalesce(col("ppm_a"), lit(0L)).as("ppm_a"),
+        coalesce(col("ppm_b"), lit(0L)).as("ppm_b"))
+      .withColumn("delta_ppm", col("ppm_b") - col("ppm_a"))
+      .filter(greatest(col("ppm_a"), col("ppm_b")) >= minPpm)
+  }
+
   /** Curation-funnel report: per ORDERED gate, how many documents entered
     * the stage, were dropped by it, and survived — the stage-by-stage
     * accounting every released corpus publishes (C4/Gopher/RefinedWeb all

@@ -154,6 +154,23 @@ class OpsSpec extends AnyFunSuite {
     assert(g(0).getAs[Long]("containment_a_ppm") == 500000L)
   }
 
+  test("tokenDrift: ppm math, appeared/vanished tokens, minPpm bound") {
+    val a = Seq("x x y", "y z").toDF("text")        // tf x2 y2 z1, total 5
+    val b = Seq("x y", "w w").toDF("text")          // tf x1 y1 w2, total 4
+    val r = TextOps.tokenDrift(a, b, "text", minPpm = 100L).orderBy("token")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5)))
+    assert(r.toSeq == Seq(
+      ("w", 0L, 2L, 0L, 500000L, 500000L),          // appeared
+      ("x", 2L, 1L, 400000L, 250000L, -150000L),
+      ("y", 2L, 1L, 400000L, 250000L, -150000L),
+      ("z", 1L, 0L, 200000L, 0L, -200000L)))        // vanished
+    // minPpm bounds the report by the LARGER side
+    val m = TextOps.tokenDrift(a, b, "text", minPpm = 250000L)
+      .select("token").as[String].collect().toSet
+    assert(m == Set("w", "x", "y"))
+  }
+
   test("filterFunnel: cumulative stage accounting, null gate drops, single-pass plan") {
     val rows = Seq((1L, "aa", 5L), (2L, "bb", 50L), (3L, "aa", 60L),
       (4L, "aa", 70L), (5L, null.asInstanceOf[String], 80L))
