@@ -340,6 +340,21 @@ object Queries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- similarity: hard-negative mining (DPR-style retrieval prep) —
+    //      positives = each query's TRUE top-1 neighbor (derived by the
+    //      brute-force operator itself, so the anti-join binds on EVERY
+    //      query: the result must be ranks 2..6 renumbered 1..5, which
+    //      the oracle re-derives independently from its own ranking;
+    //      an anti-join or re-rank drift breaks every row)
+    "q_hard_negatives" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val queries = embs.filter(col("vec_id") < 256)
+      val pos = SimilarityOps.bruteForceTopK(embs, queries, "vec_id", "embedding", k = 1)
+        .select(col("query_id"), col("neighbor_id").as("pos_id"))
+      SimilarityOps.hardNegatives(embs, queries, pos, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "neg_rank")
+    }),
+
     // ---- similarity search: IVF scale path (rows-only; recall gate in test)
     "q_ann_ivf" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
@@ -2443,7 +2458,23 @@ object Queries {
         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank
         |  FROM scored)
         |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin
+        |ORDER BY query_id, rank""".stripMargin,
+    // hard negatives: positives are the top-1 rows of the SAME ranking,
+    // so true negatives are exactly ranks 2..6 renumbered — re-derived
+    // here from an independent row_number ranking
+    "q_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 256),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])) AS sim
+        |  FROM embeddings c, q WHERE c.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id AS neg_id, CAST(rank - 1 AS INTEGER) AS neg_rank
+        |FROM ranked WHERE rank BETWEEN 2 AND 6
+        |ORDER BY query_id, neg_rank""".stripMargin
   )
 
   /** Oracles over the VerifyTables parquet dumps (paths resolved at dump

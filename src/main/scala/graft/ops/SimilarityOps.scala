@@ -62,6 +62,40 @@ object SimilarityOps {
     topKPerQuery(scored, k)
   }
 
+  /** Hard-negative mining for retrieval/embedding training (the DPR /
+    * sentence-transformers prep step): for each training query, the
+    * top-k most similar corpus items that are NOT known positives — the
+    * negatives that actually teach the model, as opposed to random ones
+    * the model already separates. `positives` is the qrels relation
+    * (query_id, pos_id); excluded pairs are anti-joined out of the
+    * scored relation BEFORE the top-k aggregate, so exactly k true
+    * negatives return per query with ranks 1..k (a retrieve-then-filter
+    * composition would under-fill whenever >0 positives land in the
+    * retrieved set).
+    *
+    * Scale shape: [[bruteForceTopK]]'s — queries broadcast (small by
+    * contract), the scored relation never materializes beyond the
+    * k-bounded partial heaps of [[graft.functions.TopKSimAgg]]; the
+    * qrels anti-join keys on (query_id, neighbor_id) only and sits
+    * before the cosine so excluded pairs skip the arithmetic too (AQE
+    * broadcasts the tiny qrels side unhinted).
+    * Output: (query_id, neg_id, neg_rank). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, positives: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      queryIdCol: String = "query_id", posIdCol: String = "pos_id"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val pos = positives
+      .select(col(queryIdCol).as("query_id"), col(posIdCol).as("neighbor_id"))
+      .distinct()
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .join(pos, Seq("query_id", "neighbor_id"), "left_anti")
+      .withColumn("sim", cosine(col("cvec"), col("qvec")))
+    topKPerQuery(scored, k)
+      .select(col("query_id"), col("neighbor_id").as("neg_id"),
+        col("rank").as("neg_rank"))
+  }
+
   /** Deterministic coarse centroids: farthest-point seeding over a
     * deterministic sample (the first `sampleSize` corpus vectors by id)
     * refined by `lloydIters` k-means iterations on the same sample.

@@ -392,6 +392,33 @@ class OpsSpec extends AnyFunSuite {
     assert(top.groupBy("query_id").count().select(min("count")).as[Long].head() == 5)
   }
 
+  test("hardNegatives: positives anti-joined before top-k, exactly k true negatives") {
+    val queries = embs.limit(8)
+    val top = SimilarityOps.bruteForceTopK(embs, queries, "vec_id", "embedding", k = 8)
+      .cache()
+    // positives = each query's true rank-1 and rank-3 neighbors
+    val pos = top.filter(col("rank").isin(1, 3))
+      .select(col("query_id"), col("neighbor_id").as("pos_id"))
+    val negs = SimilarityOps.hardNegatives(embs, queries, pos,
+      "vec_id", "embedding", k = 5).cache()
+    // exactly 5 negatives per query, ranks 1..5
+    assert(negs.groupBy("query_id").count().select(min("count")).as[Long].head() == 5)
+    assert(negs.groupBy("query_id").count().select(max("count")).as[Long].head() == 5)
+    // negatives = brute ranks {2,4,5,6,7} renumbered 1..5, per query
+    val want = top.filter(col("rank").isin(2, 4, 5, 6, 7))
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    val got = negs.select("query_id", "neg_id", "neg_rank")
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    assert(got == want)
+    // no positive ever appears as a negative
+    val leaked = negs.join(pos,
+      negs("query_id") === pos("query_id") && negs("neg_id") === pos("pos_id"))
+    assert(leaked.count() == 0)
+  }
+
   /** Deterministic clustered embeddings: 10 unit-norm gaussian centers,
     * points = center + noise·gaussian, labels interleaved. The driver's
     * embeddings.parquet is isotropic noise at every SF (measured: intra-
