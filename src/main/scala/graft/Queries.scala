@@ -1873,7 +1873,17 @@ object Queries {
     "q_stream_dedup" -> ((s, dir) =>
       graft.streaming.StreamingDedup.dedupStream(vt(s, dir, "northrule")).toDF()
         .select(col("url"), col("warc_ts"), col("lang"))
-        .orderBy("url"))
+        .orderBy("url")),
+
+    // ---- streaming host fetch-rate monitor, exercised in batch mode
+    //      (same windowed-aggregation transform; the watermark is a
+    //      batch no-op so ALL windows emit, which is exactly what the
+    //      SQL replay computes). Tumbling 1-hour event-time windows per
+    //      host: fetch count + payload bytes. Watermark lateness + the
+    //      emit-once Append contract are covered by StreamingHostRateSpec.
+    "q_host_fetch_rate" -> ((s, dir) =>
+      graft.streaming.StreamingHostRate.hostRate(vt(s, dir, "northrule"))
+        .orderBy("host", "window_start"))
   )
 
   /** End-to-end variants. The q_minhash_pairs / q_simhash_pairs queries
@@ -3172,6 +3182,16 @@ object Queries {
            |  PARTITION BY text
            |  ORDER BY CAST(floor(epoch(warc_ts)) AS BIGINT), url) = 1
            |ORDER BY url""".stripMargin,
+      // streaming host fetch-rate in batch: tumbling epoch-aligned hour
+      // windows = date_trunc; bytes via octet_length, null html -> 0
+      "q_host_fetch_rate" ->
+        s"""SELECT regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+           |  CAST(floor(epoch(date_trunc('hour', warc_ts))) AS BIGINT) AS window_start,
+           |  CAST(count(*) AS BIGINT) AS n_fetches,
+           |  CAST(sum(coalesce(octet_length(html), 0)) AS BIGINT) AS n_bytes
+           |FROM read_parquet('${g("northrule")}')
+           |WHERE warc_ts IS NOT NULL
+           |GROUP BY 1, 2 ORDER BY host, window_start""".stripMargin,
       // skew-salted host stats ≡ single-phase aggregate
       "x_host_stats" ->
         s"""SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
