@@ -618,6 +618,27 @@ object Queries {
     //      rewrite of A (1-in-13 dropped, 1-in-11 edited, 1-in-17 gains a
     //      variant url); the diff join carries only (url, 8-byte digest)
     //      per side — payloads never shuffle at any snapshot size.
+    // ---- crawl: crawler-trap detection — per (host, digit-collapsed URL
+    //      template), distinct urls vs distinct contents. Two plants over
+    //      the corpus: a calendar trap (every 5th doc becomes a
+    //      trap.example/cal?day=N url sharing ONE text — ratio collapses,
+    //      flagged) and a legitimately large section (every 7th doc a
+    //      big.example/article/N url keeping its own text — ratio stays
+    //      10⁶, not flagged), binding both gate directions; the natural
+    //      corpus urls flow through untouched.
+    "q_crawl_traps" -> ((s, dir) => {
+      val base = vt(s, dir, "northrule").select(col("url"), col("text"))
+      val n = regexp_extract(col("url"), "doc([0-9]+)$", 1).cast("long")
+      val trap = base.filter(n % 5 === 0)
+        .select(concat(lit("https://trap.example/cal?day="), n).as("url"),
+          lit("trap calendar page").as("text"))
+      val big = base.filter(n % 7 === 0)
+        .select(concat(lit("https://big.example/article/"), n).as("url"),
+          col("text"))
+      LinkOps.crawlTraps(base.unionByName(trap).unionByName(big), "url", "text")
+        .orderBy("host", "url_pattern")
+    }),
+
     "q_crawl_delta" -> ((s, dir) => {
       val a = vt(s, dir, "northrule").select(col("url"), col("text"),
         regexp_extract(col("url"), "doc([0-9]+)$", 1).cast("long").as("__id"))
@@ -3471,6 +3492,30 @@ object Queries {
            |SELECT url, host, score FROM r WHERE rn <= 3 ORDER BY url""".stripMargin,
       // snapshot delta: text equality replays the digest compare (the
       // same hash-for-text equivalence the dedup oracles pin)
+      // crawler traps: identical plants, digit-collapse template, md5
+      // contents, both distinct counts and the ratio gate re-derived
+      "q_crawl_traps" ->
+        s"""WITH base AS (SELECT url, text,
+           |    CAST(regexp_extract(url, 'doc([0-9]+)$$', 1) AS BIGINT) AS n
+           |  FROM read_parquet('${g("northrule")}')),
+           |aug AS (
+           |  SELECT url, text FROM base
+           |  UNION ALL SELECT 'https://trap.example/cal?day=' || n,
+           |    'trap calendar page' FROM base WHERE n % 5 = 0
+           |  UNION ALL SELECT 'https://big.example/article/' || n, text
+           |    FROM base WHERE n % 7 = 0),
+           |t AS (SELECT regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+           |    regexp_replace(regexp_extract(url, '^https?://[^/?#]+(.*)$$', 1),
+           |      '[0-9]+', 'N', 'g') AS url_pattern,
+           |    url, md5(text) AS d FROM aug),
+           |a AS (SELECT host, url_pattern,
+           |    count(DISTINCT url) AS n_urls, count(DISTINCT d) AS n_contents
+           |  FROM t WHERE host <> '' GROUP BY host, url_pattern)
+           |SELECT host, url_pattern, CAST(n_urls AS BIGINT) AS n_urls,
+           |  CAST(n_contents AS BIGINT) AS n_contents,
+           |  CAST(n_contents * 1000000 // n_urls AS BIGINT) AS content_ratio_ppm,
+           |  (n_urls >= 20 AND n_contents * 1000000 // n_urls <= 200000) AS is_trap
+           |FROM a ORDER BY host, url_pattern""".stripMargin,
       "q_crawl_delta" ->
         s"""WITH a AS (SELECT url, text,
            |  CAST(regexp_extract(url, 'doc([0-9]+)$$', 1) AS BIGINT) AS id

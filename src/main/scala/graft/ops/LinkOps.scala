@@ -755,6 +755,42 @@ object LinkOps {
     out
   }
 
+  /** Crawler-trap detection: per (host, URL template), how many distinct
+    * urls were fetched and how many distinct CONTENTS they produced — the
+    * signal that separates an infinite URL space (calendar pages, session
+    * ids, faceted-search explosions: thousands of urls, a handful of
+    * contents) from a legitimately large section. Crawl scheduling prunes
+    * flagged templates from the frontier; curation drops their near-void
+    * documents wholesale.
+    *
+    * The URL template is the path+query with every digit run collapsed to
+    * `N` — `/cal?d=20260819` and `/cal?d=20260820` share a template, the
+    * standard trap normalization. A template is flagged when it holds
+    * ≥ `minUrls` urls AND its distinct-content-per-url ratio is ≤
+    * `maxContentRatioPpm` (few contents spread over many urls).
+    *
+    * Scale shape: text reduces map-side to its md5 digest — the aggregate
+    * shuffles (host, template, url, 32-char digest) rows only, and the
+    * two distinct-counts are one hash aggregate (Spark rewrites multi-
+    * distinct over the same group into an expand — 2× the slim rows, no
+    * extra pass over payloads).
+    * Output: (host, url_pattern, n_urls, n_contents, content_ratio_ppm,
+    * is_trap). */
+  def crawlTraps(df: DataFrame, urlCol: String, textCol: String,
+      minUrls: Long = 20L, maxContentRatioPpm: Long = 200000L): DataFrame =
+    df.select(hostOf(col(urlCol)).as("host"),
+        regexp_replace(
+          regexp_extract(col(urlCol), "^https?://[^/?#]+(.*)$", 1),
+          "[0-9]+", "N").as("url_pattern"),
+        col(urlCol).as("__u"), md5(col(textCol)).as("__d"))
+      .filter(col("host") =!= "")
+      .groupBy("host", "url_pattern")
+      .agg(countDistinct(col("__u")).as("n_urls"),
+        countDistinct(col("__d")).as("n_contents"))
+      .withColumn("content_ratio_ppm", expr("n_contents * 1000000 DIV n_urls"))
+      .withColumn("is_trap",
+        col("n_urls") >= minUrls && col("content_ratio_ppm") <= maxContentRatioPpm)
+
   /** First-wins page metadata of one parsed DOM: (title, description,
     * canonical). title = normalized visible text of the first `<title>`;
     * description = the first `<meta name=description>` content

@@ -228,6 +228,21 @@ class LinkOpsSpec extends AnyFunSuite {
     assert(r.toSeq == Seq(("a", 1000000L, 0L), ("b", 0L, 1000000L)))
   }
 
+  test("crawlTraps: digit-collapsed template, trap vs legit-large vs below-floor") {
+    val rows = ((1 to 25).map(i => (s"https://t.example/cal?d=2026$i", "same page")) ++
+      (1 to 25).map(i => (s"https://ok.example/a/$i", s"article $i")) ++
+      Seq(("https://few.example/p?x=1", "same page"),
+        ("https://few.example/p?x=2", "same page"))).toDF("url", "text")
+    val r = LinkOps.crawlTraps(rows, "url", "text", minUrls = 20L)
+      .orderBy("host").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getBoolean(5)))
+    assert(r.toSeq == Seq(
+      ("few.example", "/p?x=N", 2L, 1L, 500000L, false),   // below url floor
+      ("ok.example", "/a/N", 25L, 25L, 1000000L, false),   // large but legit
+      ("t.example", "/cal?d=N", 25L, 1L, 40000L, true)))   // the trap
+  }
+
   test("crawlDelta: new/deleted/changed/unchanged, digest join carries no payload") {
     val a = Seq(("u1", "t1"), ("u2", "t2"), ("u3", "t3")).toDF("url", "text")
     val b = Seq(("u2", "t2"), ("u3", "t3-edited"), ("u4", "t4")).toDF("url", "text")
