@@ -618,6 +618,32 @@ object Queries {
     //      rewrite of A (1-in-13 dropped, 1-in-11 edited, 1-in-17 gains a
     //      variant url); the diff join carries only (url, 8-byte digest)
     //      per side — payloads never shuffle at any snapshot size.
+    // ---- crawl: registered-domain (eTLD+1) rollup — the site-level
+    //      aggregation key host-level grouping gets wrong for multi-label
+    //      public suffixes. Plants bind every branch: every 6th/9th doc
+    //      spawns a.shopK.co.uk / b.shopK.co.uk urls (different 3-label
+    //      hosts, SAME registered domain shopK.co.uk — the co.uk branch
+    //      and the subdomain merge), every 11th a www.siteK.example url
+    //      (plain last-2 rollup of a 3-label host); the natural 2-label
+    //      hosts flow through as themselves.
+    "q_domain_rollup" -> ((s, dir) => {
+      val base = vt(s, dir, "northrule").select(col("url"))
+      val n = regexp_extract(col("url"), "doc([0-9]+)$", 1).cast("long")
+      def plant(mod: Int, pre: String) = base.filter(n % mod === 0)
+        .select(concat(lit(s"https://$pre.shop"), n % 10,
+          lit(".co.uk/p"), n).as("url"))
+      val www = base.filter(n % 11 === 0)
+        .select(concat(lit("https://www.site"), n % 10,
+          lit(".example/q"), n).as("url"))
+      val aug = base.unionByName(plant(6, "a")).unionByName(plant(9, "b"))
+        .unionByName(www)
+      aug.select(LinkOps.hostOf(col("url")).as("host"))
+        .filter(col("host") =!= "")
+        .groupBy(LinkOps.registeredDomain(col("host")).as("registered_domain"))
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("host")).as("n_hosts"))
+        .orderBy("registered_domain")
+    }),
+
     // ---- crawl: crawler-trap detection — per (host, digit-collapsed URL
     //      template), distinct urls vs distinct contents. Two plants over
     //      the corpus: a calendar trap (every 5th doc becomes a
@@ -3492,6 +3518,34 @@ object Queries {
            |SELECT url, host, score FROM r WHERE rn <= 3 ORDER BY url""".stripMargin,
       // snapshot delta: text equality replays the digest compare (the
       // same hash-for-text equivalence the dedup oracles pin)
+      // registered-domain rollup: identical plants; the PSL-lite suffix
+      // set interpolates from the SAME Scala constant the live operator
+      // uses, the eTLD+1 CASE is re-derived over split labels
+      "q_domain_rollup" ->
+        s"""WITH base AS (SELECT url,
+           |    CAST(regexp_extract(url, 'doc([0-9]+)$$', 1) AS BIGINT) AS n
+           |  FROM read_parquet('${g("northrule")}')),
+           |aug AS (
+           |  SELECT url FROM base
+           |  UNION ALL SELECT 'https://a.shop' || (n % 10) || '.co.uk/p' || n
+           |    FROM base WHERE n % 6 = 0
+           |  UNION ALL SELECT 'https://b.shop' || (n % 10) || '.co.uk/p' || n
+           |    FROM base WHERE n % 9 = 0
+           |  UNION ALL SELECT 'https://www.site' || (n % 10) || '.example/q' || n
+           |    FROM base WHERE n % 11 = 0),
+           |h AS (SELECT regexp_extract(url, '^https?://([^/?#]+)', 1) AS host
+           |  FROM aug),
+           |r AS (SELECT host, string_split(host, '.') AS ls FROM h WHERE host <> ''),
+           |d AS (SELECT host,
+           |    CASE WHEN len(ls) >= 3 AND (ls[-2] || '.' || ls[-1]) IN
+           |        (${graft.ops.LinkOps.MultiLabelSuffixes.map(x => s"'$x'").mkString(", ")})
+           |      THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+           |      WHEN len(ls) >= 2 THEN ls[-2] || '.' || ls[-1]
+           |      ELSE host END AS registered_domain
+           |  FROM r)
+           |SELECT registered_domain, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+           |FROM d GROUP BY registered_domain ORDER BY registered_domain""".stripMargin,
       // crawler traps: identical plants, digit-collapse template, md5
       // contents, both distinct counts and the ratio gate re-derived
       "q_crawl_traps" ->

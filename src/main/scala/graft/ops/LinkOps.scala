@@ -755,6 +755,43 @@ object LinkOps {
     out
   }
 
+  /** PSL-lite multi-label public suffixes: the high-traffic subset of the
+    * Public Suffix List's ICANN section plus a few ubiquitous private
+    * hosting entries. Host-level aggregation that treats `blog.foo.co.uk`
+    * and `shop.foo.co.uk` as different "sites" but `foo.co.uk` and
+    * `bar.co.uk` as the same would mis-scope caps, reputation and mirror
+    * grouping; the registered domain (eTLD+1) is the right rollup key.
+    * A full PSL (~9k rules incl. wildcards/exceptions) would ship as a
+    * broadcast table; this literal subset keeps the expression codegen'd
+    * and the oracle replayable, and the function documents the contract.
+    * (Interpolated into the DuckDB oracle — one constant, two engines.) */
+  val MultiLabelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "co.kr", "or.kr", "co.in", "co.nz", "org.nz", "net.nz",
+    "com.br", "org.br", "net.br", "com.cn", "net.cn", "org.cn",
+    "com.mx", "com.ar", "com.tr", "com.tw", "com.sg", "com.hk",
+    "github.io", "gitlab.io", "blogspot.com", "wordpress.com",
+    "herokuapp.com")
+
+  /** Registered domain (eTLD+1) of a host: last 3 labels when the last 2
+    * form a listed multi-label public suffix, else last 2, else (single
+    * label / empty) the host itself. Pure Column algebra — codegen'd,
+    * no UDF; IPv4 hosts deterministically roll to their last two octets
+    * (documented oddity — a crawl keyed on IPs should roll by IP before
+    * this). */
+  def registeredDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val nl = size(labels)
+    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val last3 = concat_ws(".",
+      element_at(labels, -3), element_at(labels, -2), element_at(labels, -1))
+    when(nl >= 3 && last2.isin(MultiLabelSuffixes: _*), last3)
+      .when(nl >= 2, last2)
+      .otherwise(host)
+  }
+
   /** Crawler-trap detection: per (host, URL template), how many distinct
     * urls were fetched and how many distinct CONTENTS they produced — the
     * signal that separates an infinite URL space (calendar pages, session

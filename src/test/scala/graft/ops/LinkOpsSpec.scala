@@ -228,6 +228,23 @@ class LinkOpsSpec extends AnyFunSuite {
     assert(r.toSeq == Seq(("a", 1000000L, 0L), ("b", 0L, 1000000L)))
   }
 
+  test("registeredDomain: eTLD+1 branches — multi-label suffix, plain TLD, single label") {
+    val cases = Seq(
+      "blog.foo.co.uk" -> "foo.co.uk",       // listed 2-label suffix
+      "a.b.foo.co.uk" -> "foo.co.uk",        // deep subdomain, same rollup
+      "foo.co.uk" -> "foo.co.uk",            // already eTLD+1
+      "www.example.com" -> "example.com",    // plain TLD
+      "example.com" -> "example.com",
+      "user.github.io" -> "user.github.io",  // private-section suffix
+      "deep.user.github.io" -> "user.github.io",
+      "localhost" -> "localhost",            // single label: itself
+      "co.uk" -> "co.uk")                    // bare suffix: last-2 branch
+    val df = cases.map(_._1).toDF("host")
+      .select(col("host"), LinkOps.registeredDomain(col("host")).as("rd"))
+    val got = df.as[(String, String)].collect().toMap
+    cases.foreach { case (h, want) => assert(got(h) == want, s"host $h") }
+  }
+
   test("crawlTraps: digit-collapsed template, trap vs legit-large vs below-floor") {
     val rows = ((1 to 25).map(i => (s"https://t.example/cal?d=2026$i", "same page")) ++
       (1 to 25).map(i => (s"https://ok.example/a/$i", s"article $i")) ++
