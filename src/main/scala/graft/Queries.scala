@@ -523,6 +523,20 @@ object Queries {
       LinkOps.pageRank(LinkOps.hostGraph(vt(s, dir, "links")), iterations = 5)
         .orderBy("node")),
 
+    // ---- web graph: integral TrustRank (5 iterations) — PageRank whose
+    //      teleport lands only on a trusted seed set (every host whose
+    //      digit part % 3 == 0), so trust propagates outward and
+    //      unreachable/spam-side hosts score 0; same DIV ladder, bit-exact
+    //      DuckDB replay with the seed CASE folded into every round
+    "q_trustrank" -> ((s, dir) => {
+      val hg = LinkOps.hostGraph(vt(s, dir, "links"))
+      val nodes = hg.select(col("src_host").as("node"))
+        .union(hg.select(col("dst_host").as("node"))).distinct()
+      val seeds = nodes.filter(
+        expr("try_cast(regexp_extract(node, 'host([0-9]+)', 1) AS BIGINT)") % 3 === 0)
+      LinkOps.trustRank(hg, seeds, iterations = 5).orderBy("node")
+    }),
+
     // ---- web graph: integral HITS hubs/authorities (5 iterations) over
     //      the host graph — the quality-prior complement to PageRank
     //      (directory/spam farms score high-hub low-authority); max-
@@ -4290,6 +4304,9 @@ object Queries {
       // integral HITS: the 5-round hub/auth half-step ladder unrolled as
       // CTEs — L-infinity (max) normalization keeps every step integer
       "q_hits" -> hitsSql(5),
+      // integral TrustRank: the PageRank ladder with teleport gated on
+      // the seed flag, re-derived per round
+      "q_trustrank" -> trustrankSql(5),
       // host-reputation gate: the same 5-round ladder joined onto the
       // extraction output's urls
       "q_host_reputation" ->
@@ -4431,6 +4448,36 @@ object Queries {
   private def pagerankSql(k: Int): String =
     s"""WITH ${pagerankCtes(k)}
        |SELECT node, CAST(rank AS BIGINT) AS rank FROM r$k ORDER BY node""".stripMargin
+
+  /** Integral TrustRank ladder — the [[pagerankCtes]] shape with teleport
+    * gated on the seed flag (seeds = digit part % 3 == 0, TRY_CAST so
+    * non-matching hosts are simply non-seeds in both engines). */
+  private def trustrankSql(k: Int): String = {
+    val iters = (1 to k).map { i =>
+      s"""r$i AS (SELECT ns.node,
+         |    CASE WHEN ns.is_seed THEN 150000 ELSE 0 END
+         |      + (85 * coalesce(s.m, 0)) // 100 AS rank
+         |  FROM ns LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r${i - 1}.rank // od.outdeg) AS m
+         |    FROM e JOIN od USING (src) JOIN r${i - 1} ON r${i - 1}.node = e.src
+         |    GROUP BY e.dst) s USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH l AS (SELECT
+       |    regexp_extract(src, '^https?://([^/?#]+)', 1) AS sh,
+       |    regexp_extract(dst, '^https?://([^/?#]+)', 1) AS dh
+       |  FROM read_parquet('${VerifyTables.oracleGlob("links")}')),
+       |e AS (SELECT DISTINCT sh AS src, dh AS dst FROM l
+       |      WHERE sh <> dh AND sh <> '' AND dh <> ''),
+       |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |ns AS (SELECT node, coalesce(
+       |    TRY_CAST(regexp_extract(node, 'host([0-9]+)', 1) AS BIGINT) % 3 = 0,
+       |    false) AS is_seed FROM n),
+       |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |r0 AS (SELECT node,
+       |  CASE WHEN is_seed THEN CAST(1000000 AS BIGINT) ELSE 0 END AS rank FROM ns),
+       |$iters
+       |SELECT node, CAST(rank AS BIGINT) AS trust FROM r$k ORDER BY node""".stripMargin
+  }
 
   /** Integral HITS iteration ladder: each round one auth half-step (sum of
     * in-neighbor hubs, max-normalized to 10⁶) then one hub half-step (sum

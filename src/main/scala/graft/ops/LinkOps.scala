@@ -689,6 +689,60 @@ object LinkOps {
     ranks
   }
 
+  /** Fixed-iteration TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004)
+    * with the same scaled-integer arithmetic as [[pageRank]]: PageRank
+    * whose teleport mass lands ONLY on a curated seed set of trusted
+    * hosts, so trust propagates outward along links and spam farms —
+    * reachable mostly from other spam — score near zero however densely
+    * they interlink. The standard web-spam demotion signal; curation
+    * pairs it with pageRank (high rank + low trust ⇒ spam mass).
+    *
+    *   rank'(n) = [n ∈ seeds] · (15·scale) DIV 100
+    *            + (85 · Σ_in (rank_src DIV outdeg)) DIV 100
+    *
+    * Ranks start at `scale` on seeds, 0 elsewhere; nodes unreachable from
+    * the seed set stay exactly 0 (integral arithmetic — no float seep).
+    * Scale shape identical to pageRank: per round one join on src + one
+    * hash agg on dst over (string, long) rows, localCheckpoint per round;
+    * the seed flag rides the node table (one extra boolean), seeds join
+    * once up front. */
+  def trustRank(edges0: DataFrame, seeds: DataFrame,
+      srcCol: String = "src_host", dstCol: String = "dst_host",
+      seedCol: String = "node", iterations: Int = 5,
+      scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 1 && scale >= 100L, "need iterations >= 1, scale >= 100")
+    val edges = edges0
+      .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist()
+    val seedSet = seeds.select(col(seedCol).cast("string").as("node")).distinct()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .join(seedSet.withColumn("__s", lit(true)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__s"), lit(false)).as("is_seed"))
+      .localCheckpoint(true)
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val withDeg = edges.join(outdeg, Seq("src")).persist()
+    var ranks = nodes.select(col("node"),
+      when(col("is_seed"), lit(scale)).otherwise(lit(0L)).as("rank"))
+    for (_ <- 0 until iterations) {
+      val inSum = withDeg
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), expr("rank DIV outdeg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("in_sum"))
+      ranks = nodes.join(inSum, Seq("node"), "left")
+        .select(col("node"),
+          (when(col("is_seed"), lit(15L * scale / 100L)).otherwise(lit(0L)) +
+            expr("(85 * coalesce(in_sum, 0L)) DIV 100")).as("rank"))
+        .localCheckpoint(true)
+    }
+    edges.unpersist()
+    withDeg.unpersist()
+    ranks.withColumnRenamed("rank", "trust")
+  }
+
   /** Fixed-iteration HITS (Kleinberg 1999) with scaled-integer arithmetic
     * — the hubs/authorities complement to [[pageRank]]: a good HUB links
     * to many good authorities, a good AUTHORITY is linked from many good

@@ -203,6 +203,25 @@ class LinkOpsSpec extends AnyFunSuite {
     assert(r.toSeq == Seq(("a", 150000L), ("b", 150000L + 85L * 150000L / 100L)))
   }
 
+  test("trustRank: trust flows from seeds only, unreachable nodes stay exactly 0") {
+    // a->b, b->c; seed = {a}. Hand ladder:
+    // r0: a=1e6 b=0 c=0
+    // r1: a=150000 (seed teleport, no in), b=(85*1e6)DIV100=850000, c=0
+    // r2: a=150000, b=(85*150000)DIV100=127500, c=(85*850000)DIV100=722500
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src_host", "dst_host")
+    val seeds = Seq("a").toDF("node")
+    val r = LinkOps.trustRank(edges, seeds, iterations = 2).orderBy("node")
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    assert(r.toSeq == Seq(("a", 150000L), ("b", 127500L), ("c", 722500L)))
+    // spam island d<->e is unreachable from the seed: trust exactly 0
+    // however densely it interlinks; the seeded component is unaffected
+    val withIsland = edges.unionByName(
+      Seq(("d", "e"), ("e", "d")).toDF("src_host", "dst_host"))
+    val r2 = LinkOps.trustRank(withIsland, seeds, iterations = 4).orderBy("node")
+      .collect().map(x => (x.getString(0), x.getLong(1))).toMap
+    assert(r2("d") == 0L && r2("e") == 0L && r2("a") == 150000L)
+  }
+
   test("hits: hand-computed integral hub/authority ladder on a 3-node graph") {
     // a->b, a->c, b->c (+ a duplicate and a self-loop that must be dropped)
     val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("a", "b"), ("c", "c"))
