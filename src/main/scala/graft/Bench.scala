@@ -53,7 +53,9 @@ object Bench {
     "q_warc_pipeline", "q_gzip_extract", "q_cdx_index", "q_image_neardup",
     "q_audio_neardup", "q_video_neardup", "q_containment_pairs",
     "q_recrawl_schedule", "q_main_content", "q_wet_roundtrip",
-    "q_wat_roundtrip", "q_archive_pipeline", "q_bpe_train")
+    "q_wat_roundtrip", "q_archive_pipeline", "q_bpe_train",
+    "q_hits", "q_trustrank", "q_host_mirrors", "q_crawl_traps",
+    "q_hard_negatives")
 
   def main(args: Array[String]): Unit = {
     val startNanos = System.nanoTime()

@@ -475,6 +475,23 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // ---- dedup: quality-keyed survivor selection — the SAME cluster
+    //      labels as q_neardup_dedup but the keep policy made explicit:
+    //      highest token count wins, ties to the NEWEST id (so it
+    //      diverges from the keep-min-id convention on every uniform
+    //      cluster, binding the policy itself, not just the clustering)
+    "q_neardup_best" -> ((s, dir) => {
+      val pairs = DedupOps.minhashPairsFromSigs(vt(s, dir, "minhash_sigs"),
+        numHashes = 64, bands = 16, threshold = 0.5)
+      val docs = t(s, dir, "documents")
+      val labels = DedupOps.connectedComponents(
+        docs.select(col("doc_id")), "doc_id", pairs)
+      DedupOps.bestPerCluster(labels,
+          docs.select(col("doc_id").as("id"),
+            TextOps.tokenCount(col("text")).as("q")))
+        .orderBy("cluster_id")
+    }),
+
     // ---- curation: mixture resampling — the largest sub-corpus whose
     //      language composition matches integer ppm targets (all-integral
     //      quota math; row choice by the shared deterministic permutation)
@@ -632,6 +649,34 @@ object Queries {
     //      rewrite of A (1-in-13 dropped, 1-in-11 edited, 1-in-17 gains a
     //      variant url); the diff join carries only (url, 8-byte digest)
     //      per side — payloads never shuffle at any snapshot size.
+    // ---- crawl: AS-OF join — every probe gets the latest version
+    //      at-or-before its timestamp. Versions replay q_url_revisit's
+    //      plant (v1 at warc_ts for all, v2 +1h for every 7th, v3 +2h for
+    //      every 14th); each url probes at +90min (matches v2 where it
+    //      exists, else v1 — binding the per-key LATEST-wins rule, not
+    //      just any-match) and at −30min (predates every version —
+    //      binding the miss branch; coalesced to 0 for hash stability).
+    //      The DuckDB oracle is a genuinely independent engine: its
+    //      native ASOF LEFT JOIN operator vs our tag-union window plan.
+    "q_asof_join" -> ((s, dir) => {
+      val base = vt(s, dir, "northrule").select(col("url"), col("warc_ts"))
+        .withColumn("n", regexp_extract(col("url"), "doc([0-9]+)$", 1).cast("long"))
+      def ver(mod: Int, hours: Int, no: Int) = base.filter(col("n") % mod === 0)
+        .select(col("url"),
+          (col("warc_ts") + expr(s"INTERVAL $hours HOUR")).as("vts"),
+          lit(no.toLong).as("version_no"))
+      val versions = ver(1, 0, 1).unionByName(ver(7, 1, 2)).unionByName(ver(14, 2, 3))
+      val probes = base
+        .select(col("url"), (col("warc_ts") + expr("INTERVAL 90 MINUTE")).as("pts"))
+        .unionByName(base.select(col("url"),
+          (col("warc_ts") - expr("INTERVAL 30 MINUTE")).as("pts")))
+      LinkOps.asOfJoin(probes, versions, "url", "pts", "vts", Seq("version_no"))
+        .select(col("url"), col("pts").cast("long").as("probe_ts"),
+          coalesce(col("version_ts").cast("long"), lit(0L)).as("version_ts"),
+          coalesce(col("version_no"), lit(0L)).as("version_no"))
+        .orderBy("url", "probe_ts")
+    }),
+
     // ---- crawl: registered-domain (eTLD+1) rollup — the site-level
     //      aggregation key host-level grouping gets wrong for multi-label
     //      public suffixes. Plants bind every branch: every 6th/9th doc
@@ -3532,6 +3577,27 @@ object Queries {
            |SELECT url, host, score FROM r WHERE rn <= 3 ORDER BY url""".stripMargin,
       // snapshot delta: text equality replays the digest compare (the
       // same hash-for-text equivalence the dedup oracles pin)
+      // as-of join: DuckDB's NATIVE ASOF LEFT JOIN operator replays the
+      // same probes/versions — two independent engine implementations of
+      // the temporal-join semantics must agree row for row
+      "q_asof_join" ->
+        s"""WITH base AS (SELECT url, warc_ts,
+           |    CAST(regexp_extract(url, 'doc([0-9]+)$$', 1) AS BIGINT) AS n
+           |  FROM read_parquet('${g("northrule")}')),
+           |vers AS (
+           |  SELECT url, warc_ts AS vts, CAST(1 AS BIGINT) AS version_no FROM base
+           |  UNION ALL SELECT url, warc_ts + INTERVAL 1 HOUR, 2 FROM base WHERE n % 7 = 0
+           |  UNION ALL SELECT url, warc_ts + INTERVAL 2 HOUR, 3 FROM base WHERE n % 14 = 0),
+           |probes AS (
+           |  SELECT url, warc_ts + INTERVAL 90 MINUTE AS pts FROM base
+           |  UNION ALL SELECT url, warc_ts - INTERVAL 30 MINUTE FROM base)
+           |SELECT p.url,
+           |  CAST(floor(epoch(p.pts)) AS BIGINT) AS probe_ts,
+           |  CAST(coalesce(floor(epoch(v.vts)), 0) AS BIGINT) AS version_ts,
+           |  CAST(coalesce(v.version_no, 0) AS BIGINT) AS version_no
+           |FROM probes p ASOF LEFT JOIN vers v
+           |  ON p.url = v.url AND p.pts >= v.vts
+           |ORDER BY p.url, probe_ts""".stripMargin,
       // registered-domain rollup: identical plants; the PSL-lite suffix
       // set interpolates from the SAME Scala constant the live operator
       // uses, the eTLD+1 CASE is re-derived over split labels
@@ -4340,6 +4406,29 @@ object Queries {
            |FROM allv a JOIN sz USING (cluster_id) JOIN documents d USING (doc_id)
            |WHERE a.doc_id = a.cluster_id
            |ORDER BY a.doc_id""".stripMargin,
+      // quality-keyed survivor: same recursive clustering, keep policy
+      // re-derived as an independent per-cluster ranking (q DESC, id DESC)
+      "q_neardup_best" -> s"""WITH RECURSIVE $minhashCandCte,
+           |e AS (SELECT id_a, id_b FROM cand
+           |  WHERE CAST(len(list_filter(range(1, 65), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 64 >= 0.5),
+           |sym AS (SELECT id_a AS x, id_b AS y FROM e
+           |        UNION SELECT id_b, id_a FROM e),
+           |reach AS (
+           |  SELECT x, x AS r FROM (SELECT DISTINCT x FROM sym)
+           |  UNION
+           |  SELECT sym.x, reach.r FROM sym JOIN reach ON reach.x = sym.y),
+           |lab AS (SELECT x, min(r) AS cluster_id FROM reach GROUP BY x),
+           |allv AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+           |    CAST(len(list_filter(regexp_split_to_array(trim(d.text), '\\s+'),
+           |      x -> x <> '')) AS BIGINT) AS q
+           |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.x),
+           |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM allv GROUP BY cluster_id)
+           |SELECT a.cluster_id, a.doc_id AS keep_id, a.q AS keep_q,
+           |  CAST(sz.cluster_size AS BIGINT) AS cluster_size
+           |FROM allv a JOIN sz USING (cluster_id)
+           |QUALIFY row_number() OVER (PARTITION BY a.cluster_id
+           |  ORDER BY a.q DESC, a.doc_id DESC) = 1
+           |ORDER BY cluster_id""".stripMargin,
       // end-to-end minhash (text → signatures → band join → verify): the
       // in-flight signatures are byte-identical to the dumped sig table
       // (same deterministic function, pinned by the native-expression

@@ -679,6 +679,32 @@ object DedupOps {
           .as("text_clean"))
   }
 
+  /** Survivor selection per dedup cluster by an EXPLICIT quality key —
+    * the pluggable keep-policy the min-id convention hides: production
+    * dedup keeps the best copy (longest text, freshest fetch, highest
+    * quality score), not the smallest identifier. Per cluster: the
+    * member maximizing (quality, id) — highest quality, ties to the
+    * NEWEST id (recency proxy) — plus the cluster size.
+    *
+    * One hash aggregate over (id, cluster_id, long) rows — the house
+    * min(struct) argmin idiom, no per-cluster window/sort, so a
+    * degenerate billion-member cluster still aggregates in partial
+    * passes. Quality is cast to long; keys at Long.MinValue would
+    * overflow the negation (the topKPerStratum ord lesson) — pre-shift
+    * such scores (real quality keys — token counts, ppm scores, epoch
+    * times — are non-negative).
+    * Output: (cluster_id, keep_id, keep_q, cluster_size). */
+  def bestPerCluster(labels: DataFrame, quality: DataFrame,
+      idCol: String = "id", qCol: String = "q"): DataFrame =
+    labels
+      .join(quality.select(col(idCol).as("id"), col(qCol).cast("long").as("__q")),
+        Seq("id"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"),
+        min(struct((-col("__q")).as("nq"), (-col("id")).as("ni"))).as("__b"))
+      .select(col("cluster_id"), (-col("__b.ni")).as("keep_id"),
+        (-col("__b.nq")).as("keep_q"), col("cluster_size"))
+
   /** Host-level mirror detection: host PAIRS sharing content — the dedup
     * axis document-level near-dup misses (a full site mirror duplicates
     * thousands of documents under a different host; curation wants to

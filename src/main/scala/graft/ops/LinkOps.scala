@@ -809,6 +809,50 @@ object LinkOps {
     out
   }
 
+  /** As-of join — the temporal join Spark lacks natively: for each probe
+    * row (key, probe ts), attach the LATEST version row with version_ts ≤
+    * probe_ts for the same key (and nothing, when no version predates the
+    * probe). The crawl-archive workhorse: "which snapshot of this url was
+    * live when the link/anchor/citation was observed", replay-consistent
+    * joins of any event stream against a versioned table.
+    *
+    * Plan: tag-union both sides into one (key, ts, tag, payload) relation,
+    * ONE key-partitioned window ordered by (ts, tag) — versions sort
+    * before probes at equal ts, so ties match "at-or-before" — and
+    * `last(version_payload, ignoreNulls)` carries the newest preceding
+    * version forward; probes filter back out with their match attached.
+    * One shuffle, one sort — the honest as-of cost (a range-join would
+    * rescan versions per probe; a plain join + groupBy would shuffle
+    * every (probe × older-version) pair). Version payloads ride the
+    * shuffle once — callers pick slim `payloadCols`. Contract: versions
+    * unique per (key, version_ts); null probe timestamps emit null
+    * matches (they sort first).
+    * Output: every probe column, then `version_ts` + `payloadCols` from
+    * the matched version (null on miss). */
+  def asOfJoin(probes: DataFrame, versions: DataFrame, keyCol: String,
+      probeTsCol: String, versionTsCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val probeCols = probes.columns.toSeq
+    val vStruct = struct(
+      (col(versionTsCol).as("__vts") +: payloadCols.map(col)): _*)
+    val v0 = versions.select(col(keyCol).as("__k"),
+      col(versionTsCol).as("__ts"), lit(0).as("__tag"), vStruct.as("__vp"))
+    val p = probes.select(col(keyCol).as("__k"), col(probeTsCol).as("__ts"),
+      lit(1).as("__tag"), lit(null).cast(v0.schema("__vp").dataType).as("__vp"),
+      struct(probeCols.map(col): _*).as("__pp"))
+    val v = v0.withColumn("__pp", lit(null).cast(p.schema("__pp").dataType))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__k").orderBy(col("__ts"), col("__tag"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    p.unionByName(v.select(p.columns.map(col): _*))
+      .withColumn("__m", last(col("__vp"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(probeCols.map(c => col(s"__pp.$c").as(c)) ++
+        Seq(col("__m.__vts").as("version_ts")) ++
+        payloadCols.map(c => col(s"__m.$c").as(c)): _*)
+  }
+
   /** PSL-lite multi-label public suffixes: the high-traffic subset of the
     * Public Suffix List's ICANN section plus a few ubiquitous private
     * hosting entries. Host-level aggregation that treats `blog.foo.co.uk`

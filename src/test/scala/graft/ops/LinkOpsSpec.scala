@@ -203,6 +203,37 @@ class LinkOpsSpec extends AnyFunSuite {
     assert(r.toSeq == Seq(("a", 150000L), ("b", 150000L + 85L * 150000L / 100L)))
   }
 
+  test("asOfJoin: latest-at-or-before per key, equal-ts tie matches, miss yields nulls") {
+    val versions = Seq(
+      ("u1", 100L, "v1"), ("u1", 200L, "v2"), ("u1", 300L, "v3"),
+      ("u2", 500L, "w1")).toDF("key", "vts", "body")
+    val probes = Seq(
+      ("u1", 250L), // between v2 and v3 -> v2
+      ("u1", 200L), // exactly at v2 -> v2 (at-or-before)
+      ("u1", 99L),  // before everything -> miss
+      ("u1", 999L), // after everything -> v3 (latest, not just any)
+      ("u2", 600L), // other key isolated -> w1
+      ("u3", 100L)) // unknown key -> miss
+      .toDF("key", "pts")
+    val r = LinkOps.asOfJoin(probes, versions, "key", "pts", "vts", Seq("body"))
+      .orderBy("key", "pts").collect()
+      .map(x => (x.getString(0), x.getLong(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2),
+        if (x.isNullAt(3)) "" else x.getString(3)))
+    assert(r.toSeq == Seq(
+      ("u1", 99L, -1L, ""),
+      ("u1", 200L, 200L, "v2"),
+      ("u1", 250L, 200L, "v2"),
+      ("u1", 999L, 300L, "v3"),
+      ("u2", 600L, 500L, "w1"),
+      ("u3", 100L, -1L, "")))
+    // probe columns beyond (key, ts) ride through untouched
+    val withExtra = probes.withColumn("obs", concat(col("key"), lit("#"), col("pts")))
+    val r2 = LinkOps.asOfJoin(withExtra, versions, "key", "pts", "vts", Seq("body"))
+    assert(r2.columns.toSeq == Seq("key", "pts", "obs", "version_ts", "body"))
+    assert(r2.filter(col("obs") === "u1#250").select("body").head().getString(0) == "v2")
+  }
+
   test("trustRank: trust flows from seeds only, unreachable nodes stay exactly 0") {
     // a->b, b->c; seed = {a}. Hand ladder:
     // r0: a=1e6 b=0 c=0

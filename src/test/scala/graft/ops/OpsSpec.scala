@@ -122,6 +122,19 @@ class OpsSpec extends AnyFunSuite {
     assert(normKept <= exactKept)
   }
 
+  test("bestPerCluster: quality wins, ties to newest id, singletons keep themselves") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (9L, 9L))
+      .toDF("id", "cluster_id")
+    val quality = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 7L), (5L, 7L), (9L, 1L))
+      .toDF("id", "q")
+    val r = DedupOps.bestPerCluster(labels, quality).orderBy("cluster_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq(
+      (1L, 3L, 30L, 3L),   // q tie 2 vs 3 -> newest (3) wins, NOT min id
+      (4L, 5L, 7L, 2L),    // uniform cluster -> newest
+      (9L, 9L, 1L, 1L)))   // singleton
+  }
+
   test("hostMirrors: containment/jaccard ppm, minShared cutoff, hot-digest guard vs true totals") {
     // host a: t1..t4; host b mirrors t1..t3; host c holds t1 only (+ a
     // same-host duplicate url that must collapse in the DISTINCT);
