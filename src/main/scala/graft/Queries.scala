@@ -1393,6 +1393,25 @@ object Queries {
         .orderBy("stage")
     }),
 
+    // ---- curation: boilerplate n-gram catalog — the top-K 8-grams
+    //      shared by the most documents, the report strip rules are
+    //      written from. Two planted footers (every 6th and every 10th
+    //      doc) at different frequencies bind the ordering; within-doc
+    //      repetition (the footer appended TWICE on every 30th doc) must
+    //      still count once per doc — the map-side array_distinct bind.
+    "q_boilerplate_catalog" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val f1 = " subscribe to our newsletter for updates and offers today"
+      val f2 = " all rights reserved terms of service privacy policy applies"
+      val aug = d.select(col("doc_id").as("id"),
+        concat(col("text"),
+          when(col("doc_id") % 6 === 0, lit(f1)).otherwise(lit("")),
+          when(col("doc_id") % 30 === 0, lit(f1)).otherwise(lit("")),
+          when(col("doc_id") % 10 === 0, lit(f2)).otherwise(lit(""))).as("text"))
+      TextOps.boilerplateCatalog(aug, "id", "text", window = 8,
+        minDocs = 3L, topK = 50)
+    }),
+
     // ---- curation: token-distribution DRIFT between two crawl
     //      snapshots — snapshot B simulates a spam-farm takeover (every
     //      6th doc's text replaced by a crypto template), the shift a
@@ -1949,6 +1968,19 @@ object Queries {
         TextOps.tokenCount(col("text")))
         .orderBy("pct")),
 
+    // ---- curation: percentile-CALIBRATED gate — cutoffs computed from
+    //      the corpus itself (p10/p90 of char length via the histogram
+    //      quantile path), then applied map-only; the oracle re-derives
+    //      the quantiles DEFINITIONALLY with a single global window (the
+    //      house bit-identity convention for the two-phase decomposition)
+    //      and replays the inclusive gate
+    "q_calibrated_gate" -> ((s, dir) =>
+      TextOps.calibratedGate(t(s, dir, "documents").
+          select(col("doc_id"), col("text")),
+        "doc_id", length(col("text")), lowPct = 10, highPct = 90)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // ---- deterministic train/val/test carve-out: ppm split labels from
     //      the shared multiplicative permutation (map-only CASE chain;
     //      same BIGINT arithmetic replayed in DuckDB)
@@ -2502,6 +2534,19 @@ object Queries {
         |SELECT CAST(pct AS BIGINT) AS pct, CAST(min(v) AS BIGINT) AS value
         |FROM cum, n, q WHERE cum * 100 >= pct * n
         |GROUP BY pct ORDER BY pct""".stripMargin,
+    // calibrated gate: quantiles re-derived definitionally (single
+    // global window), inclusive gate replayed
+    "q_calibrated_gate" ->
+      """WITH v AS (SELECT doc_id, length(text) AS v FROM documents),
+        |h AS (SELECT v, count(*) AS c FROM v GROUP BY v),
+        |cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM h),
+        |n AS (SELECT count(*) AS n FROM v),
+        |lo AS (SELECT min(v) AS lo FROM cum, n WHERE cum * 100 >= 10 * n),
+        |hi AS (SELECT min(v) AS hi FROM cum, n WHERE cum * 100 >= 90 * n)
+        |SELECT doc_id, CAST(v.v AS BIGINT) AS v, CAST(lo.lo AS BIGINT) AS lo,
+        |  CAST(hi.hi AS BIGINT) AS hi,
+        |  (v.v >= lo.lo AND v.v <= hi.hi) AS keep
+        |FROM v, lo, hi ORDER BY doc_id""".stripMargin,
     // split assignment: the same permutation + bucket arithmetic, all
     // BIGINT (doc_id >= 0, so % == pmod)
     "q_split_assign" ->
@@ -3020,6 +3065,29 @@ object Queries {
           |  UNION ALL SELECT 3, 'has_stopword', s2, s2 - s3, s3 FROM a
           |  UNION ALL SELECT 4, 'max_chars', s3, s3 - s4, s4 FROM a)
           |ORDER BY stage""".stripMargin,
+      // boilerplate catalog: identical footer plants, per-doc distinct
+      // grams, doc counts, (n_docs DESC, gram) order and the top-50 cut
+      // all re-derived
+      "q_boilerplate_catalog" ->
+        """WITH d AS (SELECT doc_id AS id, text
+          |    || CASE WHEN doc_id % 6 = 0
+          |         THEN ' subscribe to our newsletter for updates and offers today' ELSE '' END
+          |    || CASE WHEN doc_id % 30 = 0
+          |         THEN ' subscribe to our newsletter for updates and offers today' ELSE '' END
+          |    || CASE WHEN doc_id % 10 = 0
+          |         THEN ' all rights reserved terms of service privacy policy applies' ELSE '' END
+          |    AS text FROM documents),
+          |t AS (SELECT id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+          |    x -> x <> '') AS ts FROM d),
+          |g AS (SELECT id, unnest(list_distinct(
+          |    CASE WHEN len(ts) >= 8
+          |      THEN list_transform(range(0, len(ts) - 7),
+          |        i -> array_to_string(list_slice(ts, i + 1, i + 8), ' '))
+          |      ELSE CAST([] AS VARCHAR[]) END)) AS gram FROM t),
+          |c AS (SELECT gram, count(*) AS n_docs FROM g GROUP BY gram
+          |  HAVING count(*) >= 3)
+          |SELECT gram, CAST(n_docs AS BIGINT) AS n_docs FROM c
+          |ORDER BY n_docs DESC, gram LIMIT 50""".stripMargin,
       // token drift: identical spam-takeover snapshot B, independent
       // tokenization/total/ppm/full-outer re-derivation
       "q_token_drift" ->

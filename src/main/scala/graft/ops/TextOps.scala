@@ -76,6 +76,38 @@ object TextOps {
       col("n_chars_calc") >= 20 && col("n_tokens") >= 5 &&
         col("n_sentences") >= 1 && col("n_digits") * 3 < col("n_chars_calc"))
 
+  /** Boilerplate n-gram catalog: the top-K token n-grams shared by the
+    * most documents — the report a curation team reads before writing
+    * strip rules ("subscribe to our newsletter…", cookie banners, share
+    * bars), and the human-auditable companion to the automated line/span
+    * dedup ops (those REMOVE repeats; this names what the corpus repeats
+    * most so the rules target causes, not symptoms).
+    *
+    * Per doc: the DISTINCT set of `window`-token grams (within-doc
+    * repeats collapse map-side via array_distinct, before the explode —
+    * a doc repeating its own footer 100× still votes once); grams then
+    * hash-aggregate to doc counts, keep ≥ `minDocs`, and the total order
+    * (n_docs DESC, gram ASC) cuts at `topK` via TakeOrderedAndProject —
+    * no global sort materializes. The gram explode is the honest cost
+    * (~tokens × window bytes); everything after the aggregate is
+    * catalog-sized. Output: (gram, n_docs). */
+  def boilerplateCatalog(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, minDocs: Long = 3L, topK: Int = 50): DataFrame = {
+    require(window >= 2 && topK >= 1, "need window >= 2, topK >= 1")
+    val grams = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__ts"))
+      .withColumn("__n", size(col("__ts")))
+      .select(col("id"), explode(
+        when(col("__n") >= window,
+          array_distinct(transform(sequence(lit(0), col("__n") - window),
+            i => concat_ws(" ", slice(col("__ts"), i + 1, lit(window))))))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+    grams.groupBy("gram").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("gram"))
+      .limit(topK)
+  }
+
   /** Corpus drift report between two snapshots: per token, its frequency
     * (count and integral ppm of each snapshot's total token mass) on both
     * sides and the ppm delta — the monitoring job a recurring crawl runs
@@ -1274,6 +1306,28 @@ object TextOps {
     * the WHOLE histogram), this survives value domains that grow with the
     * corpus — per-document scores, not just bounded token counts. The
     * only single-task window runs over the slice-total table. */
+  /** Percentile-CALIBRATED gate: compute the cutoffs FROM the corpus
+    * itself, then gate the corpus with them — "drop the bottom and top
+    * deciles by length/quality" (the CCNet move), where the thresholds
+    * must track the data instead of being hand-frozen constants that rot
+    * as the crawl drifts. Two phases, one job: [[exactQuantiles]]'
+    * histogram path produces the two cutoffs (no single task holds the
+    * corpus), they pivot to ONE broadcast row, and the gate itself is a
+    * map-only compare. Inclusive on both bounds.
+    * Output: (id, v, lo, hi, keep). */
+  def calibratedGate(df: DataFrame, idCol: String, valueCol: Column,
+      lowPct: Int = 10, highPct: Int = 90): DataFrame = {
+    require(lowPct >= 1 && highPct <= 100 && lowPct <= highPct,
+      "need 1 <= lowPct <= highPct <= 100")
+    val cuts = exactQuantiles(df, valueCol, Seq(lowPct, highPct))
+      .agg(max(when(col("pct") === lowPct.toLong, col("value"))).as("lo"),
+        max(when(col("pct") === highPct.toLong, col("value"))).as("hi"))
+    df.select(col(idCol).as("id"), valueCol.cast("long").as("v"))
+      .crossJoin(broadcast(cuts))
+      .select(col("id"), col("v"), col("lo"), col("hi"),
+        (col("v") >= col("lo") && col("v") <= col("hi")).as("keep"))
+  }
+
   def exactQuantiles(df: DataFrame, valueCol: Column,
       pcts: Seq[Int] = Seq(1, 5, 25, 50, 75, 95, 99)): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),

@@ -167,6 +167,38 @@ class OpsSpec extends AnyFunSuite {
     assert(g(0).getAs[Long]("containment_a_ppm") == 500000L)
   }
 
+  test("calibratedGate: data-derived cutoffs, inclusive bounds, tails dropped") {
+    // values 1..10 once each: p10 cutoff = 1 (cum 1*100 >= 10*10), p90 = 9
+    val rows = (1L to 10L).map(i => (i, i)).toDF("id", "score")
+    val r = TextOps.calibratedGate(rows, "id", col("score"), 10, 90)
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getBoolean(4)))
+    assert(r.forall(x => x._3 == 1L && x._4 == 9L))
+    assert(r.filter(_._5).map(_._1).toSeq == (1L to 9L)) // 10 dropped, bounds inclusive
+    intercept[IllegalArgumentException] {
+      TextOps.calibratedGate(rows, "id", col("score"), 90, 10)
+    }
+  }
+
+  test("boilerplateCatalog: doc-count votes, within-doc repeats count once, topK order") {
+    val footer = "click here to subscribe"
+    val rows = Seq(
+      (1L, s"alpha beta gamma $footer"),
+      (2L, s"delta epsilon $footer zeta"),
+      (3L, s"$footer eta $footer"),          // footer twice -> one vote
+      (4L, "unrelated words only here now"),
+      (5L, s"theta iota $footer")).toDF("id", "text")
+    val r = TextOps.boilerplateCatalog(rows, "id", "text", window = 4,
+      minDocs = 3L, topK = 3).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(r.head == (footer, 4L)) // docs 1,2,3,5 — doc 3 votes ONCE
+    assert(r.forall(_._2 >= 3L) && r.length <= 3)
+    // short docs (< window tokens) contribute nothing and don't throw
+    val short = Seq((9L, "a b c")).toDF("id", "text")
+    assert(TextOps.boilerplateCatalog(short, "id", "text", window = 4,
+      minDocs = 1L).count() == 0)
+  }
+
   test("tokenDrift: ppm math, appeared/vanished tokens, minPpm bound") {
     val a = Seq("x x y", "y z").toDF("text")        // tf x2 y2 z1, total 5
     val b = Seq("x y", "w w").toDF("text")          // tf x1 y1 w2, total 4
