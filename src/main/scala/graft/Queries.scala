@@ -324,6 +324,25 @@ object Queries {
         .orderBy("user_id")
     }),
 
+    // ---- embeddings: semantic OUTLIER report — documents far from
+    //      their k-means centroid: junk/noise to drop, or (SemDeDup's
+    //      reading) the diversity picks to keep. Composition of two
+    //      oracled ops: the integral Lloyd assignment WITH its quantized
+    //      squared distance + the histogram-quantile cutoff at p95
+    //      (data-calibrated, the calibratedGate convention). All
+    //      integral — the oracle replays the ladder, the definitional
+    //      quantile and the gate bit-exactly.
+    "q_semantic_outliers" -> ((s, dir) => {
+      val a = SimilarityOps.kmeansLloyd(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, iters = 2, withDistance = true)
+      val hi = TextOps.exactQuantiles(a, col("d2"), Seq(95))
+        .select(col("value").as("hi"))
+      a.crossJoin(broadcast(hi))
+        .select(col("id").as("vec_id"), col("cluster"), col("d2"), col("hi"),
+          (col("d2") > col("hi")).as("is_outlier"))
+        .orderBy("vec_id")
+    }),
+
     // ---- embeddings: relational stats
     "q_embedding_stats" -> ((s, dir) =>
       t(s, dir, "embeddings")
@@ -649,6 +668,32 @@ object Queries {
     //      rewrite of A (1-in-13 dropped, 1-in-11 edited, 1-in-17 gains a
     //      variant url); the diff join carries only (url, 8-byte digest)
     //      per side — payloads never shuffle at any snapshot size.
+    // ---- crawl: RSS/Atom feed discovery — the third discovery channel
+    //      next to outlinks and sitemaps (feeds surface new urls first;
+    //      the freshness frontier polls them). Planted per-host feeds
+    //      (RSS for even host checksums, Atom for odd — both parser
+    //      branches every run) through the REAL parser in-query; items
+    //      classify known/new against the snapshot. The oracle replays
+    //      the classification from the independently-dumped feed_entries
+    //      parse (the sitemap_entries evidential class); the parse
+    //      itself is pinned by LinkOpsSpec fixtures.
+    "q_feed_discovery" -> ((s, dir) => {
+      import s.implicits._
+      val snap = vt(s, dir, "northrule").select(col("url"))
+      val entries = snap
+        .select(LinkOps.hostOf(col("url")).as("host")).distinct().as[String]
+        .flatMap(h => LinkOps.parseFeed(VerifyTables.plantedFeedXml(h))
+          .map { case (loc, title, ts) => (h, loc, title, ts) })
+        .toDF("host", "item_url", "title", "published")
+      entries
+        .join(snap.withColumnRenamed("url", "item_url")
+          .withColumn("__known", lit(true)), Seq("item_url"), "left")
+        .select(col("host"), col("item_url"), col("title"),
+          col("published").cast("long").as("published_ts"),
+          coalesce(col("__known"), lit(false)).as("known"))
+        .orderBy("host", "item_url")
+    }),
+
     // ---- crawl: AS-OF join — every probe gets the latest version
     //      at-or-before its timestamp. Versions replay q_url_revisit's
     //      plant (v1 at warc_ts for all, v2 +1h for every 7th, v3 +2h for
@@ -1700,6 +1745,36 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // ---- compliance: per-host PII AUDIT — the report a release review
+    //      reads before shipping a corpus (which hosts leak what, at what
+    //      rate) and the regression monitor for the redaction pass
+    //      itself. PII planted at class-distinct rates (emails on every
+    //      7th doc, IPs every 11th, phones every 13th — rates differ so
+    //      a class-swap bug breaks the hash); redactPii does the
+    //      counting map-only, one host aggregate on integral counts.
+    "q_pii_audit" -> ((s, dir) => {
+      val base = vt(s, dir, "northrule").select(col("url"), col("text"))
+      val n = regexp_extract(col("url"), "doc([0-9]+)$", 1).cast("long")
+      val aug = base.select(col("url"),
+        concat(col("text"),
+          when(n % 7 === 0, concat(lit(" contact u"), n, lit("@example.org")))
+            .otherwise(lit("")),
+          when(n % 11 === 0, concat(lit(" from 10.1."), n % 256, lit(".9")))
+            .otherwise(lit("")),
+          when(n % 13 === 0, concat(lit(" call +44 7700 900"),
+            lpad((n % 1000).cast("string"), 3, "0"))).otherwise(lit("")))
+          .as("text"))
+      TextOps.redactPii(aug, "text")
+        .groupBy(LinkOps.hostOf(col("url")).as("host"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_emails") + col("n_ips") + col("n_phones") > 0, 1L)
+            .otherwise(0L)).as("n_docs_with_pii"),
+          sum(col("n_emails")).as("n_emails"),
+          sum(col("n_ips")).as("n_ips"),
+          sum(col("n_phones")).as("n_phones"))
+        .orderBy("host")
+    }),
+
     // ---- URL canonicalization for crawl dedup: deterministic noisy
     //      variants (fragments, utm params, case-folded scheme/host,
     //      trailing slash) built from the north-rule urls IN the query —
@@ -2475,6 +2550,23 @@ object Queries {
     // integral k-means: the same quantize + 2-round Lloyd ladder replayed
     // in pure integer arithmetic (round_even ≡ bround, // ≡ DIV)
     "q_kmeans" -> kmeansSql(4, 2),
+    // semantic outliers: the k=8 ladder + final-centroid quantized d2 +
+    // the definitional single-window p95 quantile + the gate
+    "q_semantic_outliers" ->
+      s"""WITH ${kmeansCtes(8, 2)},
+        |d AS (SELECT q.id, a.cluster,
+        |    sum((q.v - c.cv) * (q.v - c.cv)) AS d2
+        |  FROM q JOIN afin a USING (id)
+        |    JOIN c2 c ON c.cid = a.cluster AND c.dim = q.dim
+        |  GROUP BY q.id, a.cluster),
+        |h AS (SELECT d2 AS v, count(*) AS c FROM d GROUP BY d2),
+        |cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM h),
+        |n AS (SELECT count(*) AS n FROM d),
+        |hi AS (SELECT min(v) AS hi FROM cum, n WHERE cum * 100 >= 95 * n)
+        |SELECT d.id AS vec_id, CAST(d.cluster AS BIGINT) AS cluster,
+        |  CAST(d.d2 AS BIGINT) AS d2, CAST(hi.hi AS BIGINT) AS hi,
+        |  (d.d2 > hi.hi) AS is_outlier
+        |FROM d, hi ORDER BY vec_id""".stripMargin,
     // SemDeDup: identical planted corpus (float->double casts exact in
     // both engines), kmeans ladder over src=aug, within-cluster exact
     // pairing at the 1e-6 cosine grain, recursive reachability, keep
@@ -3314,6 +3406,36 @@ object Queries {
            |  regexp_replace(t2, '${TextOps.PiiPatterns.Phone}', '${TextOps.PiiPatterns.PhoneReplRe2}', 'g') AS text_redacted FROM i)
            |SELECT doc_id, n_emails, n_ips, n_phones, text_redacted FROM p
            |ORDER BY doc_id""".stripMargin,
+      // per-host PII audit: identical class-distinct plants; counts
+      // re-derived with the SAME shared pattern constants on the same
+      // staged intermediates (email -> ip -> phone), then host-aggregated
+      "q_pii_audit" ->
+        s"""WITH base AS (SELECT url, text,
+           |    CAST(regexp_extract(url, 'doc([0-9]+)$$', 1) AS BIGINT) AS n
+           |  FROM read_parquet('${g("northrule")}')),
+           |aug AS (SELECT url, text
+           |  || CASE WHEN n % 7 = 0
+           |       THEN ' contact u' || n || '@example.org' ELSE '' END
+           |  || CASE WHEN n % 11 = 0
+           |       THEN ' from 10.1.' || (n % 256) || '.9' ELSE '' END
+           |  || CASE WHEN n % 13 = 0
+           |       THEN ' call +44 7700 900' || lpad(CAST(n % 1000 AS VARCHAR), 3, '0')
+           |       ELSE '' END AS text FROM base),
+           |e AS (SELECT url,
+           |  CAST(len(regexp_extract_all(text, '${TextOps.PiiPatterns.Email}')) AS BIGINT) AS n_emails,
+           |  regexp_replace(text, '${TextOps.PiiPatterns.Email}', '<EMAIL>', 'g') AS t1 FROM aug),
+           |i AS (SELECT url, n_emails,
+           |  CAST(len(regexp_extract_all(t1, '${TextOps.PiiPatterns.Ip}')) AS BIGINT) AS n_ips,
+           |  regexp_replace(t1, '${TextOps.PiiPatterns.Ip}', '<IP>', 'g') AS t2 FROM e),
+           |p AS (SELECT url, n_emails, n_ips,
+           |  CAST(len(regexp_extract_all(t2, '${TextOps.PiiPatterns.Phone}')) AS BIGINT) AS n_phones FROM i)
+           |SELECT regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(CASE WHEN n_emails + n_ips + n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+           |  CAST(sum(n_emails) AS BIGINT) AS n_emails,
+           |  CAST(sum(n_ips) AS BIGINT) AS n_ips,
+           |  CAST(sum(n_phones) AS BIGINT) AS n_phones
+           |FROM p GROUP BY 1 ORDER BY host""".stripMargin,
       // URL canonicalization: the same deterministic noisy-variant
       // construction + the same RE2-safe regex chain, replayed verbatim
       // on both the noisy and the original url (roundtrips check)
@@ -3645,6 +3767,17 @@ object Queries {
            |SELECT url, host, score FROM r WHERE rn <= 3 ORDER BY url""".stripMargin,
       // snapshot delta: text equality replays the digest compare (the
       // same hash-for-text equivalence the dedup oracles pin)
+      // feed discovery: known/new decision replayed from the
+      // independently-dumped parsed entries vs the snapshot urls
+      "q_feed_discovery" ->
+        s"""WITH f AS (SELECT host, item_url, title,
+           |    CAST(floor(epoch(published)) AS BIGINT) AS published_ts
+           |  FROM read_parquet('${g("feed_entries")}')),
+           |snap AS (SELECT url FROM read_parquet('${g("northrule")}'))
+           |SELECT f.host, f.item_url, f.title, f.published_ts,
+           |  (s.url IS NOT NULL) AS known
+           |FROM f LEFT JOIN snap s ON s.url = f.item_url
+           |ORDER BY host, item_url""".stripMargin,
       // as-of join: DuckDB's NATIVE ASOF LEFT JOIN operator replays the
       // same probes/versions — two independent engine implementations of
       // the temporal-join semantics must agree row for row

@@ -48,7 +48,7 @@ object VerifyTables {
     "robots_rules", "robots_sitemaps", "page_meta", "sitemap_entries",
     "warc_files", "alternates", "image_dhash", "audio_dhash",
     "video_frame_dhash", "html_blocks", "robots_delays",
-    "cdc_chunks", "cdc_chunks_b", "deflate_sizes")
+    "cdc_chunks", "cdc_chunks_b", "deflate_sizes", "feed_entries")
 
   /** The grounding-mode query bbox (original space) used by both the
     * x_extract_grounding query and the grounding_cells oracle dump. */
@@ -246,6 +246,10 @@ object VerifyTables {
           .flatMap(h => graft.ops.LinkOps.sitemapsOfRobots(plantedRobotsTxt(h))
             .map(u => (h, u)))
           .toDF("host", "sitemap_url")
+      case "feed_entries" =>
+        // per-host parsed RSS/Atom entries (planted bodies through the
+        // REAL parser, independent pass) — see feedEntries
+        feedEntries(s, sfDir)
       case "sitemap_entries" =>
         // per-host parsed sitemap entries (the planted sitemap.xml bodies
         // run through the REAL parser in a separate pass) — the
@@ -559,6 +563,53 @@ object VerifyTables {
         sb ++= "</urlset>\n"
         sb.toString
     }
+  }
+
+  /** Deterministic feed body per host — RSS 2.0 for even host checksums,
+    * Atom for odd (both parser branches exercised every run). Items:
+    * a known corpus url (doc0 — classifies `known` downstream), a fresh
+    * url, an entity-escaped title (&amp; must decode), a dateless item
+    * (epoch-0 sentinel), and a non-http ftp:// item that must drop.
+    * Shared verbatim by the feed_entries dump and the live
+    * q_feed_discovery query. */
+  def plantedFeedXml(host: String): String = {
+    if (math.floorMod(host.map(_.toInt).sum, 2) == 0)
+      "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+        "<rss version=\"2.0\"><channel>\n" +
+        s"<title>$host news</title>\n" +
+        s"<item><title>Known doc</title><link>https://$host/html/doc0</link>" +
+        "<pubDate>Mon, 15 Jul 2024 08:30:00 GMT</pubDate></item>\n" +
+        s"<item><title>Fresh A &amp; B</title><link>https://$host/feed/fresh1</link>" +
+        "<pubDate>Tue, 16 Jul 2024 09:00:00 GMT</pubDate></item>\n" +
+        s"<item><title>No date</title><link>https://$host/feed/nodate</link></item>\n" +
+        s"<item><title>Bad scheme</title><link>ftp://$host/skip</link>" +
+        "<pubDate>Tue, 16 Jul 2024 09:00:00 GMT</pubDate></item>\n" +
+        "</channel></rss>\n"
+    else
+      "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+        "<feed xmlns=\"http://www.w3.org/2005/Atom\">\n" +
+        s"<title>$host feed</title>\n" +
+        s"<entry><title>Known doc</title><link href=\"https://$host/html/doc1\"/>" +
+        "<updated>2024-07-15T08:30:00Z</updated></entry>\n" +
+        s"<entry><title>Fresh X &amp; Y</title><link href=\"https://$host/feed/fresh2\"/>" +
+        "<updated>2024-07-16T10:00:00+02:00</updated></entry>\n" +
+        s"<entry><title>No date</title><link href=\"https://$host/feed/nodate\"/></entry>\n" +
+        "</feed>\n"
+  }
+
+  /** (host, item_url, title, published) from the planted feed bodies via
+    * the real parser in a separate pass — the q_feed_discovery oracle
+    * replays the known/new DECISION from this dump (the sitemap_entries
+    * evidential class). */
+  def feedEntries(s: SparkSession, sfDir: String): DataFrame = {
+    import s.implicits._
+    read(s, sfDir, "northrule")
+      .select(graft.ops.LinkOps.hostOf(org.apache.spark.sql.functions.col("url")).as("host"))
+      .distinct()
+      .as[String]
+      .flatMap(h => graft.ops.LinkOps.parseFeed(plantedFeedXml(h))
+        .map { case (loc, title, ts) => (h, loc, title, ts) })
+      .toDF("host", "item_url", "title", "published")
   }
 
   /** (host, loc, lastmod, is_index) from the planted sitemap bodies via

@@ -1343,6 +1343,63 @@ object LinkOps {
     out.result()
   }
 
+  /** RSS 2.0 / Atom feed parser — the third discovery channel next to
+    * outlinks and sitemaps (feeds surface NEW urls hours before either;
+    * a recurring crawl polls them for the freshness frontier). One item
+    * per `<item>` (RSS: `<link>` text, `<title>`, RFC 1123 `<pubDate>`)
+    * or `<entry>` (Atom: first `<link href>` attr, `<title>`, ISO-8601
+    * `<updated>`): (item_url, title, published). http(s) locations only;
+    * unparseable dates → epoch 0 (the sitemap lastmod sentinel
+    * convention — never "fresh" by construction); title text is
+    * entity-decoded and whitespace-collapsed by the shared DOM walk.
+    * Never throws.
+    *
+    * Lenient-parser note: `link` is an HTML VOID tag in [[HtmlDom]] (its
+    * RSS text child would detach as a sibling), so feed bytes pre-rewrite
+    * `link` → `feedlink` before the parse — attributes (Atom href)
+    * survive the rename untouched. */
+  def parseFeed(xml: String): Seq[(String, String, java.sql.Timestamp)] = {
+    def ts(s: String): java.sql.Timestamp = {
+      val t = s.trim
+      val instant =
+        try java.time.OffsetDateTime.parse(t).toInstant // Atom ISO-8601
+        catch {
+          case _: Exception =>
+            try java.time.ZonedDateTime.parse(t,
+              java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME).toInstant
+            catch { case _: Exception => java.time.Instant.EPOCH }
+        }
+      java.sql.Timestamp.from(instant)
+    }
+    def childText(e: HtmlDom.Element, tag: String): String =
+      e.children.collectFirst {
+        case c: HtmlDom.Element if c.tag == tag => HtmlDom.visibleText(c)
+      }.getOrElse("")
+    def childLinkHref(e: HtmlDom.Element): String =
+      e.children.collectFirst {
+        case c: HtmlDom.Element if c.tag == "feedlink" && c.attrs.contains("href") =>
+          c.attrs("href")
+      }.getOrElse("")
+    val out = Vector.newBuilder[(String, String, java.sql.Timestamp)]
+    def walk(n: HtmlDom.Node): Unit = n match {
+      case e: HtmlDom.Element =>
+        if (e.tag == "item") {
+          val loc = childText(e, "feedlink").trim
+          if (loc.startsWith("http://") || loc.startsWith("https://"))
+            out += ((loc, childText(e, "title"), ts(childText(e, "pubdate"))))
+        } else if (e.tag == "entry") {
+          val loc = childLinkHref(e).trim
+          if (loc.startsWith("http://") || loc.startsWith("https://"))
+            out += ((loc, childText(e, "title"), ts(childText(e, "updated"))))
+        } else e.children.foreach(walk)
+      case _ => ()
+    }
+    val rewritten = xml.replaceAll("(?i)<(/?)link([\\s>/])", "<$1feedlink$2")
+    try walk(HtmlDom.parse(rewritten))
+    catch { case scala.util.control.NonFatal(_) => () }
+    out.result()
+  }
+
   /** Sitemap-driven recrawl scheduling — what a recurring crawl does with
     * the hosts' published sitemaps: each page entry is classified `new`
     * (not in the current snapshot — fetch it), `stale` (sitemap lastmod

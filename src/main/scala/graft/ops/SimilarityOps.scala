@@ -398,7 +398,8 @@ object SimilarityOps {
     * nothing ever sorts or shuffles the corpus itself. Returns
     * (id, cluster) for every input row. */
   def kmeansLloyd(df: DataFrame, idCol: String, vecCol: String,
-      k: Int = 8, iters: Int = 2, scale: Long = 1000000L): DataFrame = {
+      k: Int = 8, iters: Int = 2, scale: Long = 1000000L,
+      withDistance: Boolean = false): DataFrame = {
     require(k >= 2 && iters >= 1 && scale >= 1000L,
       "need k >= 2, iters >= 1, scale >= 1000")
     import org.apache.spark.sql.expressions.Window
@@ -409,13 +410,20 @@ object SimilarityOps {
     val initIds = df.select(col(idCol).cast("long").as("id"))
       .orderBy("id").limit(k)
       .withColumn("cid", (row_number().over(Window.orderBy("id")) - 1).cast("long"))
-    def assignTo(cents: DataFrame): DataFrame =
-      expl.join(broadcast(cents), Seq("dim"))
+    // `emitD2` additionally carries the assigned centroid's quantized
+    // squared distance — the semantic-outlier signal (integral, so the
+    // SQL ladder replays it bit-exactly); iteration rounds never ask for
+    // it, only the final assignment may
+    def assignTo(cents: DataFrame, emitD2: Boolean = false): DataFrame = {
+      val m = expl.join(broadcast(cents), Seq("dim"))
         .groupBy("id", "cid")
         .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("d2"))
         .groupBy("id")
         .agg(min(struct(col("d2"), col("cid"))).as("m"))
-        .select(col("id"), col("m.cid").as("cluster"))
+      if (emitD2)
+        m.select(col("id"), col("m.cid").as("cluster"), col("m.d2").as("d2"))
+      else m.select(col("id"), col("m.cid").as("cluster"))
+    }
     var cents = expl.join(broadcast(initIds), Seq("id"))
       .select(col("cid"), col("dim"), col("v").as("cv"))
       .localCheckpoint(true)
@@ -437,7 +445,7 @@ object SimilarityOps {
     // returned plan references expl, and unpersisting first would make
     // the caller's evaluation recompute the exploded+quantized corpus
     // from scratch — the most expensive pass (round-4 advice)
-    val out = assignTo(cents).localCheckpoint(true)
+    val out = assignTo(cents, emitD2 = withDistance).localCheckpoint(true)
     expl.unpersist()
     out
   }

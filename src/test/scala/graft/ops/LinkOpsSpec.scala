@@ -203,6 +203,31 @@ class LinkOpsSpec extends AnyFunSuite {
     assert(r.toSeq == Seq(("a", 150000L), ("b", 150000L + 85L * 150000L / 100L)))
   }
 
+  test("parseFeed: RSS void-link rewrite, Atom href, entity titles, dates, scheme filter") {
+    def ep(iso: String): Long = java.time.Instant.parse(iso).toEpochMilli
+    val rss = """<?xml version="1.0"?><rss version="2.0"><channel>
+      |<title>chan</title>
+      |<item><title>A &amp; B</title><link>https://h.example/a</link>
+      |  <pubDate>Mon, 15 Jul 2024 08:30:00 GMT</pubDate></item>
+      |<item><title>No date</title><link>https://h.example/b</link></item>
+      |<item><title>Skip</title><link>ftp://h.example/c</link></item>
+      |</channel></rss>""".stripMargin
+    val r = LinkOps.parseFeed(rss).map(x => (x._1, x._2, x._3.getTime))
+    assert(r == Seq(
+      ("https://h.example/a", "A & B", ep("2024-07-15T08:30:00Z")),
+      ("https://h.example/b", "No date", 0L))) // ftp dropped; no date -> epoch 0
+    val atom = """<?xml version="1.0"?><feed xmlns="http://www.w3.org/2005/Atom">
+      |<title>f</title>
+      |<entry><title>X</title><link href="https://h.example/x"/>
+      |  <updated>2024-07-16T10:00:00+02:00</updated></entry>
+      |<entry><title>Rel</title><link href="/relative"/></entry>
+      |</feed>""".stripMargin
+    val a = LinkOps.parseFeed(atom).map(x => (x._1, x._2, x._3.getTime))
+    assert(a == Seq( // relative href dropped (absolute-only, like sitemap)
+      ("https://h.example/x", "X", ep("2024-07-16T08:00:00Z"))))
+    assert(LinkOps.parseFeed("not xml at all <<<").isEmpty) // never throws
+  }
+
   test("asOfJoin: latest-at-or-before per key, equal-ts tie matches, miss yields nulls") {
     val versions = Seq(
       ("u1", 100L, "v1"), ("u1", 200L, "v2"), ("u1", 300L, "v3"),

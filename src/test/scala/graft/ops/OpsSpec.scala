@@ -1109,6 +1109,24 @@ class OpsSpec extends AnyFunSuite {
     assert(t == Map(1L -> 0L, 3L -> 0L, 2L -> 1L), t.toString)
   }
 
+  test("kmeansLloyd withDistance: assigned-centroid quantized d2, zero at the centroid") {
+    // 1-D, k=2, iters=1: c0 = raw inits {0.0 -> cid0, 1.0 -> cid1};
+    // a1: 0.0,0.4 -> cid0; 1.0 -> cid1; c1 means: cid0 = (0+400000) DIV 2
+    // = 200000, cid1 = 1000000. Final assign+d2 vs c1 (scale 1e6):
+    // id1 (0): d2 = 200000^2 = 4e10; id2 (1.0): 0; id3 (0.4): 200000^2
+    val rows = Seq((1L, Array(0.0f)), (2L, Array(1.0f)), (3L, Array(0.4f)))
+      .toDF("vec_id", "embedding")
+    val r = SimilarityOps.kmeansLloyd(rows, "vec_id", "embedding", k = 2,
+      iters = 1, withDistance = true)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(1L) == (0L, 40000000000L))
+    assert(r(2L) == (1L, 0L))
+    assert(r(3L) == (0L, 40000000000L))
+    // default path keeps the 2-column schema (q_kmeans oracle contract)
+    assert(SimilarityOps.kmeansLloyd(rows, "vec_id", "embedding", k = 2,
+      iters = 1).columns.toSeq == Seq("id", "cluster"))
+  }
+
   test("balancedShards: near-equal token mass, exact definitional cumsum, m=1") {
     val r = TextOps.balancedShards(docs, "doc_id", "text", m = 4)
       .collect()
