@@ -227,7 +227,11 @@ object Bench {
         if (vs.isEmpty) Double.NaN else vs.min
       }
       val allLevels = fullLevels
-      val t: Map[Int, Double] = allLevels.map(n => n -> minLevel(n)).toMap
+      // total function over ANY level set: an env-overridden sweep (e.g.
+      // SPARK_GRAFT_SCALING_LEVELS=1,4) must degrade to NaN rows, not
+      // throw away the whole artifact on a missing key
+      val t: Map[Int, Double] =
+        allLevels.map(n => n -> minLevel(n)).toMap.withDefaultValue(Double.NaN)
       def eff(a: Int, b: Int): Double = (t(a) / t(b)) * (a.toDouble / b)
       // The REPORTED north-rule figure is the CROSS-ROUND-MIN pair: ambient
       // sandbox stalls only ever ADD wall time, so min-of-passes is the

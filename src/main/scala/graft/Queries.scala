@@ -2,7 +2,7 @@ package graft
 
 import graft.core.PromptMode
 import graft.gen.InputTable
-import graft.ops.{DedupOps, LinkOps, MultimodalOps, RepairJob, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, LinkOps, MultimodalOps, RepairJob, SimilarityOps, SketchOps, TextOps}
 import graft.pipeline.ExtractPipeline
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -2096,7 +2096,45 @@ object Queries {
     //      emit-once Append contract are covered by StreamingHostRateSpec.
     "q_host_fetch_rate" -> ((s, dir) =>
       graft.streaming.StreamingHostRate.hostRate(vt(s, dir, "northrule"))
-        .orderBy("host", "window_start"))
+        .orderBy("host", "window_start")),
+
+    // ---- sketch: HyperLogLog distinct-visitor estimate per event type —
+    //      the cardinality question ("distinct users/urls per group")
+    //      answered with 2^p registers instead of a full-key shuffle.
+    //      Engine-exact: md5-prefix hash, bin()-length rank, fixed-point
+    //      alpha correction — DuckDB replays registers AND estimate
+    //      bit-for-bit; accuracy-vs-exact is pinned in SketchSpec.
+    "q_hll_distinct" -> ((s, dir) =>
+      SketchOps.hllDistinct(
+          t(s, dir, "events").withColumn("__k", col("user_id").cast("string")),
+          "__k", Seq("event_type"), p = 10)
+        .orderBy("event_type")),
+
+    // ---- sketch: count-min heavy hitters — corpus token frequencies
+    //      summarized into a fixed d=4 x w=4096 cell table (mergeable,
+    //      map-side combined), probed by a deterministic candidate slice
+    //      (every-97th doc's vocabulary); est = min over rows, the
+    //      classic never-under-counts bound. Threshold 500 BINDS at
+    //      sf0.01: stopwords clear it, content words don't.
+    "q_cms_heavy" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      SketchOps.cmsHeavy(d, "text",
+          d.filter(col("doc_id") % 97 === 0)
+            .select(explode(TextOps.tokens(col("text"))).as("token")),
+          "token", minCount = 500L)
+        .orderBy("token")
+    }),
+
+    // ---- training: distributed batch-perceptron fit of the hashed-BoW
+    //      quality classifier (en vs non-en as the wiki-vs-random stand-in)
+    //      — 2 rounds, each one broadcast join + two integral aggs; the
+    //      DuckDB oracle replays the full ladder (round 1 = class-
+    //      conditional token mass, round 2 = misclassified-set correction)
+    //      from raw text with no dumps.
+    "q_perceptron_train" -> ((s, dir) =>
+      TextOps.perceptronTrain(t(s, dir, "documents"), "doc_id", "text",
+          when(col("lang") === "en", 1L).otherwise(-1L), nFeatures = 64, rounds = 2)
+        .orderBy("f"))
   )
 
   /** End-to-end variants. The q_minhash_pairs / q_simhash_pairs queries
@@ -2727,7 +2765,71 @@ object Queries {
         |  FROM scored)
         |SELECT query_id, neighbor_id AS neg_id, CAST(rank - 1 AS INTEGER) AS neg_rank
         |FROM ranked WHERE rank BETWEEN 2 AND 6
-        |ORDER BY query_id, neg_rank""".stripMargin
+        |ORDER BY query_id, neg_rank""".stripMargin,
+    // HyperLogLog: registers (md5-prefix 60-bit hash, low-10-bit index,
+    // bin()-length rank) and the fixed-point estimate replayed exactly —
+    // the alpha constant and the m^2*2^30 numerator are the SAME Scala-
+    // computed literals the operator bakes in
+    "q_hll_distinct" ->
+      s"""WITH h AS (SELECT event_type,
+        |    CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM events),
+        |r AS (SELECT event_type, h % 1024 AS reg,
+        |    CASE WHEN h // 1024 > 0 THEN 50 - length(bin(h // 1024)) + 1
+        |         ELSE 51 END AS rho0 FROM h),
+        |g AS (SELECT event_type, reg, CAST(max(rho0) AS BIGINT) AS rho
+        |      FROM r GROUP BY 1, 2),
+        |e AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_registers,
+        |    CAST(sum(CAST(1 AS BIGINT) << CAST(30 - least(rho, 30) AS INT)) AS BIGINT)
+        |      AS present FROM g GROUP BY 1)
+        |SELECT event_type, n_registers,
+        |  CAST((${SketchOps.alphaPpm(10)} * least(
+        |    ${(1L << 20) * (1L << 30)} // greatest(present + (1024 - n_registers) * ${1L << 30}, 1),
+        |    1000000000000)) // 1000000 AS BIGINT) AS estimate
+        |FROM e ORDER BY event_type""".stripMargin,
+    // count-min heavy hitters: sketch cells, probe cells and the min-over-
+    // rows estimate all re-derived from the documents parquet
+    "q_cms_heavy" ->
+      """WITH tok AS (SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    t -> t <> '')) AS token FROM documents),
+        |cells AS (SELECT CAST(t.r AS INTEGER) AS r,
+        |    CAST(CAST('0x' || substring(md5('r' || CAST(t.r AS VARCHAR) || ':' || token), 1, 8)
+        |      AS BIGINT) % 4096 AS BIGINT) AS cell
+        |  FROM tok, range(0, 4) t(r)),
+        |sketch AS (SELECT r, cell, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM cells GROUP BY 1, 2),
+        |probes AS (SELECT DISTINCT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    t -> t <> '')) AS token FROM documents WHERE doc_id % 97 = 0),
+        |pc AS (SELECT token, CAST(t.r AS INTEGER) AS r,
+        |    CAST(CAST('0x' || substring(md5('r' || CAST(t.r AS VARCHAR) || ':' || token), 1, 8)
+        |      AS BIGINT) % 4096 AS BIGINT) AS cell
+        |  FROM probes, range(0, 4) t(r)),
+        |est AS (SELECT token, CAST(min(coalesce(sketch.cnt, 0)) AS BIGINT) AS est
+        |  FROM pc LEFT JOIN sketch USING (r, cell) GROUP BY token)
+        |SELECT token, est FROM est WHERE est >= 500 ORDER BY token""".stripMargin,
+    // batch perceptron: the unrolled 2-round ladder — round 1's update is
+    // the full class-conditional token mass (zero init => margin 0 =>
+    // everything misclassified), round 2 re-scores against w1 and adds
+    // only the still-misclassified mass
+    "q_perceptron_train" ->
+      """WITH feats AS (SELECT doc_id, y,
+        |    CAST(CAST('0x' || substring(md5(token), 1, 4) AS INTEGER) % 64 AS BIGINT) AS f,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+        |      unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |        t -> t <> '')) AS token FROM documents)
+        |  GROUP BY 1, 2, 3),
+        |w1 AS (SELECT f, CAST(sum(y * x) AS BIGINT) AS w FROM feats GROUP BY f),
+        |m2 AS (SELECT feats.doc_id, feats.y,
+        |    sum(feats.x * coalesce(w1.w, 0)) AS margin
+        |  FROM feats LEFT JOIN w1 USING (f) GROUP BY 1, 2),
+        |d2 AS (SELECT f, CAST(sum(y * x) AS BIGINT) AS d FROM feats
+        |  WHERE doc_id IN (SELECT doc_id FROM m2 WHERE y * margin <= 0)
+        |  GROUP BY f),
+        |w2 AS (SELECT coalesce(w1.f, d2.f) AS f,
+        |    CAST(coalesce(w1.w, 0) + coalesce(d2.d, 0) AS BIGINT) AS w
+        |  FROM w1 FULL OUTER JOIN d2 ON w1.f = d2.f)
+        |SELECT f, w FROM w2 WHERE w <> 0 ORDER BY f""".stripMargin
   )
 
   /** Oracles over the VerifyTables parquet dumps (paths resolved at dump

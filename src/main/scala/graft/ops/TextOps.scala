@@ -767,7 +767,7 @@ object TextOps {
   /** Engine-replayable token bucket: the md5-prefix hash (both engines
     * agree on md5's lowercase hex, so DuckDB replays the partition key as
     * `CAST('0x' || substring(md5(token),1,4) AS INTEGER) % n`). */
-  private def md5Bucket(token: Column, nBuckets: Int): Column =
+  private[graft] def md5Bucket(token: Column, nBuckets: Int): Column =
     pmod(conv(substring(md5(token), 1, 4), 16, 10).cast("long"),
       lit(nBuckets.toLong))
 
@@ -1482,6 +1482,57 @@ object TextOps {
           lit(0.0), (acc, v) => acc + v) + lit(bias.toDouble))
           .cast("long").as("logit"))
       .withColumn("keep", col("logit") > 0)
+  }
+
+  /** Distributed batch-perceptron TRAINING for the hashed-BoW quality
+    * classifier — the missing half of [[scoreLinearBow]]: the
+    * wiki-vs-random style quality model (CCNet / LLaMA curation) is
+    * TRAINED on the cluster too, no driver-side learner, no collect of
+    * anything larger than nothing (the weight table stays relational).
+    *
+    * Features: x_f = count of tokens hashing to bucket f (md5Bucket, so
+    * the DuckDB oracle re-derives them from raw text). Labels y ∈ {+1,-1}.
+    * Each round, with weights FIXED: margin_i = Σ_f w_f·x_if, the
+    * misclassified set {i : y_i·margin_i ≤ 0}, and the BATCH update
+    * w_f += Σ_misclassified y_i·x_if. The per-round update is one
+    * order-independent integral aggregate — bit-exact replayable as an
+    * unrolled DuckDB CTE ladder (the q_pagerank evidence shape), unlike
+    * SGD whose row order is not a distributed contract.
+    *
+    * Scale shape per round: one broadcast join of the ≤ nFeatures-row
+    * weight table against the feature relation + two hash aggs; the
+    * feature relation is computed ONCE and localCheckpoint'd (the k-means
+    * discipline). Weights start at 0, so round 1's update is the class-
+    * conditional token-mass difference — further rounds correct it. */
+  def perceptronTrain(df: DataFrame, idCol: String, textCol: String,
+      label: Column, nFeatures: Int = 64, rounds: Int = 2): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"rounds=$rounds outside [1,8]")
+    // the forced broadcast below is safe ONLY because the weight table is
+    // bounded by construction (≤ nFeatures rows, one per hash bucket)
+    require(nFeatures >= 2 && nFeatures <= 65536, s"nFeatures=$nFeatures outside [2,65536]")
+    val feats = df
+      .select(col(idCol).as("id"), label.cast("long").as("y"),
+        explode(tokens(col(textCol))).as("token"))
+      .select(col("id"), col("y"), md5Bucket(col("token"), nFeatures).as("f"))
+      .groupBy("id", "y", "f").agg(count(lit(1)).as("x"))
+      .localCheckpoint(true)
+    // weights as a relation (f, w); absent f ≡ 0 via left join + coalesce
+    var weights = feats.sparkSession.range(0)
+      .select(col("id").as("f"), col("id").as("w"))
+    for (_ <- 1 to rounds) {
+      val miscl = feats.join(broadcast(weights), Seq("f"), "left")
+        .groupBy("id", "y")
+        .agg(sum(col("x") * coalesce(col("w"), lit(0L))).as("margin"))
+        .filter(col("y") * col("margin") <= 0)
+        .select("id")
+      val delta = feats.join(miscl, Seq("id"), "left_semi")
+        .groupBy("f").agg(sum(col("y") * col("x")).as("d"))
+      weights = weights.join(delta, Seq("f"), "full_outer")
+        .select(col("f"),
+          (coalesce(col("w"), lit(0L)) + coalesce(col("d"), lit(0L))).as("w"))
+        .localCheckpoint(true) // ≤ nFeatures rows; keeps the lineage flat
+    }
+    weights.filter(col("w") =!= 0L)
   }
 
   /** The extraction-QA tokenizer class, shared VERBATIM by
