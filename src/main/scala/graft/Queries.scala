@@ -2,7 +2,7 @@ package graft
 
 import graft.core.PromptMode
 import graft.gen.InputTable
-import graft.ops.{DedupOps, LinkOps, MultimodalOps, RepairJob, SimilarityOps, SketchOps, TextOps}
+import graft.ops.{DedupOps, LinkOps, MultimodalOps, RankOps, RepairJob, SimilarityOps, SketchOps, TextOps}
 import graft.pipeline.ExtractPipeline
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -2134,8 +2134,36 @@ object Queries {
     "q_perceptron_train" -> ((s, dir) =>
       TextOps.perceptronTrain(t(s, dir, "documents"), "doc_id", "text",
           when(col("lang") === "en", 1L).otherwise(-1L), nFeatures = 64, rounds = 2)
-        .orderBy("f"))
+        .orderBy("f")),
+
+    // ---- ranking: the Log2Fp expression pinned DIRECTLY cross-engine on
+    //      500 values spanning 1 .. 2^48 (the bm25 oracle only exercises
+    //      it on a handful of idf inputs; this pins the whole ladder —
+    //      normalization branch both ways, every magnitude)
+    "q_log2_fp" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          expr("(CAST(doc_id AS BIGINT) + 1) * shiftleft(1L, CAST(doc_id % 40 AS INT))")
+            .as("n"))
+        .withColumn("log2fp", graft.functions.Log2Fp(col("n")))
+        .orderBy("doc_id")),
+
+    // ---- ranking: BM25 top-k for a fixed topic term bag — idf through
+    //      the exact fixed-point log, tf saturation + length norm in ppm;
+    //      DuckDB re-derives N/avgdl/df/idf (unrolled log ladder) and
+    //      every score from raw text. Terms chosen with distinct corpus
+    //      df so idf actually differentiates.
+    "q_bm25_rank" -> ((s, dir) =>
+      RankOps.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          bm25Terms, k = 25)
+        .withColumnRenamed("id", "doc_id"))
   )
+
+  /** Query-term bag for q_bm25_rank — shared by the Spark query and the
+    * DuckDB oracle so the literal lists cannot drift (a def: the oracle
+    * map interpolates it during object init, before a later val would
+    * have been assigned). */
+  private def bm25Terms: Seq[String] = Seq("customer", "vector", "spark", "window")
 
   /** End-to-end variants. The q_minhash_pairs / q_simhash_pairs queries
     * read pre-materialized signature tables (so DuckDB can replay the band
@@ -2829,8 +2857,75 @@ object Queries {
         |w2 AS (SELECT coalesce(w1.f, d2.f) AS f,
         |    CAST(coalesce(w1.w, 0) + coalesce(d2.d, 0) AS BIGINT) AS w
         |  FROM w1 FULL OUTER JOIN d2 ON w1.f = d2.f)
-        |SELECT f, w FROM w2 WHERE w <> 0 ORDER BY f""".stripMargin
+        |SELECT f, w FROM w2 WHERE w <> 0 ORDER BY f""".stripMargin,
+    // the exact fixed-point binary log replayed as the unrolled 20-step
+    // shift-and-square ladder over 500 values spanning every magnitude
+    "q_log2_fp" ->
+      s"""WITH b AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    (CAST(doc_id AS BIGINT) + 1) *
+        |      (CAST(1 AS BIGINT) << CAST(doc_id % 40 AS INT)) AS n
+        |  FROM documents),
+        |${log2FpLadderSql("b", "doc_id, n")}
+        |SELECT doc_id, n, lf AS log2fp FROM lfz ORDER BY doc_id""".stripMargin,
+    // BM25: N, avgdl, per-term df, the idf log ladder and every ppm
+    // truncation re-derived from raw text; same term literals via
+    // bm25Terms, same k1/b ppm constants
+    "q_bm25_rank" ->
+      s"""WITH base AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS ts
+        |  FROM documents),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(coalesce(sum(len(ts)), 0) AS BIGINT) AS sum_dl FROM base),
+        |stats2 AS (SELECT n_docs,
+        |    greatest((sum_dl * 1000000) // n_docs, 1) AS avgdl_ppm FROM stats),
+        |tf AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, unnest(ts) AS token
+        |        FROM base)
+        |  WHERE token IN (${bm25Terms.map(t => s"'$t'").mkString(", ")})
+        |  GROUP BY 1, 2, 3),
+        |dft AS (SELECT token, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY 1),
+        |lin AS (SELECT token, CAST(1 AS BIGINT) AS side,
+        |    2 * (SELECT n_docs FROM stats2) + 2 AS n FROM dft
+        |  UNION ALL
+        |  SELECT token, CAST(-1 AS BIGINT), 2 * df_t + 1 FROM dft),
+        |${log2FpLadderSql("lin", "token, side")},
+        |idf AS (SELECT token, CAST(sum(side * lf) AS BIGINT) AS idf_fp
+        |  FROM lfz GROUP BY 1),
+        |scored AS (SELECT tf.doc_id,
+        |    (idf.idf_fp * ((tf.tf * 2200000 * 1000000) //
+        |      (tf.tf * 1000000 +
+        |       (1200000 * (250000 + (750000 * tf.dl * 1000000) // s.avgdl_ppm)) // 1000000)))
+        |      // 1000000 AS sc
+        |  FROM tf JOIN idf USING (token), stats2 s),
+        |tot AS (SELECT doc_id, CAST(sum(sc) AS BIGINT) AS score,
+        |    CAST(count(*) AS BIGINT) AS n_terms FROM scored GROUP BY 1)
+        |SELECT doc_id, score, n_terms,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |FROM tot ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
   )
+
+  /** The [[graft.functions.Log2Fp]] algorithm as DuckDB CTEs: `baseCte`
+    * must expose a BIGINT column `n >= 1` plus the `keep` columns; emits
+    * lf0..lf20 and a final `lfz` CTE with `lf` = the Q20 fixed-point
+    * log2 — the EXACT integer shift-and-square ladder the expression
+    * computes, truncation point for truncation point. */
+  private def log2FpLadderSql(baseCte: String, keep: String): String = {
+    val steps = (1 to 20).map { i =>
+      s"""lf$i AS (SELECT $keep, e,
+         |    CASE WHEN x*x >= 2199023255552 THEN (x*x) // 2097152
+         |         ELSE (x*x) // 1048576 END AS x,
+         |    fr * 2 + CASE WHEN x*x >= 2199023255552 THEN 1 ELSE 0 END AS fr
+         |  FROM lf${i - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""lf0 AS (SELECT $keep, CAST(length(bin(n)) - 1 AS BIGINT) AS e,
+       |    CASE WHEN length(bin(n)) >= 21
+       |         THEN n // (CAST(1 AS BIGINT) << CAST(length(bin(n)) - 21 AS INT))
+       |         ELSE n * (CAST(1 AS BIGINT) << CAST(21 - length(bin(n)) AS INT)) END AS x,
+       |    CAST(0 AS BIGINT) AS fr
+       |  FROM $baseCte),
+       |$steps,
+       |lfz AS (SELECT $keep, e * 1048576 + fr AS lf FROM lf20)""".stripMargin
+  }
 
   /** Oracles over the VerifyTables parquet dumps (paths resolved at dump
     * time — see [[VerifyTables.oracleGlob]]). */

@@ -1,0 +1,103 @@
+package graft.ops
+
+import graft.functions.Log2Fp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-side relevance ranking — the retrieval view over the same
+  * documents table the curation tier filters. BM25 is the canonical
+  * lexical ranker (Robertson & Zaragoza 2009; the function every search
+  * stack from Lucene to web-scale crawlers ships as its default), and a
+  * training-data pipeline uses it directly: mining documents relevant to
+  * a topic seed list, building lexical baselines for hard-negative
+  * mining, and scoring query-document pairs for retrieval eval sets.
+  *
+  * The whole scorer is ENGINE-EXACT integer arithmetic: the idf log runs
+  * through [[Log2Fp]] (Q20 fixed-point binary log — an exact integer
+  * algorithm, not libm), tf saturation and length normalization are ppm
+  * fixed-point with defined truncation points, so the DuckDB oracle
+  * replays every score bit-for-bit from raw text. Using log2 instead of
+  * ln scales every idf by the constant 1/ln2 — ranking order is
+  * unchanged, which is the only BM25 contract anyone relies on. */
+object RankOps {
+
+  /** BM25 top-k over a document table for a fixed bag of query terms.
+    *
+    * score(d) = Σ_t idf(t) · tf_t(d)·(k1+1) / (tf_t(d) + k1·(1 − b + b·dl/avgdl))
+    * with the Lucene non-negative idf variant idf(t) = log((N+1)/(df_t+0.5)),
+    * computed in Q20 as log2_fp(2N+2) − log2_fp(2·df_t+1) (doubling clears
+    * the 0.5 without leaving integers). k1/b ride as ppm (defaults 1.2 and
+    * 0.75); the tf term is ppm; the final per-term score is idf_fp-scaled
+    * (Q20). All divisions are integral with fixed order — both engines
+    * truncate identically.
+    *
+    * Scale shape: two corpus passes, the honest BM25 minimum (the
+    * [[TextOps.ngramSurprise]] precedent) — pass 1 explodes tokens with
+    * the per-doc length carried and filters to the query terms BEFORE the
+    * shuffle, so only matching (id, dl, term) rows — a sliver at any
+    * corpus size — ever leave the map side; pass 2 is a map-side-partial
+    * global aggregate for (N, Σdl) producing ONE row. Per-term df and idf
+    * live in a ≤ |terms|-row table joined back with an explicit broadcast
+    * (bounded by construction). The final top-k is orderBy+limit —
+    * Spark's TakeOrderedAndProject, per-partition heaps + driver merge of
+    * k rows, never a global sort.
+    *
+    * Overflow bounds (documented, not checked per row): tf·(k1+1e6)·1e6
+    * must fit a long → tf < 4.1e6 occurrences of one term in one document
+    * at default k1; idf_fp ≤ 64·2^20 and the tf term ≤ (k1+1)·1e6 keep
+    * the product far from the edge.
+    *
+    * Output: (id, score, n_terms, rank) — top k by (score desc, id asc),
+    * rank 1-based; ties broken by id so the row set and order are
+    * deterministic cross-engine. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int,
+      k1Ppm: Long = 1200000L, bPpm: Long = 750000L): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 1024, s"terms must be 1..1024, got ${terms.size}")
+    require(k >= 1 && k <= 1000000, s"k=$k outside [1, 1e6]")
+    require(k1Ppm >= 0L && k1Ppm <= 10000000L, s"k1Ppm=$k1Ppm outside [0, 1e7]")
+    require(bPpm >= 0L && bPpm <= 1000000L, s"bPpm=$bPpm outside [0, 1e6]")
+
+    // pass 1: (id, dl, term) -> tf; the isin prune runs map-side, so the
+    // shuffle carries query-term hits only
+    val tf = df
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("__ts"))
+      .select(col("id"), size(col("__ts")).cast("long").as("dl"),
+        explode(col("__ts")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy("id", "dl", "token").agg(count(lit(1)).as("tf"))
+
+    // pass 2: corpus stats, one row (map-side partial agg all the way)
+    val stats = df
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        coalesce(sum(TextOps.tokenCount(col(textCol))), lit(0L)).as("sum_dl"))
+      .withColumn("avgdl_ppm", greatest(expr("(sum_dl * 1000000L) DIV n_docs"), lit(1L)))
+
+    // per-term idf over a <= |terms|-row table; the 1-row stats cross join
+    // and the broadcast back to the tf stream are both bounded by
+    // construction (the perceptronTrain weight-table precedent)
+    val idf = tf.groupBy("token").agg(count(lit(1)).as("df_t"))
+      .crossJoin(stats)
+      .withColumn("idf_fp", Log2Fp(col("n_docs") * 2 + 2) - Log2Fp(col("df_t") * 2 + 1))
+      .select("token", "idf_fp", "avgdl_ppm")
+
+    val scored = tf.join(broadcast(idf), Seq("token"))
+      .withColumn("__ratio", expr(s"(${bPpm}L * dl * 1000000L) DIV avgdl_ppm"))
+      .withColumn("__denom",
+        expr(s"tf * 1000000L + (${k1Ppm}L * (${1000000L - bPpm}L + __ratio)) DIV 1000000L"))
+      .withColumn("__tfterm", expr(s"(tf * ${k1Ppm + 1000000L}L * 1000000L) DIV __denom"))
+      .withColumn("__sc", expr("(idf_fp * __tfterm) DIV 1000000L"))
+
+    val top = scored.groupBy("id")
+      .agg(sum(col("__sc")).as("score"), count(lit(1)).cast("long").as("n_terms"))
+      .orderBy(desc("score"), asc("id"))
+      .limit(k)
+    // rank over the k survivors only — the single-partition window is
+    // bounded by k, never by the corpus
+    top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("score"), asc("id"))).cast("long"))
+      .orderBy("rank")
+  }
+}

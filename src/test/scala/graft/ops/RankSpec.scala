@@ -1,0 +1,137 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.functions.Log2Fp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RankSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // ---- Log2Fp ----
+
+  test("log2Fp: distributed expression == driver-side reference on every magnitude") {
+    // values spanning 1 .. near 2^62: powers, powers +/- 1, odd composites
+    val vals = (0 to 61).flatMap { e =>
+      val p = 1L << e
+      Seq(p, p + 1, math.max(1L, p - 1), p + (p >> 1))
+    }.distinct.filter(_ >= 1)
+    val got = vals.toDF("n").select(col("n"), Log2Fp(col("n")).as("lf"))
+      .as[(Long, Long)].collect().toMap
+    vals.foreach { n =>
+      assert(got(n) == Log2Fp.compute(n), s"n=$n got=${got(n)} want=${Log2Fp.compute(n)}")
+    }
+  }
+
+  test("log2Fp: exact at powers of two (zero fraction), floor(log2) in the exponent bits") {
+    (0 to 62).foreach { e =>
+      assert(Log2Fp.compute(1L << e) == e.toLong << 20, s"2^$e")
+    }
+    assert(Log2Fp.compute(1L) == 0L)
+  }
+
+  test("log2Fp: within 4 ulp of the real log2, never above it") {
+    val rng = new scala.util.Random(42)
+    val vals = Seq(1L, 2L, 3L, 5L, 7L, 10L, 1000L, 999999937L) ++
+      (1 to 2000).map(_ => 1L + math.abs(rng.nextLong() % ((1L << 55) - 1)))
+    vals.foreach { n =>
+      val fp = Log2Fp.compute(n).toDouble / (1L << 20)
+      val real = math.log(n.toDouble) / math.log(2.0)
+      assert(fp <= real + 1e-12, s"n=$n fp=$fp over real=$real")
+      assert(fp > real - 4.0 / (1L << 20), s"n=$n fp=$fp too far below real=$real")
+    }
+  }
+
+  test("log2Fp: null for zero, negatives, and null input") {
+    val out = Seq[java.lang.Long](0L, -5L, null, 8L).toDF("n")
+      .select(Log2Fp(col("n")).as("lf")).as[Option[Long]].collect()
+    assert(out.toSeq == Seq(None, None, None, Some(3L << 20)))
+  }
+
+  // ---- BM25 ----
+
+  /** Independent driver-side BM25 — same contract, written directly from
+    * the formula (not by calling the operator's column algebra). */
+  private def bm25Ref(docs: Seq[(Long, String)], terms: Seq[String], k: Int,
+      k1Ppm: Long = 1200000L, bPpm: Long = 750000L): Seq[(Long, Long, Long, Long)] = {
+    val toks = docs.map { case (id, t) => id -> t.trim.split("\\s+").filter(_.nonEmpty).toSeq }
+    val n = docs.size.toLong
+    val sumDl = toks.map(_._2.size.toLong).sum
+    val avgdlPpm = math.max(sumDl * 1000000L / n, 1L)
+    val dfT = terms.map(t => t -> toks.count(_._2.contains(t)).toLong).toMap
+    val scored = toks.flatMap { case (id, ts) =>
+      val dl = ts.size.toLong
+      terms.flatMap { term =>
+        val tf = ts.count(_ == term).toLong
+        if (tf == 0 || dfT(term) == 0) None
+        else {
+          val idf = Log2Fp.compute(2 * n + 2) - Log2Fp.compute(2 * dfT(term) + 1)
+          val ratio = (bPpm * dl * 1000000L) / avgdlPpm
+          val denom = tf * 1000000L + (k1Ppm * ((1000000L - bPpm) + ratio)) / 1000000L
+          val tfterm = (tf * (k1Ppm + 1000000L) * 1000000L) / denom
+          Some(id -> (idf * tfterm) / 1000000L)
+        }
+      }
+    }
+    scored.groupBy(_._1).toSeq
+      .map { case (id, xs) => (id, xs.map(_._2).sum, xs.size.toLong) }
+      .sortBy { case (id, sc, _) => (-sc, id) }
+      .take(k).zipWithIndex
+      .map { case ((id, sc, nt), i) => (id, sc, nt, i + 1L) }
+  }
+
+  test("bm25TopK: matches the independent reference scorer exactly (scores, set, order)") {
+    val docs = Seq(
+      (1L, "spark window spark filter join table"),
+      (2L, "spark spark spark spark spark"),
+      (3L, "window table row column filter agg merge sort data line key batch"),
+      (4L, "vector vector spark window"),
+      (5L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (6L, "spark window"),
+      (7L, "vector"),
+      (8L, ""))
+    val terms = Seq("spark", "vector", "window")
+    val got = RankOps.bm25TopK(docs.toDF("doc_id", "text"), "doc_id", "text", terms, k = 5)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == bm25Ref(docs, terms, 5))
+  }
+
+  test("bm25TopK: more occurrences of a term beats fewer at equal doc length") {
+    val docs = Seq(
+      (1L, "spark spark spark pad1 pad2"),
+      (2L, "spark pad1 pad2 pad3 pad4"))
+    val got = RankOps.bm25TopK(docs.toDF("doc_id", "text"), "doc_id", "text",
+      Seq("spark"), k = 2).as[(Long, Long, Long, Long)].collect()
+    assert(got.head._1 == 1L && got.head._2 > got(1)._2)
+  }
+
+  test("bm25TopK: the rarer term outweighs the common one at equal tf and dl") {
+    // 'rare' in 1 of 10 docs, 'common' in 9 of 10; probe docs 101/102 are
+    // structurally identical apart from which term they carry
+    val bg = (1L to 8L).map(i => (i, s"common filler$i pad"))
+    val docs = bg ++ Seq((101L, "rare x y"), (102L, "common x y"))
+    val got = RankOps.bm25TopK(docs.toDF("doc_id", "text"), "doc_id", "text",
+      Seq("rare", "common"), k = 10).as[(Long, Long, Long, Long)].collect()
+    val sc = got.map(r => r._1 -> r._2).toMap
+    assert(sc(101L) > sc(102L), s"rare=${sc(101L)} common=${sc(102L)}")
+  }
+
+  test("bm25TopK: ties broken by ascending id, rank contiguous from 1") {
+    val docs = Seq((9L, "spark a b"), (3L, "spark a b"), (7L, "spark a b"))
+    val got = RankOps.bm25TopK(docs.toDF("doc_id", "text"), "doc_id", "text",
+      Seq("spark"), k = 3).as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(3L, 7L, 9L))
+    assert(got.map(_._4) == Seq(1L, 2L, 3L))
+    assert(got.map(_._2).distinct.size == 1)
+  }
+
+  test("bm25 plan: term-side joins broadcast, top-k is TakeOrdered, no sort-merge join") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = RankOps.bm25TopK(docs, "doc_id", "text", Seq("spark", "vector"), k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.toLowerCase.contains("sortmergejoin"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
