@@ -2156,7 +2156,16 @@ object Queries {
     "q_bm25_rank" -> ((s, dir) =>
       RankOps.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
           bm25Terms, k = 25)
-        .withColumnRenamed("id", "doc_id"))
+        .withColumnRenamed("id", "doc_id")),
+
+    // ---- quality: per-doc token-distribution Shannon entropy (Q20 bits)
+    //      — the diversity/gibberish axis; every value replayed bit-for-
+    //      bit through ONE unrolled log ladder over the (doc, token,
+    //      count) relation plus the per-doc length rows.
+    "q_token_entropy" -> ((s, dir) =>
+      TextOps.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"))
   )
 
   /** Query-term bag for q_bm25_rank — shared by the Spark query and the
@@ -2901,7 +2910,30 @@ object Queries {
         |    CAST(count(*) AS BIGINT) AS n_terms FROM scored GROUP BY 1)
         |SELECT doc_id, score, n_terms,
         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
-        |FROM tot ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
+        |FROM tot ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+    // token entropy: one ladder over the union of per-token counts and
+    // per-doc lengths; H = lf(n) - (sum c*lf(c)) // n, empty docs 0
+    "q_token_entropy" ->
+      s"""WITH base AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS ts
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens FROM base),
+        |tc AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(ts) AS token FROM base) GROUP BY 1, 2),
+        |lin AS (SELECT doc_id, 'len' AS kind, n_tokens AS w, n_tokens AS n
+        |    FROM dl WHERE n_tokens >= 1
+        |  UNION ALL SELECT doc_id, 'tok', c, c FROM tc),
+        |${log2FpLadderSql("lin", "doc_id, kind, w")},
+        |h AS (SELECT doc_id,
+        |    max(CASE WHEN kind = 'len' THEN lf END) AS lf_len,
+        |    CAST(coalesce(sum(CASE WHEN kind = 'tok' THEN w * lf END), 0) AS BIGINT) AS s,
+        |    CAST(coalesce(sum(CASE WHEN kind = 'tok' THEN 1 END), 0) AS BIGINT) AS n_distinct
+        |  FROM lfz GROUP BY 1)
+        |SELECT dl.doc_id, dl.n_tokens,
+        |  coalesce(h.n_distinct, 0) AS n_distinct,
+        |  CAST(CASE WHEN dl.n_tokens = 0 THEN 0
+        |       ELSE h.lf_len - h.s // dl.n_tokens END AS BIGINT) AS entropy_q20
+        |FROM dl LEFT JOIN h USING (doc_id) ORDER BY dl.doc_id""".stripMargin
   )
 
   /** The [[graft.functions.Log2Fp]] algorithm as DuckDB CTEs: `baseCte`

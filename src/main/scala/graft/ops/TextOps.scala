@@ -1535,6 +1535,42 @@ object TextOps {
     weights.filter(col("w") =!= 0L)
   }
 
+  /** Per-document Shannon entropy of the token distribution, Q20
+    * fixed-point bits — the classic diversity/gibberish signal (low
+    * entropy = template farms, keyword stuffing, "buy buy buy" spam; the
+    * repetition axis Gopher gates on). Unlocked by [[graft.functions.Log2Fp]]:
+    * H = log2(n) − (Σ_t c_t·log2(c_t))/n over token counts c_t is pure
+    * integer arithmetic end to end — both the per-count logs and the
+    * final truncating division are engine-exact, so DuckDB replays every
+    * entropy value bit-for-bit through one unrolled log ladder over the
+    * (doc, token, count) relation.
+    *
+    * Exact identities (pinned in spec): all-distinct doc → exactly
+    * log2_fp(n) (every c_t = 1, log 0); single-repeated-token doc →
+    * exactly 0; empty doc → 0 by contract (kept in the output — a
+    * curation gate needs total coverage, and explode_outer preserves the
+    * zero-token rows the plain explode would silently drop).
+    *
+    * Scale shape: explode → two hash aggregates with map-side partials
+    * keyed by (id, token) then id; Log2Fp is codegen'd O(1)/row. No joins,
+    * no windows. Output: (id, n_tokens, n_distinct, entropy_q20). */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.Log2Fp
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("__ts"))
+      .select(col("id"), size(col("__ts")).cast("long").as("n_tokens"),
+        explode_outer(col("__ts")).as("token"))
+      .groupBy("id", "n_tokens", "token").agg(count(lit(1)).as("c"))
+      .groupBy("id", "n_tokens")
+      .agg(
+        coalesce(sum(when(col("token").isNotNull, col("c") * Log2Fp(col("c")))),
+          lit(0L)).as("__s"),
+        sum(when(col("token").isNotNull, 1L).otherwise(0L)).as("n_distinct"))
+      .withColumn("entropy_q20",
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(Log2Fp(col("n_tokens")) - expr("__s DIV n_tokens")))
+      .select("id", "n_tokens", "n_distinct", "entropy_q20")
+  }
+
   /** The extraction-QA tokenizer class, shared VERBATIM by
     * [[extractionQuality]] (java.util.regex split) and the
     * q_extract_quality DuckDB oracle (RE2 regexp_split_to_array): an

@@ -126,6 +126,42 @@ class RankSpec extends AnyFunSuite {
     assert(got.map(_._2).distinct.size == 1)
   }
 
+  // ---- token entropy ----
+
+  test("tokenEntropy: exact identities — all-distinct = log2fp(n), all-same = 0, empty/single = 0") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"), // 8 distinct -> exactly log2fp(8) = 3.0
+      (2L, "x x x x x x"),     // one token   -> exactly 0
+      (3L, ""),                 // empty       -> 0 by contract, kept
+      (4L, "solo"))             // single      -> 0
+    val got = TextOps.tokenEntropy(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 8L, 8L, 3L << 20),
+      (2L, 6L, 1L, 0L),
+      (3L, 0L, 0L, 0L),
+      (4L, 1L, 1L, 0L)))
+  }
+
+  test("tokenEntropy: matches an independent driver-side computation; repetition lowers it") {
+    val docs = Seq(
+      (1L, "a a b b c c d d"),
+      (2L, "a a a a a a a b"),
+      (3L, "w x y z w x y z w"))
+    val got = TextOps.tokenEntropy(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    docs.foreach { case (id, text) =>
+      val ts = text.trim.split("\\s+").filter(_.nonEmpty)
+      val n = ts.length.toLong
+      val s = ts.groupBy(identity).values.map { g =>
+        val c = g.length.toLong; c * Log2Fp.compute(c)
+      }.sum
+      val want = Log2Fp.compute(n) - s / n
+      assert(got(id) == want, s"doc $id: got ${got(id)} want $want")
+    }
+    assert(got(2L) < got(1L)) // heavy repetition scores below balanced mix
+  }
+
   test("bm25 plan: term-side joins broadcast, top-k is TakeOrdered, no sort-merge join") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = RankOps.bm25TopK(docs, "doc_id", "text", Seq("spark", "vector"), k = 10)
