@@ -2165,7 +2165,23 @@ object Queries {
     "q_token_entropy" -> ((s, dir) =>
       TextOps.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- monitoring: smoothed KL divergence between two snapshots'
+    //      token distributions in ppm-bits — the ONE-number drift alarm
+    //      (q_token_drift is the per-token drill-down); same A/B
+    //      construction as q_token_drift so the two views reconcile.
+    //      NOTE on division: Spark DIV and DuckDB // both truncate
+    //      toward zero (verified), so the signed per-token contributions
+    //      replay exactly.
+    "q_kl_drift" -> ((s, dir) => {
+      val a = t(s, dir, "documents").select(col("text"))
+      val b = t(s, dir, "documents").select(
+        when(col("doc_id") % 6 === 0,
+          lit("win free crypto now click here win free")).otherwise(col("text"))
+          .as("text"))
+      TextOps.tokenKlDrift(a, b, "text")
+    })
   )
 
   /** Query-term bag for q_bm25_rank — shared by the Spark query and the
@@ -2933,7 +2949,43 @@ object Queries {
         |  coalesce(h.n_distinct, 0) AS n_distinct,
         |  CAST(CASE WHEN dl.n_tokens = 0 THEN 0
         |       ELSE h.lf_len - h.s // dl.n_tokens END AS BIGINT) AS entropy_q20
-        |FROM dl LEFT JOIN h USING (doc_id) ORDER BY dl.doc_id""".stripMargin
+        |FROM dl LEFT JOIN h USING (doc_id) ORDER BY dl.doc_id""".stripMargin,
+    // KL drift: union-vocab smoothed histograms, the four-log expansion
+    // through one ladder (per-token a/b rows + two scalar total rows),
+    // signed trunc-toward-zero contributions — both engines agree
+    "q_kl_drift" ->
+      s"""WITH ta AS (SELECT token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+        |      t -> t <> '')) AS token FROM documents) GROUP BY 1),
+        |bsrc AS (SELECT CASE WHEN doc_id % 6 = 0
+        |    THEN 'win free crypto now click here win free' ELSE text END AS text
+        |  FROM documents),
+        |tb AS (SELECT token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+        |      t -> t <> '')) AS token FROM bsrc) GROUP BY 1),
+        |j AS (SELECT coalesce(ta.token, tb.token) AS token,
+        |    coalesce(ta.tf, 0) AS tf_a, coalesce(tb.tf, 0) AS tf_b
+        |  FROM ta FULL OUTER JOIN tb ON ta.token = tb.token),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+        |    CAST(coalesce(sum(tf_a), 0) AS BIGINT) AS tot_a,
+        |    CAST(coalesce(sum(tf_b), 0) AS BIGINT) AS tot_b FROM j),
+        |lin AS (SELECT token, 'a' AS kind, tf_a + 1 AS n FROM j
+        |  UNION ALL SELECT token, 'b', tf_b + 1 FROM j
+        |  UNION ALL SELECT '', 'ta', tot_a + n_vocab FROM st
+        |  UNION ALL SELECT '', 'tb', tot_b + n_vocab FROM st),
+        |${log2FpLadderSql("lin", "token, kind")},
+        |lfa AS (SELECT token, lf FROM lfz WHERE kind = 'a'),
+        |lfb AS (SELECT token, lf FROM lfz WHERE kind = 'b'),
+        |lft AS (SELECT max(CASE WHEN kind = 'ta' THEN lf END) AS lf_ta,
+        |    max(CASE WHEN kind = 'tb' THEN lf END) AS lf_tb
+        |  FROM lfz WHERE kind IN ('ta', 'tb')),
+        |per AS (SELECT
+        |    ((j.tf_b + 1) * 1000000) // (st.tot_b + st.n_vocab) AS p_ppm,
+        |    lfb.lf - lfa.lf + lft.lf_ta - lft.lf_tb AS lfdiff
+        |  FROM j JOIN lfa USING (token) JOIN lfb USING (token), st, lft)
+        |SELECT CAST(sum((p_ppm * lfdiff) // 1048576) AS BIGINT) AS d_kl_ppm_bits,
+        |  st.n_vocab, st.tot_a, st.tot_b
+        |FROM per, st GROUP BY 2, 3, 4""".stripMargin
   )
 
   /** The [[graft.functions.Log2Fp]] algorithm as DuckDB CTEs: `baseCte`

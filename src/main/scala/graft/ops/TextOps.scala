@@ -1571,6 +1571,54 @@ object TextOps {
       .select("id", "n_tokens", "n_distinct", "entropy_q20")
   }
 
+  /** Corpus-drift in ONE number: smoothed KL divergence D(P_b ‖ P_a)
+    * between two slices' token distributions, in ppm-scaled bits — the
+    * scalar a crawl operator alerts on ([[tokenDrift]] is the per-token
+    * breakdown one drills into AFTER the alert fires; this is the
+    * monitored metric itself: "snapshot N+1 drifted 0.37 bits from
+    * snapshot N").
+    *
+    * Add-one smoothing over the UNION vocabulary V (else one unseen token
+    * makes the divergence infinite):
+    *   p_t = (tf_b+1)/(tot_b+V),  q_t = (tf_a+1)/(tot_a+V)
+    *   D   = Σ_t p_t · log2(p_t/q_t)
+    * All integer via [[graft.functions.Log2Fp]], with the ratio's log
+    * expanded to a SUM of four logs — lf(tf_b+1) − lf(tf_a+1) +
+    * lf(tot_a+V) − lf(tot_b+V) — so no product ever exceeds the inputs
+    * themselves (tf·tot would overflow a long at crawl scale). Per-token
+    * contribution = (p_ppm · lfdiff) DIV 2^20, bounded by ~4e7, so the
+    * final sum stays far from overflow even at a billion-token vocabulary.
+    * Exact identity (pinned in spec): identical slices → every lfdiff is
+    * 0 → D exactly 0.
+    *
+    * Scale shape: the two per-slice token histograms (one explode + hash
+    * agg each, map-side combined), a full-outer join on token, ONE
+    * vocabulary-sized localCheckpoint (the joined relation feeds both the
+    * stats row and the contribution sum), and two global aggregates.
+    * Output (1 row): (d_kl_ppm_bits, n_vocab, tot_a, tot_b). */
+  def tokenKlDrift(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    import graft.functions.Log2Fp
+    def dist(df: DataFrame, suf: String): DataFrame = df
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as(s"tf_$suf"))
+    val joined = dist(a, "a").join(dist(b, "b"), Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("tf_a"), lit(0L)).as("tf_a"),
+        coalesce(col("tf_b"), lit(0L)).as("tf_b"))
+      .localCheckpoint(true) // vocab-sized; feeds stats AND the sum below
+    val stats = joined.agg(count(lit(1)).as("n_vocab"),
+      coalesce(sum("tf_a"), lit(0L)).as("tot_a"),
+      coalesce(sum("tf_b"), lit(0L)).as("tot_b"))
+    joined.crossJoin(stats)
+      .withColumn("__p_ppm", expr("((tf_b + 1L) * 1000000L) DIV (tot_b + n_vocab)"))
+      .withColumn("__lfdiff",
+        Log2Fp(col("tf_b") + 1) - Log2Fp(col("tf_a") + 1) +
+          Log2Fp(col("tot_a") + col("n_vocab")) - Log2Fp(col("tot_b") + col("n_vocab")))
+      .groupBy("n_vocab", "tot_a", "tot_b")
+      .agg(sum(expr(s"(__p_ppm * __lfdiff) DIV ${1L << 20}L")).as("d_kl_ppm_bits"))
+      .select("d_kl_ppm_bits", "n_vocab", "tot_a", "tot_b")
+  }
+
   /** The extraction-QA tokenizer class, shared VERBATIM by
     * [[extractionQuality]] (java.util.regex split) and the
     * q_extract_quality DuckDB oracle (RE2 regexp_split_to_array): an

@@ -162,6 +162,44 @@ class RankSpec extends AnyFunSuite {
     assert(got(2L) < got(1L)) // heavy repetition scores below balanced mix
   }
 
+  // ---- KL drift ----
+
+  /** Independent driver-side smoothed KL, same contract. */
+  private def klRef(a: Seq[String], b: Seq[String]): (Long, Long, Long, Long) = {
+    def hist(xs: Seq[String]) = xs.flatMap(_.trim.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+    val ha = hist(a); val hb = hist(b)
+    val vocab = (ha.keySet ++ hb.keySet).toSeq
+    val v = vocab.size.toLong
+    val totA = ha.values.sum; val totB = hb.values.sum
+    val d = vocab.map { t =>
+      val tfA = ha.getOrElse(t, 0L); val tfB = hb.getOrElse(t, 0L)
+      val pPpm = ((tfB + 1) * 1000000L) / (totB + v)
+      val lfdiff = Log2Fp.compute(tfB + 1) - Log2Fp.compute(tfA + 1) +
+        Log2Fp.compute(totA + v) - Log2Fp.compute(totB + v)
+      (pPpm * lfdiff) / 1048576L
+    }.sum
+    (d, v, totA, totB)
+  }
+
+  test("tokenKlDrift: identical slices diverge by exactly zero") {
+    val docs = Seq("a b c", "d e f a", "g g g").toDF("text")
+    val got = TextOps.tokenKlDrift(docs, docs, "text")
+      .as[(Long, Long, Long, Long)].head()
+    assert(got == ((0L, 7L, 10L, 10L)))
+  }
+
+  test("tokenKlDrift: matches the independent driver-side computation; drift raises it") {
+    val a = Seq("the cat sat on the mat", "dogs bark at the moon", "rain falls on green hills")
+    val b = Seq("the cat sat on the mat", "win free crypto now click here", "rain falls on green hills")
+    val got = TextOps.tokenKlDrift(a.toDF("text"), b.toDF("text"), "text")
+      .as[(Long, Long, Long, Long)].head()
+    assert(got == klRef(a, b))
+    val same = TextOps.tokenKlDrift(a.toDF("text"), a.toDF("text"), "text")
+      .as[(Long, Long, Long, Long)].head()
+    assert(got._1 > same._1, s"drifted=${got._1} identical=${same._1}")
+  }
+
   test("bm25 plan: term-side joins broadcast, top-k is TakeOrdered, no sort-merge join") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = RankOps.bm25TopK(docs, "doc_id", "text", Seq("spark", "vector"), k = 10)
