@@ -2181,7 +2181,16 @@ object Queries {
           lit("win free crypto now click here win free")).otherwise(col("text"))
           .as("text"))
       TextOps.tokenKlDrift(a, b, "text")
-    })
+    }),
+
+    // ---- exploration: TF-IDF top-3 keywords per document — per-doc
+    //      top-k through the bounded-histogram quota selector (no
+    //      per-doc sort), idf through the exact log; the oracle replays
+    //      the selection contract as a row_number ladder.
+    "q_tfidf_keywords" -> ((s, dir) =>
+      RankOps.tfidfKeywords(t(s, dir, "documents"), "doc_id", "text", k = 3L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "token"))
   )
 
   /** Query-term bag for q_bm25_rank — shared by the Spark query and the
@@ -2985,7 +2994,31 @@ object Queries {
         |  FROM j JOIN lfa USING (token) JOIN lfb USING (token), st, lft)
         |SELECT CAST(sum((p_ppm * lfdiff) // 1048576) AS BIGINT) AS d_kl_ppm_bits,
         |  st.n_vocab, st.tot_a, st.tot_b
-        |FROM per, st GROUP BY 2, 3, 4""".stripMargin
+        |FROM per, st GROUP BY 2, 3, 4""".stripMargin,
+    // TF-IDF keywords: tf, vocab df, the idf ladder and the top-3
+    // selection (score desc, token asc — the quotaSelect contract)
+    // re-derived from raw text
+    "q_tfidf_keywords" ->
+      s"""WITH base AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS ts
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(ts) AS token FROM base) GROUP BY 1, 2),
+        |dft AS (SELECT token, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM base),
+        |lin AS (SELECT token, 'd' AS kind, 2 * df_t + 1 AS n FROM dft
+        |  UNION ALL SELECT '', 'N', 2 * n_docs + 2 FROM st),
+        |${log2FpLadderSql("lin", "token, kind")},
+        |lfn AS (SELECT max(CASE WHEN kind = 'N' THEN lf END) AS lf_n FROM lfz),
+        |idf AS (SELECT token, lfn.lf_n - lf AS idf_fp
+        |  FROM lfz, lfn WHERE kind = 'd'),
+        |scored AS (SELECT tf.doc_id, tf.token, tf.tf,
+        |    CAST(tf.tf * idf.idf_fp AS BIGINT) AS tfidf
+        |  FROM tf JOIN idf USING (token)),
+        |ranked AS (SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn FROM scored)
+        |SELECT doc_id, token, tf, tfidf FROM ranked WHERE rn <= 3
+        |ORDER BY doc_id, token""".stripMargin
   )
 
   /** The [[graft.functions.Log2Fp]] algorithm as DuckDB CTEs: `baseCte`

@@ -100,4 +100,44 @@ object RankOps {
         row_number().over(Window.orderBy(desc("score"), asc("id"))).cast("long"))
       .orderBy("rank")
   }
+
+  /** TF-IDF top-k keyword extraction per document — the corpus-exploration
+    * complement to [[bm25TopK]] (that ranks docs for a query; this labels
+    * every doc with its most distinctive terms, the classic input to topic
+    * browsing, cluster naming, and weak topic supervision).
+    *
+    * score(d, t) = tf_t(d) · idf(t) with the same Lucene non-negative idf
+    * as bm25 — Q20-integral via [[graft.functions.Log2Fp]], so every
+    * score and every selected keyword replays exactly in DuckDB.
+    *
+    * Scale shape: one explode + (id, token) hash agg for tf; the df_t/idf
+    * table is VOCABULARY-sized — joined back on token with NO forced
+    * broadcast (the quotaSelect discipline: AQE broadcasts it when it is
+    * actually small, a web-scale vocabulary is not); the 1-row N table is
+    * the only forced-tiny side. Per-doc top-k goes through
+    * [[TextOps.topKPerStratum]] — the bounded-histogram quota selector,
+    * no per-document sort at any fan-in; its selection contract (all rows
+    * above the score cutoff, token-ascending ties AT the cutoff) is
+    * exactly `row_number() OVER (PARTITION BY doc ORDER BY score DESC,
+    * token) <= k`, which is what the oracle replays.
+    *
+    * Output: (id, token, tf, tfidf), ≤ k rows per document; empty docs
+    * have no tokens and are naturally absent. */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+      k: Long = 3L): DataFrame = {
+    import graft.functions.Log2Fp
+    require(k >= 1L && k <= 1000L, s"k=$k outside [1, 1000]")
+    val tf = df
+      .select(col(idCol).as("id"), explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val stats = df.agg(count(lit(1)).cast("long").as("n_docs"))
+    val idf = tf.groupBy("token").agg(count(lit(1)).as("df_t"))
+      .crossJoin(broadcast(stats))
+      .select(col("token"),
+        (Log2Fp(col("n_docs") * 2 + 2) - Log2Fp(col("df_t") * 2 + 1)).as("idf_fp"))
+    val scored = tf.join(idf, Seq("token"))
+      .select(col("id"), col("token"), col("tf"),
+        (col("tf") * col("idf_fp")).as("tfidf"))
+    TextOps.topKPerStratum(scored, "token", "id", col("tfidf"), k)
+  }
 }

@@ -200,6 +200,45 @@ class RankSpec extends AnyFunSuite {
     assert(got._1 > same._1, s"drifted=${got._1} identical=${same._1}")
   }
 
+  // ---- TF-IDF keywords ----
+
+  test("tfidfKeywords: matches an independent driver-side computation (scores, selection, ties)") {
+    val docs = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana banana durian"),
+      (3L, "apple elderberry elderberry fig fig"),
+      (4L, "banana apple"))
+    val k = 2L
+    val got = RankOps.tfidfKeywords(docs.toDF("doc_id", "text"), "doc_id", "text", k)
+      .as[(Long, String, Long, Long)].collect().toSet
+    val toks = docs.map { case (id, t) => id -> t.trim.split("\\s+").filter(_.nonEmpty).toSeq }
+    val n = docs.size.toLong
+    val dfT = toks.flatMap(_._2.distinct).groupBy(identity)
+      .map { case (t, g) => t -> g.size.toLong }
+    val want = toks.flatMap { case (id, ts) =>
+      ts.groupBy(identity).toSeq.map { case (t, g) =>
+        val tf = g.size.toLong
+        val idf = Log2Fp.compute(2 * n + 2) - Log2Fp.compute(2 * dfT(t) + 1)
+        (id, t, tf, tf * idf)
+      }.sortBy { case (_, t, _, s) => (-s, t) }.take(k.toInt)
+    }.toSet
+    assert(got == want)
+  }
+
+  test("tfidfKeywords: a corpus-wide stopword never beats a doc-unique term") {
+    val docs = (1L to 9L).map(i => (i, s"common uniq$i uniq$i")) :+ ((10L, "common"))
+    val got = RankOps.tfidfKeywords(docs.toDF("doc_id", "text"), "doc_id", "text", 1L)
+      .as[(Long, String, Long, Long)].collect()
+    got.filter(_._1 <= 9L).foreach(r => assert(r._2.startsWith("uniq"), r.toString))
+  }
+
+  test("tfidfKeywords: score ties at the cutoff break by token ascending") {
+    val docs = Seq((1L, "delta alpha charlie bravo"))
+    val got = RankOps.tfidfKeywords(docs.toDF("doc_id", "text"), "doc_id", "text", 2L)
+      .as[(Long, String, Long, Long)].collect().map(_._2).sorted.toSeq
+    assert(got == Seq("alpha", "bravo"))
+  }
+
   test("bm25 plan: term-side joins broadcast, top-k is TakeOrdered, no sort-merge join") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = RankOps.bm25TopK(docs, "doc_id", "text", Seq("spark", "vector"), k = 10)
