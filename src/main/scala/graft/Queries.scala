@@ -2190,7 +2190,15 @@ object Queries {
     "q_tfidf_keywords" -> ((s, dir) =>
       RankOps.tfidfKeywords(t(s, dir, "documents"), "doc_id", "text", k = 3L)
         .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id", "token"))
+        .orderBy("doc_id", "token")),
+
+    // ---- exploration: PMI collocation mining — top-50 adjacent-bigram
+    //      collocations (minCount 3) by the five-log signed Q20 expansion;
+    //      the oracle replays bigram/unigram counts, all five ladders and
+    //      the (pmi desc, x, y) top-k from raw text.
+    "q_pmi_collocations" -> ((s, dir) =>
+      RankOps.pmiCollocations(t(s, dir, "documents"), "text",
+        minCount = 3L, k = 50))
   )
 
   /** Query-term bag for q_bm25_rank — shared by the Spark query and the
@@ -3018,7 +3026,49 @@ object Queries {
         |ranked AS (SELECT *, row_number() OVER (
         |    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn FROM scored)
         |SELECT doc_id, token, tf, tfidf FROM ranked WHERE rn <= 3
-        |ORDER BY doc_id, token""".stripMargin
+        |ORDER BY doc_id, token""".stripMargin,
+    // PMI collocations: adjacent-bigram and unigram counts, corpus
+    // totals, the five-log signed Q20 expansion and the
+    // (pmi desc, x, y) top-k all re-derived from raw text. Bigram keys
+    // join the ladder through a chr(31) junction (tokens are
+    // whitespace-split in both engines, so they cannot contain the
+    // separator's surrounding whitespace; 0x1F is the same junction the
+    // BPE oracles use).
+    "q_pmi_collocations" ->
+      s"""WITH base AS (SELECT
+        |    list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS ts
+        |  FROM documents),
+        |d AS (SELECT ts, len(ts) AS n FROM base),
+        |b AS (SELECT ts[CAST(i + 1 AS INTEGER)] AS x,
+        |        ts[CAST(i + 2 AS INTEGER)] AS y
+        |      FROM (SELECT ts, unnest(range(0, n - 1)) AS i FROM d WHERE n >= 2)),
+        |cxy AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy FROM b GROUP BY 1, 2),
+        |cu AS (SELECT token, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(ts) AS token FROM base) GROUP BY 1),
+        |st AS (SELECT CAST((SELECT sum(c_xy) FROM cxy) AS BIGINT) AS n_bi,
+        |       CAST((SELECT sum(c) FROM cu) AS BIGINT) AS n_uni),
+        |surv AS (SELECT * FROM cxy WHERE c_xy >= 3),
+        |lin AS (SELECT x || chr(31) || y AS key, 'b' AS kind, c_xy AS n FROM surv
+        |  UNION ALL SELECT token, 'u', c FROM cu
+        |  UNION ALL SELECT '', 'NU', n_uni FROM st
+        |  UNION ALL SELECT '', 'NB', n_bi FROM st),
+        |${log2FpLadderSql("lin", "key, kind")},
+        |lfs AS (SELECT max(CASE WHEN kind = 'NU' THEN lf END) AS lf_nu,
+        |        max(CASE WHEN kind = 'NB' THEN lf END) AS lf_nb FROM lfz),
+        |scored AS (SELECT s.x, s.y, s.c_xy, ux.c AS c_x, uy.c AS c_y,
+        |    lb.lf + 2 * lfs.lf_nu - lfs.lf_nb - lx.lf - ly.lf AS pmi_fp
+        |  FROM surv s
+        |  JOIN (SELECT key, lf FROM lfz WHERE kind = 'b') lb
+        |    ON lb.key = s.x || chr(31) || s.y
+        |  JOIN cu ux ON ux.token = s.x
+        |  JOIN cu uy ON uy.token = s.y
+        |  JOIN (SELECT key, lf FROM lfz WHERE kind = 'u') lx ON lx.key = s.x
+        |  JOIN (SELECT key, lf FROM lfz WHERE kind = 'u') ly ON ly.key = s.y, lfs),
+        |ranked AS (SELECT *, row_number() OVER (
+        |    ORDER BY pmi_fp DESC, x, y) AS rn FROM scored)
+        |SELECT x, y, c_xy, c_x, c_y, CAST(pmi_fp AS BIGINT) AS pmi_fp,
+        |  CAST(rn AS BIGINT) AS rank
+        |FROM ranked WHERE rn <= 50 ORDER BY rank""".stripMargin
   )
 
   /** The [[graft.functions.Log2Fp]] algorithm as DuckDB CTEs: `baseCte`

@@ -140,4 +140,72 @@ object RankOps {
         (col("tf") * col("idf_fp")).as("tfidf"))
     TextOps.topKPerStratum(scored, "token", "id", col("tfidf"), k)
   }
+
+  /** PMI collocation mining — the top-k adjacent-bigram collocations of a
+    * corpus by pointwise mutual information: the phrase-mining step
+    * (word2phrase / Mikolov et al. 2013) that turns "new york" into one
+    * unit before tokenizer training, and the standard collocation report
+    * in any corpus card.
+    *
+    * PMI(x, y) = log2( p(x,y) / (p(x)·p(y)) ), expanded to a SIGNED SUM
+    * of five Q20 fixed-point logs — lf(c_xy) + 2·lf(N_uni) − lf(N_bi)
+    * − lf(c_x) − lf(c_y) via [[Log2Fp]] — so no intermediate product
+    * exists to overflow (c_xy·N_uni² would blow a long at crawl scale)
+    * and the DuckDB oracle replays every score bit-for-bit. A `minCount`
+    * floor on c_xy kills the rare-pair noise PMI is infamous for
+    * (hapax pairs score arbitrarily high), standard practice since the
+    * original paper.
+    *
+    * Scale shape: TWO corpus passes (the ngramSurprise precedent) — one
+    * explode for adjacent-bigram counts, one for unigram counts, both
+    * map-side-combined hash aggregates; both count tables are
+    * vocabulary-sized and eagerly localCheckpointed because each feeds
+    * two consumers (its total AND a join — the kmeansLloyd unpersist
+    * lesson). Corpus totals derive from the count tables, never a third
+    * pass. The unigram table joins back WITHOUT a forced broadcast (a
+    * web-scale vocabulary is not small — AQE decides); the only forced
+    * broadcast is the 1-row totals table. Top-k is orderBy+limit —
+    * TakeOrderedAndProject per-partition heaps, never a global sort; the
+    * rank window runs over the k survivors only.
+    *
+    * Output: (x, y, c_xy, c_x, c_y, pmi_fp, rank) — top k by
+    * (pmi_fp desc, x asc, y asc), rank 1-based, deterministic
+    * cross-engine. Docs with fewer than two tokens contribute no
+    * bigrams; an all-short corpus yields an empty result. */
+  def pmiCollocations(df: DataFrame, textCol: String,
+      minCount: Long = 5L, k: Int = 100): DataFrame = {
+    require(minCount >= 1L, s"minCount=$minCount must be >= 1")
+    require(k >= 1 && k <= 1000000, s"k=$k outside [1, 1e6]")
+    val toks = df.select(TextOps.tokens(col(textCol)).as("__ts"))
+      .withColumn("__n", size(col("__ts")))
+    // sequence(0, n-2) needs n >= 2: Spark's default step flips to -1
+    // when start > stop, which would fabricate reversed indices
+    val bigAll = toks.filter(col("__n") >= 2)
+      .select(explode(transform(
+        sequence(lit(0), col("__n") - 2),
+        i => struct(
+          element_at(col("__ts"), i + 1).as("x"),
+          element_at(col("__ts"), i + 2).as("y")))).as("b"))
+      .select(col("b.x").as("x"), col("b.y").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+      .localCheckpoint(true) // bigram-vocab-sized; feeds N_bi AND the survivor filter
+    val uni = df.select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // vocab-sized; feeds N_uni AND two joins
+    val stats = bigAll.agg(coalesce(sum("c_xy"), lit(0L)).as("n_bi"))
+      .crossJoin(uni.agg(coalesce(sum("c"), lit(0L)).as("n_uni")))
+    val top = bigAll.filter(col("c_xy") >= minCount)
+      .join(uni.select(col("token").as("x"), col("c").as("c_x")), Seq("x"))
+      .join(uni.select(col("token").as("y"), col("c").as("c_y")), Seq("y"))
+      .crossJoin(broadcast(stats)) // 1 row, bounded by construction
+      .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
+        (Log2Fp(col("c_xy")) + Log2Fp(col("n_uni")) * 2 - Log2Fp(col("n_bi"))
+          - Log2Fp(col("c_x")) - Log2Fp(col("c_y"))).as("pmi_fp"))
+      .orderBy(desc("pmi_fp"), asc("x"), asc("y"))
+      .limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(desc("pmi_fp"), asc("x"), asc("y")))
+          .cast("long"))
+      .orderBy("rank")
+  }
 }

@@ -239,6 +239,59 @@ class RankSpec extends AnyFunSuite {
     assert(got == Seq("alpha", "bravo"))
   }
 
+  // ---- PMI collocations ----
+
+  /** Independent driver-side PMI: full pipeline re-derived from first
+    * principles (bigram/unigram counts, totals, five-log expansion,
+    * (pmi desc, x, y) top-k). */
+  private def pmiRef(texts: Seq[String], minCount: Long, k: Int)
+      : Seq[(String, String, Long, Long, Long, Long, Long)] = {
+    val toks = texts.map(_.trim.split("\\s+").filter(_.nonEmpty).toSeq)
+    val bigs = toks.flatMap(ts => ts.zip(ts.drop(1)))
+    val cXy = bigs.groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+    val cU = toks.flatten.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+    val nBi = bigs.size.toLong
+    val nUni = toks.map(_.size.toLong).sum
+    cXy.toSeq.filter(_._2 >= minCount).map { case ((x, y), cxy) =>
+      val pmi = Log2Fp.compute(cxy) + 2 * Log2Fp.compute(nUni) -
+        Log2Fp.compute(nBi) - Log2Fp.compute(cU(x)) - Log2Fp.compute(cU(y))
+      (x, y, cxy, cU(x), cU(y), pmi)
+    }.sortBy { case (x, y, _, _, _, p) => (-p, x, y) }.take(k)
+      .zipWithIndex.map { case ((x, y, cxy, cx, cy, p), i) =>
+        (x, y, cxy, cx, cy, p, i + 1L)
+      }
+  }
+
+  test("pmiCollocations: matches an independent driver-side computation (counts, scores, order)") {
+    val texts = Seq(
+      "new york is big and new york is old",
+      "the cat and the dog and the bird",
+      "new day in york town the cat sat",
+      "big dog old cat new york wins")
+    val got = RankOps.pmiCollocations(texts.toDF("text"), "text", minCount = 2L, k = 100)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == pmiRef(texts, 2L, 100))
+  }
+
+  test("pmiCollocations: a true collocation outranks a frequent independent pair") {
+    // "aa bb" always adjacent; "cc" and "dd" each frequent but never adjacent
+    val texts = (1 to 6).map(i => s"aa bb cc x$i dd cc y$i dd")
+    val got = RankOps.pmiCollocations(texts.toDF("text"), "text", minCount = 2L, k = 5)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+    assert(got.head._1 == "aa" && got.head._2 == "bb", got.head.toString)
+    assert(!got.exists(r => r._1 == "cc" && r._2 == "dd"))
+  }
+
+  test("pmiCollocations: minCount gates rare pairs; short docs contribute nothing") {
+    val texts = Seq("p q", "p q", "r s", "solo", "")
+    val got = RankOps.pmiCollocations(texts.toDF("text"), "text", minCount = 2L, k = 10)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet == Set(("p", "q")))
+    val empty = RankOps.pmiCollocations(Seq("one", "", "two").toDF("text"),
+      "text", minCount = 1L, k = 10).collect()
+    assert(empty.isEmpty)
+  }
+
   test("bm25 plan: term-side joins broadcast, top-k is TakeOrdered, no sort-merge join") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = RankOps.bm25TopK(docs, "doc_id", "text", Seq("spark", "vector"), k = 10)
